@@ -1,0 +1,141 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2.B scalar-function block: string / date / math / json / array
+  * functions, the UDF surface, and a generator (1→N) query. All built-in
+  * codegen'd expressions except the one deliberate UDF.
+  */
+object FunctionQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** The one intentional Scala UDF (SURVEY §4.3 notes native expressions
+    * are preferred; this exists to cover the UDF API surface).
+    */
+  private val priceBand = udf((p: Double) =>
+    if (p < 100000.0) "S" else if (p < 300000.0) "M" else "L")
+
+  val queries: Map[String, QFn] = Map(
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        substring(col("p_name"), 1, 5).as("sub5"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        trim(col("p_name")).as("trimmed"),
+        col("p_name").like("%gold%").as("has_gold"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"))
+        .orderBy(col("p_partkey"))),
+
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"))
+        .orderBy(col("o_orderkey"))),
+
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 0).as("price_r0"),
+        round(abs(col("l_discount") - 0.05), 2).as("disc_dev"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        floor(col("l_quantity")).as("qty_floor"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        round(log(col("l_extendedprice")), 2).as("price_ln"),
+        round(sqrt(col("l_quantity")), 2).as("qty_sqrt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    "fn_array" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"),
+        round(element_at(col("embedding"), 1).cast("double") +
+          element_at(col("embedding"), 2).cast("double") +
+          element_at(col("embedding"), 3).cast("double") +
+          element_at(col("embedding"), 4).cast("double"), 4).as("head4_sum"))
+        .orderBy(col("vec_id"))),
+
+    "fn_udf_scalar" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(priceBand(col("o_totalprice")).as("band"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+        .orderBy(col("band"))),
+
+    "fn_udtf_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("token")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up_name, substring(p_name, 1, 5) AS sub5,
+                p_brand || '-' || p_type AS brand_type,
+                CAST(length(p_name) AS INT) AS name_len, trim(p_name) AS trimmed,
+                p_name LIKE '%gold%' AS has_gold,
+                replace(p_name, ' ', '_') AS snake
+         FROM part ORDER BY p_partkey""",
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+                strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice, 0) AS price_r0,
+                round(abs(l_discount - 0.05), 2) AS disc_dev,
+                CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+                CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+                round(pow(l_quantity, 2), 2) AS qty_sq,
+                round(ln(l_extendedprice), 2) AS price_ln,
+                round(sqrt(l_quantity), 2) AS qty_sqrt
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "fn_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
+
+    "fn_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+                round(embedding[1]::DOUBLE, 4) AS e1,
+                round(embedding[64]::DOUBLE, 4) AS e64,
+                round(embedding[1]::DOUBLE + embedding[2]::DOUBLE +
+                      embedding[3]::DOUBLE + embedding[4]::DOUBLE, 4) AS head4_sum
+         FROM embeddings ORDER BY vec_id""",
+
+    "fn_udf_scalar" ->
+      """SELECT CASE WHEN o_totalprice < 100000.0 THEN 'S'
+                     WHEN o_totalprice < 300000.0 THEN 'M' ELSE 'L' END AS band,
+                CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY band""",
+
+    "fn_udtf_explode" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY token"""
+  )
+}

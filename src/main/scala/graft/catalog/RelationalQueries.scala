@@ -1,0 +1,503 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Aggregates, Joins, Windows}
+
+/** SURVEY §2.B blocks: scans/sinks, filters/projections, joins,
+  * aggregations, window functions, sorts/limits, set operations.
+  *
+  * Contract (SURVEY §2.B determinism rules): every oracle query and its
+  * Spark twin have identical column names, a total ORDER BY over the
+  * output, doubles rounded via `round(_, 2..4)`, counts as BIGINT, and
+  * NULLS FIRST ordering (Spark's asc default) spelled explicitly in the
+  * DuckDB SQL.
+  */
+object RelationalQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // ---- scans / sinks -------------------------------------------------
+    "scan_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    "scan_filter_pushdown" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"),
+          round(col("l_discount"), 2).as("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "sink_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- filters / projections ----------------------------------------
+    "filter_compound" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(((col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0) ||
+          (col("o_orderpriority").isin("1-URGENT", "2-HIGH") && !(col("o_orderstatus") === "O"))) &&
+          nullif(col("o_orderstatus"), lit("X")).isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "project_computed" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("revenue", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
+        .withColumn("charge",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2))
+        .withColumn("qty_band",
+          when(col("l_quantity") < 10, "low").when(col("l_quantity") < 25, "mid").otherwise("high"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("charge"), col("qty_band"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- joins ---------------------------------------------------------
+    "join_inner_equi" -> ((s, d) =>
+      Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "join_broadcast" -> ((s, d) =>
+      Tables.nation(s, d).join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"), "inner")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(col("n_nationkey"))),
+
+    "join_left_outer" -> ((s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))),
+
+    "join_full_outer" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_acctbal") < 0.0).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey"))),
+
+    "join_semi" -> ((s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d).join(
+          Tables.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // Non-equi band join: genuinely theta — planned as a broadcast
+    // nested-loop join (supplier side is tiny). Aggregated output keeps
+    // the verified surface small while still exercising the theta path.
+    "join_theta_range" -> ((s, d) =>
+      Tables.part(s, d).join(broadcast(Tables.supplier(s, d)),
+          col("s_acctbal").between(col("p_retailprice") - 500.0, col("p_retailprice") + 500.0))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
+        .orderBy(col("p_brand"))),
+
+    "join_asof" -> ((s, d) =>
+      Joins.asof(
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts",
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")),
+        "o_custkey", "o_orderdate", "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("asof_o_orderkey").as("o_orderkey"),
+          round(col("asof_o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("event_id"))),
+
+    "join_multiway" -> ((s, d) =>
+      Tables.region(s, d)
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // ---- aggregations --------------------------------------------------
+    "agg_pricing_summary" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag"))),
+
+    // approx: asserted vs exact ±5% in the unit suite; no oracle (HLL).
+    "agg_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag"))),
+
+    "agg_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(1) AS n,
+               cast(grouping(l_returnflag) AS int) AS g_rf,
+               cast(grouping(l_linestatus) AS int) AS g_ls
+        FROM graft_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+      """)
+    }),
+
+    "agg_custom_typed" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(Aggregates.weightedMean(col("l_extendedprice"), col("l_quantity")), 2)
+          .as("wavg_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- window functions ----------------------------------------------
+    "window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          round(col("value") - col("prev_value"), 2).as("delta_prev"),
+          round(col("next_value"), 2).as("next_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "window_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 2).as("mov_avg"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Distributed running sum: bucketed two-pass instead of the
+    // single-partition global window (see Windows.distributedRunningSum).
+    "window_running_sum" -> ((s, d) =>
+      Windows.distributedRunningSum(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+        col("o_totalprice"), year(col("o_orderdate")),
+        Seq(col("o_orderdate"), col("o_orderkey")), "running")
+        .select(col("o_orderkey"), round(col("running"), 2).as("running"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- sorts / limits / set ops ---------------------------------------
+    "sort_limit_topk" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy(desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))),
+
+    "set_union_all" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      li.filter(col("l_linenumber") % 2 === 1)
+        .unionAll(li.filter(col("l_linenumber") % 2 === 0))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }),
+
+    "set_union_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus"))
+      li.filter(col("l_returnflag") =!= "N").union(li.filter(col("l_returnflag") =!= "A"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "set_intersect" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
+        .intersect(Tables.part(s, d).filter(col("p_size") > 25)
+          .select(col("p_partkey").as("partkey")))
+        .orderBy(col("partkey"))),
+
+    "set_except" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey").as("partkey"))
+        .except(Tables.lineitem(s, d).select(col("l_partkey").as("partkey")))
+        .orderBy(col("partkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "scan_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice,
+                round(l_discount, 2) AS l_discount
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "sink_roundtrip" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem WHERE l_quantity < 10
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "filter_compound" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
+         FROM orders
+         WHERE ((o_orderstatus = 'F' AND o_totalprice > 200000.0)
+                OR (o_orderpriority IN ('1-URGENT', '2-HIGH') AND NOT (o_orderstatus = 'O')))
+           AND nullif(o_orderstatus, 'X') IS NOT NULL
+         ORDER BY o_orderkey""",
+
+    "project_computed" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
+                round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+                CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_band
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "join_inner_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
+
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         ORDER BY n_nationkey""",
+
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM (SELECT * FROM customer WHERE c_acctbal < 0.0) c
+         FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+         ORDER BY c_custkey""",
+
+    "join_theta_range" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n, round(avg(s_acctbal), 2) AS avg_acctbal
+         FROM part JOIN supplier
+           ON s_acctbal BETWEEN p_retailprice - 500.0 AND p_retailprice + 500.0
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    "join_asof" ->
+      """WITH u AS (
+           SELECT o_custkey AS k, o_orderdate AS t, 0 AS is_l, o_orderkey AS tb,
+                  NULL::BIGINT AS event_id, o_orderkey, o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT user_id, ts, 1, NULL, event_id, NULL, NULL FROM events
+         ), m AS (
+           SELECT *,
+                  last_value(o_orderkey IGNORE NULLS) OVER win AS mk,
+                  last_value(o_totalprice IGNORE NULLS) OVER win AS mp
+           FROM u
+           WINDOW win AS (PARTITION BY k ORDER BY t, is_l, tb NULLS FIRST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT event_id, k AS user_id, mk AS o_orderkey, round(mp, 2) AS o_totalprice
+         FROM m WHERE is_l = 1 ORDER BY event_id""",
+
+    "join_multiway" ->
+      """SELECT r_name, n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                CAST(count(*) AS BIGINT) AS n
+         FROM region
+           JOIN nation ON r_regionkey = n_regionkey
+           JOIN customer ON n_nationkey = c_nationkey
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+                round(avg(l_quantity), 2) AS avg_qty,
+                round(avg(l_extendedprice), 2) AS avg_price,
+                round(avg(l_discount), 2) AS avg_disc,
+                CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n,
+                CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_custom_typed" ->
+      """SELECT l_returnflag,
+                round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "window_rank" ->
+      """SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders)
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""",
+
+    "window_lag_lead" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+                round(value - lag(value, 1) OVER win, 2) AS delta_prev,
+                round(lead(value, 1) OVER win, 2) AS next_value
+         FROM events
+         WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+
+    "window_moving_avg" ->
+      """SELECT event_id, user_id,
+                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+         FROM events ORDER BY event_id""",
+
+    "window_running_sum" ->
+      """SELECT o_orderkey,
+                round(sum(o_totalprice) OVER (ORDER BY o_orderdate, o_orderkey
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+         FROM orders ORDER BY o_orderkey""",
+
+    "sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+
+    "set_union_all" ->
+      """SELECT * FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber % 2 = 1
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_linenumber % 2 = 0)
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "set_union_distinct" ->
+      """SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_returnflag <> 'N'
+         UNION
+         SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_returnflag <> 'A'
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "set_intersect" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+         INTERSECT
+         SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+         ORDER BY partkey""",
+
+    "set_except" ->
+      """SELECT p_partkey AS partkey FROM part
+         EXCEPT
+         SELECT l_partkey AS partkey FROM lineitem
+         ORDER BY partkey"""
+  )
+}

@@ -1,0 +1,75 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.pipeline.{KafkaPipeline, PipelineConfig}
+import graft.streaming.EventTime
+
+/** SURVEY §2.B streaming block. The windowed aggregations run here in
+  * batch form over the same builders the streaming tests drive through
+  * MemoryStream — identical logical plans, so the oracle checks the
+  * event-time semantics. `kafka_pipeline` actually runs a Structured
+  * Streaming query (file source standing in for the broker, AvailableNow
+  * trigger) and returns the files it wrote.
+  */
+object StreamingQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    "stream_tumbling_counts" -> ((s, d) =>
+      EventTime.tumblingCounts(Tables.events(s, d))
+        .orderBy(col("ws"), col("event_type"))),
+
+    "stream_sliding_avg" -> ((s, d) =>
+      EventTime.slidingAvg(Tables.events(s, d))
+        .orderBy(col("ws"))),
+
+    // no portable SQL for gap-based sessionization → rows-only check;
+    // real correctness covered by the streaming golden spec.
+    "stream_session" -> ((s, d) =>
+      EventTime.sessionStats(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    "stream_dedup" -> ((s, d) =>
+      EventTime.dedupCounts(Tables.events(s, d))
+        .orderBy(col("event_type"))),
+
+    // R1→R4 end-to-end (SURVEY §2.A): stream the events table through the
+    // reference's projection + size-batched parquet sink, then return what
+    // landed on disk.
+    "kafka_pipeline" -> ((s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      val cfg = PipelineConfig(batchSize = 1000,
+        outputDir = s"$base/out", checkpointDir = s"$base/chk")
+      KafkaPipeline.initOutput(cfg.outputDir)
+      val src = KafkaPipeline
+        .fileStream(s, s"$d/events.parquet", Tables.events(s, d).schema)
+        .select(encode(col("props"), "UTF-8").as("value"), col("event_id"), col("ts"))
+      val q = KafkaPipeline.parquetSink(
+        KafkaPipeline.payloadAsString(src).select(col("b"), col("event_id"), col("ts")),
+        cfg, Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(cfg.outputDir).select(col("b"), col("event_id")).orderBy(col("event_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    // every event belongs to the 4 sliding 1h/15m windows ending at or
+    // after it: starts time_bucket(15m, ts) - {0,15,30,45} minutes.
+    "stream_sliding_avg" ->
+      """SELECT CAST(epoch(ws) AS BIGINT) AS ws, round(avg(value), 2) AS avg_value,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - (n * INTERVAL '15 minutes') AS ws,
+                      value
+               FROM events, range(0, 4) t(n))
+         GROUP BY 1 ORDER BY ws"""
+  )
+}

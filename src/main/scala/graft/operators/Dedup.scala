@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2.B,
+  * BASELINE.json north-star). Every variant is shuffle/broadcast based —
+  * no pairwise O(n²) compare, no driver-side collection — so each scales
+  * to a 1000-executor cluster by partitioning on the signature key.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc per distinct text (min doc_id), plus the
+    * duplicate count. A single hash-partitioned groupBy on the text — Spark
+    * does map-side partial aggregation, so the shuffle carries one row per
+    * distinct text per input partition, not one per document.
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Deterministic MinHash signature: `numHashes` permutations simulated as
+    * murmur3 `hash(shingle, seed)` (seed = permutation index — fixed, so the
+    * operator is reproducible run-to-run; classic MinHash draws random
+    * a,b). Shingles are `shingleLen`-token word n-grams.
+    *
+    * Returns one row per doc with the signature and the LSH band hashes
+    * (`numBands` bands of `numHashes/numBands` values).
+    */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, numBands: Int = 8, shingleLen: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val toks = split(col(textCol), " ")
+    // word shingles: positions 1 .. n-shingleLen+1
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, shingleLen)))
+    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => hash(s, seed))))
+    val bands = transform(sequence(lit(0), lit(numBands - 1)),
+      b => hash(slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("string")))
+    docs.select(col(idCol).as("doc_id"), sig.as("minhash"), bands.as("bands"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,
+    * verified with exact token-set Jaccard >= `threshold`.
+    *
+    * Scale shape: explode to (band, bandHash) keys → shuffle groups only
+    * bucket collisions (expected tiny vs n²) → pair within bucket →
+    * distinct → verify. The verify join is by doc id (hash join), not a
+    * cross product.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numHashes: Int = 32, numBands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, idCol, numHashes, numBands)
+    val buckets = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    val tokenSets = docs.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("tset"))
+    cand
+      .join(tokenSets.withColumnRenamed("doc_id", "a_id").withColumnRenamed("tset", "ta"), "a_id")
+      .join(tokenSets.withColumnRenamed("doc_id", "b_id").withColumnRenamed("tset", "tb"), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Per-doc bucket-population summary of the MinHash LSH index (always
+    * non-empty — used as the smoke surface; pair extraction above is the
+    * real operator, exercised by unit tests with synthetic near-dups).
+    */
+  def minhashBucketStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val buckets = minhashSignatures(docs, textCol, idCol)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val w = Window.partitionBy(col("band"), col("bh"))
+    buckets.withColumn("mates", count(lit(1)).over(w) - 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("mates")).as("bucket_mates"))
+  }
+
+  /** 64-bit SimHash from murmur3 token hashes: bit b of the fingerprint is
+    * the sign of sum over tokens of (+1 if bit b of hash64(token) else -1).
+    * Near-identical texts differ in O(1) bits → hamming-ball lookup.
+    * Computed fully with higher-order functions (no UDF).
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = array_distinct(split(col(textCol), " "))
+    val hashes = transform(toks, t => xxhash64(t))
+    val fp = aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        shiftleft(lit(1L), b)).otherwise(0L))
+    docs.select(col(idCol).as("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates within hamming distance `maxDist`, found by
+    * banding the 64-bit fingerprint into 4 16-bit chunks (pigeonhole: any
+    * pair within distance 3 agrees on >= 1 chunk). Bucket-join, then exact
+    * hamming verify via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val fps = simhash(docs, textCol, idCol)
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "ch")))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("fa"), col("b.simhash").as("fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Blocked word-n-gram Jaccard near-dup pairs.
+    *
+    * Blocking key = (lang, source, n_chars bucket): near-duplicate docs have
+    * near-equal length and identical metadata, so candidate generation is
+    * per-block instead of all-pairs — the block predicate is what keeps the
+    * pair count linear-ish as the corpus grows (100 TB posture; boundary
+    * misses at bucket edges are an accepted recall trade, as in production
+    * blocking systems).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, charBucket: Int,
+      threshold: Double): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, n))))
+    val blocked = docs.select(col("doc_id"), col("lang"), col("source"),
+      floor(col("n_chars") / charBucket).as("len_bkt"), grams.as("grams"))
+    val a = blocked.as("a"); val b = blocked.as("b")
+    a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond plain `Dataset.join`.
+  *
+  * The reference engine (d1eg0/kafka-to-parquet, /root/reference/src/main.rs)
+  * has no joins at all; this module is part of the SURVEY §2.B extension
+  * surface. Everything here compiles to stock Catalyst operators — no custom
+  * strategies — so AQE/broadcast/skew handling apply unchanged at cluster
+  * scale.
+  */
+object Joins {
+
+  /** Point-in-time (AS-OF) join: for every left row, attach the payload of
+    * the latest right row with the same key whose time is <= the left time.
+    *
+    * Spark has no native ASOF join. The naive formulation — a range
+    * self-join (`l.key = r.key && r.t <= l.t` + max) — explodes to
+    * O(|matches|) rows before aggregating, which is fatal at 100 TB.
+    * Instead we union both sides (one column-aligned pass, no row
+    * multiplication), shuffle ONCE on the key, and take a running
+    * `last(payload, ignoreNulls)` over an ordered window. Cost is a single
+    * shuffle + per-partition sort: the same lower bound a native
+    * sort-merge ASOF implementation would have.
+    *
+    * Tie-breaking is deterministic: right rows at the same timestamp sort
+    * before left rows (so an equal-timestamp right row IS matched), and
+    * among equal-timestamp right rows the greatest `rightTiebreak` wins.
+    *
+    * Output: all left columns + every right payload column prefixed
+    * `asof_`; unmatched left rows keep nulls.
+    */
+  def asof(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTiebreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(_ == rightKey)
+    val rSchema = right.schema
+    val lSchema = left.schema
+    val tbType = rSchema(rightTiebreak).dataType
+
+    val l2 = left.select(
+      (Seq(col(leftKey).as("__k"), col(leftTime).cast("timestamp").as("__t"),
+           lit(1).as("__is_l"), lit(null).cast(tbType).as("__tb")) ++
+        leftCols.map(col) ++
+        rightPayload.map(c => lit(null).cast(rSchema(c).dataType).as(s"__r_$c"))): _*)
+    val r2 = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTime).cast("timestamp").as("__t"),
+           lit(0).as("__is_l"), col(rightTiebreak).as("__tb")) ++
+        leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
+        rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__is_l"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = rightPayload.foldLeft(l2.unionByName(r2)) { (df, c) =>
+      df.withColumn(s"__m_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    matched.filter(col("__is_l") === 1)
+      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__m_$c").as(s"asof_$c")): _*)
+  }
+}

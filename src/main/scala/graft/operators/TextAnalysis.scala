@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY §2.B).
+  * All pure column expressions — whole-stage-codegen friendly, no UDFs,
+  * embarrassingly parallel (per-row, no shuffle until the final agg).
+  */
+object TextAnalysis {
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Heuristic language ID: stop-word hit counts per candidate language,
+    * argmax with ties resolved en > es > de > unknown. (A production
+    * n-gram model is the same shape: per-row feature extraction + argmax —
+    * deterministic, no shuffle.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val en = countIn(toks, StopEn); val es = countIn(toks, StopEs)
+    val de = countIn(toks, StopDe)
+    docs.select(col("doc_id"),
+      en.cast("int").as("en_hits"), es.cast("int").as("es_hits"),
+      de.cast("int").as("de_hits"),
+      when(en === 0 && es === 0 && de === 0, "unknown")
+        .when(en >= es && en >= de, "en")
+        .when(es >= de, "es")
+        .otherwise("de").as("predicted_lang"))
+  }
+
+  /** Quality scoring: token count, mean token length, stop-word ratio,
+    * alpha-character ratio, and a bounded composite score.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val alphaLen = length(regexp_replace(col("text"), "[^a-z]", ""))
+    val stop = countIn(toks, StopEn)
+    docs.select(col("doc_id"),
+      nTok.cast("int").as("n_tokens"),
+      round(alphaLen.cast("double") / nTok.cast("double"), 2).as("avg_tok_len"),
+      round(stop.cast("double") / nTok.cast("double"), 4).as("stop_ratio"),
+      round(alphaLen.cast("double") / length(col("text")).cast("double"), 4).as("alpha_ratio"),
+      round(least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
+        (stop.cast("double") / nTok.cast("double")) * 0.5, 4).as("quality"))
+  }
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * (letter runs | digit runs | single punctuation), the standard
+    * pre-tokenizer shape.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("int").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("int").as("bpe_tokens"))
+
+  /** Deterministic position-weighted document fingerprint:
+    * sum over chars of code(c_i) * ((i-1) mod 64 + 1) — an order-sensitive
+    * rolling-hash-style signature computed as one codegen'd fold, cheap
+    * enough to run over 100 TB as a pure map.
+    */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val fp = aggregate(
+      transform(sequence(lit(1), length(col("text"))),
+        i => ascii(col("text").substr(i, lit(1))) * (pmod(i - 1, lit(64)) + 1)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    docs.select(col("doc_id"), fp.as("fingerprint"),
+      length(col("text")).cast("int").as("n_chars_obs"))
+  }
+}

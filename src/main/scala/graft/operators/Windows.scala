@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (SURVEY §2.B window block). */
+object Windows {
+
+  /** Globally-ordered running sum WITHOUT a single-partition window.
+    *
+    * `sum().over(Window.orderBy(...))` with no partition key collapses the
+    * whole dataset onto ONE task — fine at sf0.01, fatal at 100 TB. This
+    * two-pass formulation keeps every stage distributed:
+    *
+    *   1. bucket rows by a coarse range key derived from the order column
+    *      (here: caller-supplied `bucket` expression, e.g. `year(date)`);
+    *   2. aggregate per-bucket sums (tiny: one row per bucket) and take a
+    *      running total over buckets — the only global window, but over
+    *      #buckets rows, not #data rows;
+    *   3. broadcast-join the bucket offsets back and run the intra-bucket
+    *      running sum partitioned BY bucket.
+    *
+    * Result is identical to the naive global window for any total order
+    * (bucket asc, then `orderCols` within bucket).
+    */
+  def distributedRunningSum(
+      df: DataFrame, value: Column, bucket: Column,
+      orderCols: Seq[Column], out: String): DataFrame = {
+    val withB = df.withColumn("__bkt", bucket)
+    val offsets = withB.groupBy(col("__bkt")).agg(sum(value).as("__bsum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(
+          Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select(col("__bkt"), col("__offset"))
+    val intra = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offsets), "__bkt")
+      .withColumn(out, col("__offset") + sum(value).over(intra))
+      .drop("__bkt", "__offset")
+  }
+}

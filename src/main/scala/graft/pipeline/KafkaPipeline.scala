@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.Row
+
+/** Job configuration — the Spark analogue of the reference's `KafkaConfig`
+  * (/root/reference/src/main.rs:147-154, populated from CLI flags at
+  * main.rs:370-390). `batchSize` doubles as rows-per-output-file, matching
+  * the reference's `--num-messages` dual use (main.rs:373-377, 388).
+  */
+case class PipelineConfig(
+    brokers: String = "localhost:9092",
+    groupId: String = "example_consumer_group_id",
+    topic: String = "test",
+    batchSize: Int = 10,
+    outputDir: String = "output",
+    checkpointDir: String = "checkpoint",
+    startingOffsets: String = "earliest")
+
+/** The reference's whole surface, Spark-native: Kafka source → UTF-8
+  * projection → size-batched Parquet sink (SURVEY §2.A R1–R12).
+  *
+  * Deliberate semantic upgrades (SURVEY §7.0): progress lives in the
+  * checkpoint WAL (exactly-once with the file sink) instead of
+  * commit-before-write at-most-once (main.rs:268); every trigger flushes,
+  * so no tail-batch loss (main.rs:258); the full Kafka record is persisted
+  * alongside the reference's payload-only `b` column (main.rs:256 vs
+  * 113-117). Preserved quirks: null/invalid-UTF-8 payload → "" — never
+  * null, never dropped (main.rs:240-247); fail-fast if the output dir
+  * already exists (main.rs:285-294).
+  */
+object KafkaPipeline {
+
+  /** R1: streaming Kafka scan. One Spark task per topic-partition per
+    * micro-batch — the reference's tokio-task-per-partition layout
+    * (main.rs:296-310) is the engine default here.
+    */
+  def kafkaStream(spark: SparkSession, cfg: PipelineConfig): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.brokers)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .option("includeHeaders", "true")
+      .load()
+
+  /** Broker-free stand-in with the Kafka source's schema, for tests and
+    * local runs (the connector jar is absent in this container): a file
+    * stream over any parquet directory, columns renamed to the Kafka
+    * contract by the caller.
+    */
+  def fileStream(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** R2: payload bytes → UTF-8 string; null or invalid UTF-8 → "" (exactly
+    * the reference's `payload_view::<str>()` fallback, main.rs:240-247).
+    * Keeps every other record field, unlike the reference which drops them
+    * at the sink (main.rs:256).
+    */
+  def payloadAsString(df: DataFrame): DataFrame =
+    df.withColumn("b",
+      when(expr("is_valid_utf8(value)"), col("value").cast("string")).otherwise(lit("")))
+
+  /** The reference's output projection: exactly one non-null string column
+    * `b` (main.rs:113-117).
+    */
+  def fidelityProjection(df: DataFrame): DataFrame = payloadAsString(df).select(col("b"))
+
+  /** R6: `create_dir("output")` — panic if it exists (main.rs:285-294).
+    * Fail-fast *before* any stream starts.
+    */
+  def initOutput(path: String): Unit = {
+    val p = Paths.get(path)
+    require(!Files.exists(p), s"output directory already exists: $path")
+    Files.createDirectories(p)
+  }
+
+  /** R3+R4+R5: size-batched Parquet sink. `maxRecordsPerFile` reproduces
+    * the reference's N-rows-per-file layout (main.rs:258-267); Spark owns
+    * file names (the `partition_{p}_batch_{b}` scheme of main.rs:274-283 is
+    * carried semantically by partitioning + the per-file row bound).
+    * Checkpointed micro-batches replace per-message async offset commits
+    * (main.rs:268) — exactly-once end-to-end.
+    */
+  def parquetSink(df: DataFrame, cfg: PipelineConfig,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    df.writeStream.format("parquet")
+      .option("path", cfg.outputDir)
+      .option("checkpointLocation", cfg.checkpointDir)
+      .option("maxRecordsPerFile", cfg.batchSize.toLong)
+      .trigger(trigger)
+
+  /** R10: synthetic producer — n records shaped exactly like the
+    * reference's generator: payload "Message {i}", key "Key {i}", one
+    * header header_key→header_value (main.rs:74-83). Write with
+    * `.write.format("kafka")` in production; the DataFrame itself is the
+    * broker-free test fixture.
+    */
+  def syntheticRecords(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n).select(
+      encode(concat(lit("Key "), col("id")), "UTF-8").as("key"),
+      encode(concat(lit("Message "), col("id")), "UTF-8").as("value"),
+      array(struct(lit("header_key").as("key"),
+        encode(lit("header_value"), "UTF-8").as("value"))).as("headers"),
+      lit("test").as("topic"),
+      (col("id") % 2).cast("int").as("partition"),
+      col("id").as("offset"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("timestamp"))
+
+  /** R11: rebalance/commit observability → StreamingQueryListener logging
+    * progress and termination (the reference's ConsumerContext callbacks,
+    * main.rs:38-54).
+    */
+  def progressListener(): StreamingQueryListener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+      println(s"[pipeline] query started: ${e.id}")
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      println(s"[pipeline] progress: batch=${e.progress.batchId} rows=${e.progress.numInputRows}")
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+      println(s"[pipeline] query terminated: ${e.id}")
+  }
+}
