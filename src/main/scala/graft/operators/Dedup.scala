@@ -36,11 +36,11 @@ object Dedup {
     // word shingles: positions 1 .. n-shingleLen+1
     val shingles = transform(
       sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, shingleLen)))
+      i => concat_ws(" ", slice(toks, i, lit(shingleLen))))
     val sig = transform(sequence(lit(0), lit(numHashes - 1)),
       seed => array_min(transform(shingles, s => hash(s, seed))))
     val bands = transform(sequence(lit(0), lit(numBands - 1)),
-      b => hash(slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("string")))
+      b => hash(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)).cast("string")))
     docs.select(col(idCol).as("doc_id"), sig.as("minhash"), bands.as("bands"))
   }
 
@@ -99,8 +99,9 @@ object Dedup {
       lit(0L),
       (acc, b) => acc + when(
         aggregate(hashes, lit(0L),
-          (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        shiftleft(lit(1L), b)).otherwise(0L))
+          (s, h) => s + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)) > 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(0L))
     docs.select(col(idCol).as("doc_id"), fp.as("simhash"))
   }
 
@@ -114,7 +115,8 @@ object Dedup {
     val fps = simhash(docs, textCol, idCol)
     val chunks = fps.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),
-        i => shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "ch")))
+        i => call_function("shiftright", col("simhash"), i * 16)
+          .bitwiseAND(0xFFFFL))).as(Seq("chunk", "ch")))
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
         col("a.doc_id") < col("b.doc_id"))
