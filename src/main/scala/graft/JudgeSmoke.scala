@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.catalog.{FunctionQueries, RelationalQueries, StreamingQueries}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+object JudgeSmoke {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val all = RelationalQueries.queries ++ FunctionQueries.queries ++ StreamingQueries.queries
+    all.toSeq.sortBy(_._1).foreach { case (k, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        val n = fn(spark, d).count()
+        println(f"SMOKE OK   $k%-28s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        println(s"SMOKE ERR  $k  ${e.toString.replaceAll("\n", " ").take(180)}")
+      }
+    }
+
+    def op(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      try println(f"SMOKE OK   $name%-28s rows=$f%-8d ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      catch { case e: Throwable =>
+        println(s"SMOKE ERR  $name  ${e.toString.replaceAll("\n", " ").take(180)}")
+      }
+    }
+    val docs = Tables.documents(spark, d)
+    val emb = Tables.embeddings(spark, d)
+    op("op_dedup_exact") { Dedup.exact(docs, "text", "doc_id").count() }
+    op("op_minhash_pairs") { Dedup.minhashPairs(docs, "text", "doc_id").count() }
+    op("op_minhash_bucket_stats") { Dedup.minhashBucketStats(docs, "text", "doc_id").count() }
+    op("op_simhash_pairs") { Dedup.simhashPairs(docs, "text", "doc_id").count() }
+    op("op_ngram_jaccard_pairs") { Dedup.ngramJaccardPairs(docs, 3, 100, 0.5).count() }
+    op("op_sim_bruteforce_topk") { Similarity.bruteForceTopK(emb, 1L, 10).count() }
+    op("op_sim_blocked_join") { Similarity.blockedSimilarityJoin(emb.withColumn("blk", col("label")), "blk", 0.2).count() }
+    op("op_sim_ivf_topk") { Similarity.ivfTopK(spark, emb, 1L, 10).count() }
+    op("op_text_langid") { TextAnalysis.langId(docs).count() }
+    op("op_text_quality") { TextAnalysis.qualityScore(docs).count() }
+    op("op_text_tokens") { TextAnalysis.tokenCounts(docs).count() }
+    op("op_text_fingerprint") { TextAnalysis.fingerprint(docs).count() }
+    op("op_multimodal_meta") {
+      import spark.implicits._
+      val m = Multimodal.withMediaColumn(docs).select(col("doc_id"), col("media")).as[Multimodal.MediaRow]
+      Multimodal.decodeMeta(spark, m).count()
+    }
+    op("op_multimodal_frames") { Multimodal.sampleFrames(Multimodal.withMediaColumn(docs), 4).count() }
+
+    // dump a few results for DuckDB cross-check
+    val out = "/tmp/judge_out"
+    Seq("agg_pricing_summary", "join_asof", "window_running_sum", "fn_string",
+        "stream_sliding_avg", "agg_custom_typed").foreach { k =>
+      try all(k)(spark, d).coalesce(1).write.mode("overwrite").parquet(s"$out/$k")
+      catch { case e: Throwable => println(s"DUMP ERR $k ${e.getMessage.take(120)}") }
+    }
+    spark.stop()
+  }
+}

@@ -142,7 +142,7 @@ object Dedup {
     val toks = split(col("text"), " ")
     val grams = array_distinct(transform(
       sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, n))))
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
     val blocked = docs.select(col("doc_id"), col("lang"), col("source"),
       floor(col("n_chars") / charBucket).as("len_bkt"), grams.as("grams"))
     val a = blocked.as("a"); val b = blocked.as("b")
