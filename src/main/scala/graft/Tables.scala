@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md).
   *
@@ -19,7 +21,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright. Sessions set `spark.sql.legacy.parquet.nanosAsLong`,
+    * so `ts` arrives as nano-epoch LongType; convert back to a timestamp
+    * with integer `div` (a double division would lose precision above
+    * 2^53 ns). No-op when the file has micro/milli timestamps.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = apply(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,268 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFns
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** SURVEY §2.B LLM-data-pipeline block (BASELINE.json north-star):
+  * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force / blocked join / IVF), text analysis (lang-id,
+  * quality, tokens, fingerprints) and multimodal-column plumbing.
+  *
+  * Determinism contract (SURVEY §2.B): total ORDER BY on every query,
+  * doubles rounded, counts BIGINT. Queries without a portable SQL twin
+  * (hash-function-dependent or approximate) are declared without an oracle
+  * → driver records a rows-only check; their real correctness lives in the
+  * unit suites.
+  */
+object LlmQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, QFn] = Map(
+    // ---- deduplication -------------------------------------------------
+    "llm_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("keep_id"))),
+
+    // MinHash-LSH bucket populations per doc (deterministic seeded hashes,
+    // but murmur3-specific → no SQL twin; rows-only + unit spec).
+    "llm_dedup_fuzzy" -> ((s, d) =>
+      Dedup.minhashBucketStats(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // 64-bit SimHash fingerprints (xxhash64-based → rows-only + unit spec).
+    "llm_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // Blocked n-gram Jaccard near-dup pairs — exact set algebra, SQL twin
+    // built from DuckDB list functions.
+    "llm_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, charBucket = 100,
+        threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // ---- similarity search ---------------------------------------------
+    "llm_similarity_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 1L, k = 10)),
+
+    "llm_similarity_join" -> ((s, d) =>
+      Similarity.blockedSimilarityJoin(
+        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.2)
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // IVF ANN: approximate by construction → rows-only; recall asserted
+    // vs brute force in the unit suite.
+    "llm_similarity_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(s, Tables.embeddings(s, d), queryId = 1L, k = 10)),
+
+    // ---- text analysis -------------------------------------------------
+    "llm_text_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val perLang = toks.groupBy(col("lang")).agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("vocab"))
+      val chars = docs.groupBy(col("lang"))
+        .agg(round(avg(col("n_chars")), 2).as("avg_chars"))
+      perLang.join(chars, "lang")
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("vocab"), col("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "llm_text_langid" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "llm_text_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "llm_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "llm_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // ---- multimodal ----------------------------------------------------
+    // text + vector + metadata in one row (the lakehouse multimodal layout)
+    "llm_multimodal_schema" -> ((s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d),
+          col("doc_id") === col("vec_id"), "inner")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(col("embedding")).as("dim"),
+          round(VectorFns.norm(col("embedding")), 4).as("vnorm"))
+        .orderBy(col("doc_id"))),
+
+    // binary-column decode via mapPartitions (decoder stub, real plumbing);
+    // checksum is a plain byte fold so DuckDB can twin it.
+    "llm_multimodal_meta" -> ((s, d) => {
+      import s.implicits._
+      val m = Multimodal.withMediaColumn(Tables.documents(s, d))
+        .select(col("doc_id"), col("media")).as[Multimodal.MediaRow]
+      Multimodal.decodeMeta(s, m).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("channels"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "llm_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.withMediaColumn(Tables.documents(s, d)), 4)
+        .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "llm_dedup_ngram" ->
+      """WITH g AS (
+           SELECT doc_id, lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bkt,
+                  list_distinct([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+           FROM (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks
+                 FROM documents)
+         )
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+         FROM g a JOIN g b
+           ON a.lang = b.lang AND a.source = b.source AND a.len_bkt = b.len_bkt
+          AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+               len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.2
+         ORDER BY a_id, b_id""",
+
+    "llm_similarity_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         SELECT vec_id,
+                round(
+                  list_sum(list_transform(range(1, 65),
+                    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS sim
+         FROM embeddings, q WHERE vec_id <> 1
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    "llm_similarity_join" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings
+         )
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                      (a.nrm * b.nrm), 4) AS sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(range(1, 65),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+               (a.nrm * b.nrm) >= 0.2
+         ORDER BY a_id, b_id""",
+
+    "llm_text_stats" ->
+      """WITH toks AS (
+           SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+         ), per_lang AS (
+           SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                  CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT token) AS BIGINT) AS vocab
+           FROM toks GROUP BY lang
+         ), chars AS (
+           SELECT lang, round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang
+         )
+         SELECT per_lang.lang, n_docs, n_tokens, vocab, avg_chars
+         FROM per_lang JOIN chars USING (lang) ORDER BY lang""",
+
+    "llm_text_langid" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS en_hits,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('el','la','de','que','y','en','un'))) AS INT) AS es_hits,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('der','die','das','und','ist','ein','zu'))) AS INT) AS de_hits,
+                CASE
+                  WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is'))) = 0
+                   AND len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','que','y','en','un'))) = 0
+                   AND len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist','ein','zu'))) = 0
+                    THEN 'unknown'
+                  WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is')))
+                       >= len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','que','y','en','un')))
+                   AND len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is')))
+                       >= len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist','ein','zu')))
+                    THEN 'en'
+                  WHEN len(list_filter(string_split(text, ' '), t -> t IN ('el','la','de','que','y','en','un')))
+                       >= len(list_filter(string_split(text, ' '), t -> t IN ('der','die','das','und','ist','ein','zu')))
+                    THEN 'es'
+                  ELSE 'de'
+                END AS predicted_lang
+         FROM documents ORDER BY doc_id""",
+
+    "llm_text_quality" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE /
+                      len(string_split(text, ' '))::DOUBLE * 100.0 + 0.5) / 100.0 AS avg_tok_len,
+                floor(len(list_filter(string_split(text, ' '),
+                        t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE /
+                      len(string_split(text, ' '))::DOUBLE * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE /
+                      length(text)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+                floor((least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0) * 0.5 +
+                      (len(list_filter(string_split(text, ' '),
+                         t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE /
+                       len(string_split(text, ' '))::DOUBLE) * 0.5) * 10000.0 + 0.5) / 10000.0 AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "llm_text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "llm_text_fingerprint" ->
+      """SELECT doc_id,
+                CAST(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> ascii(text[i]) * ((i - 1) % 64 + 1))) AS BIGINT) AS fingerprint,
+                CAST(length(text) AS INT) AS n_chars_obs
+         FROM documents ORDER BY doc_id""",
+
+    "llm_multimodal_schema" ->
+      """SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim,
+                round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS vnorm
+         FROM documents JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id""",
+
+    // decode stub's checksum = fold(bytes, 17, (h*31+b) mod 1e9+7) over the
+    // UTF-8 bytes of text; width/height are modular projections of it.
+    "llm_multimodal_meta" ->
+      """WITH c AS (
+           SELECT doc_id, length(text) AS n_bytes,
+                  list_reduce(list_prepend(17::BIGINT,
+                    list_transform(range(1, length(text) + 1), i -> ascii(text[i])::BIGINT)),
+                    (h, b) -> (h * 31 + b) % 1000000007) AS checksum
+           FROM documents
+         )
+         SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
+                CAST(64 + checksum % 640 AS INT) AS width,
+                CAST(64 + (checksum // 7) % 480 AS INT) AS height,
+                3 AS channels, checksum
+         FROM c ORDER BY doc_id""",
+
+    "llm_multimodal_frames" ->
+      """SELECT doc_id, CAST(n - 1 AS INT) AS frame_idx,
+                CAST(length(substring(text,
+                  CAST((n - 1) * greatest(length(text) // 4, 1) + 1 AS INT),
+                  CAST(greatest(length(text) // 4, 1) AS INT))) AS INT) AS frame_bytes
+         FROM documents, range(1, 5) t(n)
+         ORDER BY doc_id, frame_idx"""
+  )
+}

@@ -60,9 +60,11 @@ object RelationalQueries {
 
     "project_computed" -> ((s, d) =>
       Tables.lineitem(s, d)
-        .withColumn("revenue", round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
+        .withColumn("revenue",
+          graft.functions.Rounding.roundTo(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2))
         .withColumn("charge",
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2))
+          graft.functions.Rounding.roundTo(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 2))
         .withColumn("qty_band",
           when(col("l_quantity") < 10, "low").when(col("l_quantity") < 25, "mid").otherwise("high"))
         .select(col("l_orderkey"), col("l_linenumber"), col("revenue"), col("charge"), col("qty_band"))
@@ -240,7 +242,7 @@ object RelationalQueries {
         .rowsBetween(-2, Window.currentRow)
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          round(avg(col("value")).over(w), 2).as("mov_avg"))
+          graft.functions.Rounding.roundTo(avg(col("value")).over(w), 2).as("mov_avg"))
         .orderBy(col("event_id"))
     }),
 
@@ -284,8 +286,9 @@ object RelationalQueries {
         .orderBy(col("partkey"))),
 
     "set_except" -> ((s, d) =>
-      Tables.part(s, d).select(col("p_partkey").as("partkey"))
-        .except(Tables.lineitem(s, d).select(col("l_partkey").as("partkey")))
+      Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
+        .except(Tables.part(s, d).filter(col("p_size") > 25)
+          .select(col("p_partkey").as("partkey")))
         .orderBy(col("partkey")))
   )
 
@@ -317,8 +320,8 @@ object RelationalQueries {
 
     "project_computed" ->
       """SELECT l_orderkey, l_linenumber,
-                round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
-                round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 2) AS charge,
+                floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) / 100.0 AS revenue,
+                floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) / 100.0 AS charge,
                 CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS qty_band
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
 
@@ -460,8 +463,8 @@ object RelationalQueries {
 
     "window_moving_avg" ->
       """SELECT event_id, user_id,
-                round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+                floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS mov_avg
          FROM events ORDER BY event_id""",
 
     "window_running_sum" ->
@@ -495,9 +498,9 @@ object RelationalQueries {
          ORDER BY partkey""",
 
     "set_except" ->
-      """SELECT p_partkey AS partkey FROM part
+      """SELECT l_partkey AS partkey FROM lineitem
          EXCEPT
-         SELECT l_partkey AS partkey FROM lineitem
+         SELECT p_partkey AS partkey FROM part WHERE p_size > 25
          ORDER BY partkey"""
   )
 }

@@ -45,8 +45,10 @@ object StreamingQueries {
       val cfg = PipelineConfig(batchSize = 1000,
         outputDir = s"$base/out", checkpointDir = s"$base/chk")
       KafkaPipeline.initOutput(cfg.outputDir)
-      val src = KafkaPipeline
-        .fileStream(s, s"$d/events.parquet", Tables.events(s, d).schema)
+      // schema from a raw read (ts may arrive as nano-epoch long under
+      // nanosAsLong — passed through untouched here)
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = KafkaPipeline.fileStream(s, d, rawSchema, glob = "events.parquet")
         .select(encode(col("props"), "UTF-8").as("value"), col("event_id"), col("ts"))
       val q = KafkaPipeline.parquetSink(
         KafkaPipeline.payloadAsString(src).select(col("b"), col("event_id"), col("ts")),
@@ -65,7 +67,8 @@ object StreamingQueries {
     // every event belongs to the 4 sliding 1h/15m windows ending at or
     // after it: starts time_bucket(15m, ts) - {0,15,30,45} minutes.
     "stream_sliding_avg" ->
-      """SELECT CAST(epoch(ws) AS BIGINT) AS ws, round(avg(value), 2) AS avg_value,
+      """SELECT CAST(epoch(ws) AS BIGINT) AS ws,
+                floor(avg(value) * 100.0 + 0.5) / 100.0 AS avg_value,
                 CAST(count(*) AS BIGINT) AS n
          FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - (n * INTERVAL '15 minutes') AS ws,
                       value

@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Oracle-portable decimal rounding.
+  *
+  * Spark's `round` converts the double to its shortest decimal string and
+  * applies HALF_UP; DuckDB rounds the binary double directly — on .5
+  * boundaries they disagree (4.725 → 4.73 in Spark, 4.72 in DuckDB).
+  * `floor(x*10^n + 0.5)/10^n` in plain IEEE double ops is bit-identical
+  * in every engine, so hash-compared results use this instead.
+  */
+object Rounding {
+  def roundTo(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / p
+  }
+}

@@ -38,10 +38,11 @@ object Multimodal {
       // per-partition init would go here (decoder handles, buffers, ...)
       rows.map { r =>
         val bytes = r.media
-        val checksum = bytes.foldLeft(17L)((h, b) => h * 31 + (b & 0xff))
+        // modular rolling hash (no i64 wraparound → portable to the oracle)
+        val checksum = bytes.foldLeft(17L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
         MediaMeta(r.doc_id, bytes.length,
-          width = 64 + (math.abs(checksum) % 640).toInt,
-          height = 64 + (math.abs(checksum / 7) % 480).toInt,
+          width = 64 + (checksum % 640).toInt,
+          height = 64 + ((checksum / 7) % 480).toInt,
           channels = 3, checksum = checksum)
       }
     }

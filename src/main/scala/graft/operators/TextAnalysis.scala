@@ -35,19 +35,22 @@ object TextAnalysis {
   }
 
   /** Quality scoring: token count, mean token length, stop-word ratio,
-    * alpha-character ratio, and a bounded composite score.
+    * alpha-character ratio, and a bounded composite score. Rounding uses
+    * the IEEE-portable floor form (graft.functions.Rounding) so results
+    * hash-match the SQL oracle on .5 boundaries.
     */
   def qualityScore(docs: DataFrame): DataFrame = {
+    import graft.functions.Rounding.roundTo
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val alphaLen = length(regexp_replace(col("text"), "[^a-z]", ""))
     val stop = countIn(toks, StopEn)
     docs.select(col("doc_id"),
       nTok.cast("int").as("n_tokens"),
-      round(alphaLen.cast("double") / nTok.cast("double"), 2).as("avg_tok_len"),
-      round(stop.cast("double") / nTok.cast("double"), 4).as("stop_ratio"),
-      round(alphaLen.cast("double") / length(col("text")).cast("double"), 4).as("alpha_ratio"),
-      round(least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
+      roundTo(alphaLen.cast("double") / nTok.cast("double"), 2).as("avg_tok_len"),
+      roundTo(stop.cast("double") / nTok.cast("double"), 4).as("stop_ratio"),
+      roundTo(alphaLen.cast("double") / length(col("text")).cast("double"), 4).as("alpha_ratio"),
+      roundTo(least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
         (stop.cast("double") / nTok.cast("double")) * 0.5, 4).as("quality"))
   }
 

@@ -49,12 +49,16 @@ object KafkaPipeline {
 
   /** Broker-free stand-in with the Kafka source's schema, for tests and
     * local runs (the connector jar is absent in this container): a file
-    * stream over any parquet directory, columns renamed to the Kafka
-    * contract by the caller.
+    * stream over a parquet directory (streaming file sources require a
+    * directory; `glob` narrows to specific files), columns renamed to the
+    * Kafka contract by the caller.
     */
-  def fileStream(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(path)
+  def fileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      glob: String = "*"): DataFrame =
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
 
   /** R2: payload bytes → UTF-8 string; null or invalid UTF-8 → "" (exactly
     * the reference's `payload_view::<str>()` fallback, main.rs:240-247).

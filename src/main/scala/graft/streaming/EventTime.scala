@@ -21,10 +21,13 @@ object EventTime {
       .agg(count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"), col("n"))
 
-  /** Sliding 1-hour windows every 15 minutes: avg + count of `value`. */
+  /** Sliding 1-hour windows every 15 minutes: avg + count of `value`.
+    * Portable floor-rounding (graft.functions.Rounding) for the oracle.
+    */
   def slidingAvg(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(round(avg(col("value")), 2).as("avg_value"), count(lit(1)).as("n"))
+      .agg(graft.functions.Rounding.roundTo(avg(col("value")), 2).as("avg_value"),
+        count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("avg_value"), col("n"))
 
   /** Per-user session windows with a 30-minute inactivity gap. */

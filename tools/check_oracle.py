@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+For every query dumped by graft.Verify: read the Spark result parquet,
+run the declared oracle SQL in DuckDB over the same sf tables, sort
+columns by name on both sides, and diff values. Reports per-query
+OK / ROWS / SCHEMA / VALUES mismatches so oracle SQL can be fixed
+before the driver runs the real gate.
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and fold float32 noise
+        return round(v + 0.0, 6)
+    return v
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    dumped = sorted(d for d in os.listdir(out_dir)
+                    if os.path.isdir(os.path.join(out_dir, d)))
+    n_ok = n_bad = 0
+    for name in dumped:
+        if name not in oracles:
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
+                print(f"SKIP   {name:<28} (no oracle; rows={n})")
+            except Exception as e:
+                print(f"ERR    {name:<28} unreadable dump: {e}")
+            continue
+        try:
+            spark_rel = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            s_cols = [c[0] for c in spark_rel.description]
+            s_rows = spark_rel.fetchall()
+            o_rel = con.execute(oracles[name])
+            o_cols = [c[0] for c in o_rel.description]
+            o_rows = o_rel.fetchall()
+        except Exception as e:
+            print(f"ERR    {name:<28} {str(e)[:160]}")
+            n_bad += 1
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            print(f"SCHEMA {name:<28} spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+            n_bad += 1
+            continue
+        s_ix = [s_cols.index(c) for c in sorted(s_cols)]
+        o_ix = [o_cols.index(c) for c in sorted(o_cols)]
+        s_vals = [tuple(norm(r[i]) for i in s_ix) for r in s_rows]
+        o_vals = [tuple(norm(r[i]) for i in o_ix) for r in o_rows]
+        if len(s_vals) != len(o_vals):
+            print(f"ROWS   {name:<28} spark={len(s_vals)} oracle={len(o_vals)}")
+            n_bad += 1
+            continue
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(s_vals, o_vals)) if a != b]
+        if diffs:
+            i, a, b = diffs[0]
+            print(f"VALUES {name:<28} {len(diffs)}/{len(s_vals)} rows differ; "
+                  f"first at {i}: cols={sorted(s_cols)}\n"
+                  f"       spark ={a}\n       oracle={b}")
+            n_bad += 1
+        else:
+            print(f"OK     {name:<28} rows={len(s_vals)}")
+            n_ok += 1
+    missing = set(oracles) - set(dumped)
+    for name in sorted(missing):
+        print(f"NODUMP {name:<28} (oracle declared but no spark dump)")
+        n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {len(dumped) - n_ok - n_bad} skipped")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
