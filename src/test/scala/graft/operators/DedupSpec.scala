@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "srcA", 44L),
+    (2L, "the quick brown fox jumps over the lazy cat", "en", "srcA", 44L), // near-dup of 1
+    (3L, "completely different text about spark engines here", "en", "srcA", 50L),
+    (4L, "the quick brown fox jumps over the lazy dog", "en", "srcA", 44L), // exact dup of 1
+    (5L, "otra frase en espanol sin relacion alguna aqui", "es", "srcB", 47L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps min doc_id per text with copy counts") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhash signatures are deterministic and identical for identical text") {
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val s1 = sigs(0).getSeq[Long](1)
+    val s4 = sigs(3).getSeq[Long](1)
+    assert(s1 == s4, "identical texts must have identical signatures")
+    assert(s1.size == 32)
+    val again = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()(0).getSeq[Long](1)
+    assert(s1 == again, "rerun must reproduce the signature")
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair must surface")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      s"near-dup pair expected, got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L || a == 5L || b == 5L },
+      "unrelated docs must not pair")
+  }
+
+  test("simhash hamming distance: 0 for identical, small for near-dup") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 16)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((1L, 4L)) == 0, "identical texts → identical fingerprints")
+    assert(pairs.get((1L, 2L)).exists(_ <= 16), "near-dups within hamming ball")
+  }
+
+  test("ngram jaccard pairs respect blocking and threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, charBucket = 100, threshold = 0.5)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 4L)))
+    val j14 = pairs.find(p => p._1 == 1L && p._2 == 4L).get._3
+    assert(j14 == 1.0, "exact dup has jaccard 1.0")
+    assert(!ids.exists { case (a, b) => a == 5L || b == 5L },
+      "different (lang, source) block must not pair")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join matches latest prior right row per key, nulls when none") {
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")), // after r2 → matches order 21
+      (101L, 1L, ts("2024-01-01 08:30:00")), // between r1, r2 → order 20
+      (102L, 1L, ts("2024-01-01 07:00:00")), // before all → null
+      (103L, 2L, ts("2024-01-01 12:00:00")), // key 2 → order 30
+      (104L, 3L, ts("2024-01-01 12:00:00"))  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 20L, 200.0),
+      (1L, ts("2024-01-01 09:00:00"), 21L, 210.0),
+      (2L, ts("2024-01-01 12:00:00"), 30L, 300.0) // equal ts matches (<=)
+    ).toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    val out = Joins.asof(left, "user_id", "ts", right,
+        "o_custkey", "o_orderdate", "o_orderkey")
+      .select("event_id", "asof_o_orderkey", "asof_o_totalprice")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(out(100L) == ((Some(21L), Some(210.0))))
+    assert(out(101L) == ((Some(20L), Some(200.0))))
+    assert(out(102L) == ((None, None)))
+    assert(out(103L) == ((Some(30L), Some(300.0))))
+    assert(out(104L) == ((None, None)))
+  }
+
+  test("asof join breaks equal-timestamp right-row ties by greatest tiebreak") {
+    val left = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (9L, ts("2024-01-01 09:00:00"), 5L, 1.0),
+      (9L, ts("2024-01-01 09:00:00"), 7L, 2.0) // same ts, higher key wins
+    ).toDF("rk", "rt", "o_orderkey", "v")
+    val out = Joins.asof(left, "k", "ts", right, "rk", "rt", "o_orderkey")
+      .select("asof_o_orderkey").as[Long].collect()
+    assert(out.toSeq == Seq(7L))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.VectorFns
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("cosine: self-similarity 1, symmetric, bounded") {
+    val self = emb.limit(20)
+      .select(VectorFns.cosine(col("embedding"), col("embedding")).as("s"))
+      .as[Double].collect()
+    assert(self.forall(s => math.abs(s - 1.0) < 1e-9))
+    val a = emb.filter(col("vec_id") === 1).select(col("embedding").as("va"))
+    val b = emb.filter(col("vec_id") === 2).select(col("embedding").as("vb"))
+    val Array(sab, sba) = a.crossJoin(b)
+      .select(VectorFns.cosine(col("va"), col("vb")),
+        VectorFns.cosine(col("vb"), col("va")))
+      .as[(Double, Double)].collect().flatMap(t => Array(t._1, t._2))
+    assert(sab == sba)
+    assert(sab >= -1.0 - 1e-9 && sab <= 1.0 + 1e-9)
+  }
+
+  test("brute-force top-k returns k rows in descending similarity") {
+    val rows = Similarity.bruteForceTopK(emb, queryId = 1L, k = 10)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(!rows.exists(_._1 == 1L), "query vector excluded")
+  }
+
+  test("IVF top-k recall vs brute force is usable (>= 4 of 10)") {
+    val exact = Similarity.bruteForceTopK(emb, 1L, 10).as[(Long, Double)]
+      .collect().map(_._1).toSet
+    val approx = Similarity.ivfTopK(spark, emb, 1L, 10).as[(Long, Double)]
+      .collect().map(_._1).toSet
+    assert(approx.size == 10)
+    val recall = (exact intersect approx).size
+    assert(recall >= 4, s"IVF recall too low: $recall/10 (nProbe=4 of 16 clusters)")
+  }
+
+  test("blocked similarity join: only same-block pairs, threshold respected") {
+    val blocked = emb.withColumn("blk", col("label"))
+    val pairs = Similarity.blockedSimilarityJoin(blocked, "blk", 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 >= 0.2))
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    assert(pairs.forall(p => labels(p._1) == labels(p._2)), "cross-block pair leaked")
+  }
+}

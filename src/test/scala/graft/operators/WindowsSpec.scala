@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributedRunningSum equals the naive single-partition global window") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+
+    val dist = Windows.distributedRunningSum(
+        orders, col("o_totalprice"), year(col("o_orderdate")),
+        Seq(col("o_orderdate"), col("o_orderkey")), "running")
+      .select(col("o_orderkey"), round(col("running"), 2).as("running"))
+      .orderBy("o_orderkey").as[(Long, Double)].collect()
+
+    val naive = orders
+      .withColumn("running", sum(col("o_totalprice")).over(
+        Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("o_orderkey"), round(col("running"), 2).as("running"))
+      .orderBy("o_orderkey").as[(Long, Double)].collect()
+
+    assert(dist.length == naive.length)
+    dist.zip(naive).foreach { case ((k1, v1), (k2, v2)) =>
+      assert(k1 == k2)
+      assert(math.abs(v1 - v2) < 0.01, s"key $k1: $v1 vs $v2")
+    }
+  }
+
+  test("distributedRunningSum plan has no single-partition global window over the data") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val plan = Windows.distributedRunningSum(
+        orders, col("o_totalprice"), year(col("o_orderdate")),
+        Seq(col("o_orderdate"), col("o_orderkey")), "running")
+      .queryExecution.executedPlan.toString()
+    // the intra-bucket window must be hash-partitioned on the bucket key;
+    // the only SinglePartition exchange allowed is over per-bucket offsets
+    // (#buckets rows). Count them: exactly one is expected.
+    val single = "SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"expected at most one tiny global exchange, got $single:\n$plan")
+  }
+}

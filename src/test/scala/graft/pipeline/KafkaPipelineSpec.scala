@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+
+/** Reference-semantics suite (SURVEY §2.A / FIXTURES.md §A):
+  * R2 invalid-UTF-8 → "", R3 rows-per-file batching, R6 fail-fast dir,
+  * R10 synthetic producer shape — driven through a real streaming query.
+  */
+class KafkaPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("R10: synthetic records match the reference producer shape") {
+    val rows = KafkaPipeline.syntheticRecords(spark, 3)
+      .select(col("key").cast("string"), col("value").cast("string"),
+        col("headers")(0)("key"), col("headers")(0)("value").cast("string"),
+        col("topic"), col("partition"))
+      .as[(String, String, String, String, String, Int)].collect().sortBy(_._1)
+    assert(rows(0) == (("Key 0", "Message 0", "header_key", "header_value", "test", 0)))
+    assert(rows(1) == (("Key 1", "Message 1", "header_key", "header_value", "test", 1)))
+  }
+
+  test("R2: null payload and invalid UTF-8 map to empty string, valid passes through") {
+    val df = Seq(
+      (1, "hello".getBytes("UTF-8")),
+      (2, Array[Byte](-1, -2, -57)), // invalid UTF-8
+      (3, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "value")
+    val out = KafkaPipeline.payloadAsString(df)
+      .select("id", "b").as[(Int, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1, "hello")))
+    assert(out(1) == ((2, "")), "invalid UTF-8 must map to empty string")
+    assert(out(2) == ((3, "")), "null payload must map to empty string")
+  }
+
+  test("R6: initOutput fails fast when the directory already exists") {
+    val dir = Files.createTempDirectory("graft_init").toString
+    intercept[IllegalArgumentException] { KafkaPipeline.initOutput(dir) }
+    val fresh = dir + "/new"
+    KafkaPipeline.initOutput(fresh) // must not throw
+    assert(new java.io.File(fresh).isDirectory)
+  }
+
+  test("R3+R4: streaming sink writes at most batchSize rows per file, no tail loss") {
+    val base = Files.createTempDirectory("graft_sinkspec").toString
+    val srcDir = s"$base/src"
+    val n = 105L; val batch = 10
+    KafkaPipeline.syntheticRecords(spark, n)
+      .write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val cfg = PipelineConfig(batchSize = batch,
+      outputDir = s"$base/out", checkpointDir = s"$base/chk")
+    KafkaPipeline.initOutput(cfg.outputDir)
+    val q = KafkaPipeline.parquetSink(
+      KafkaPipeline.fidelityProjection(
+        KafkaPipeline.fileStream(spark, srcDir, schema)),
+      cfg, Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val files = new java.io.File(cfg.outputDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val counts = files.map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.forall(_ <= batch), s"file over batchSize: ${counts.mkString(",")}")
+    assert(counts.sum == n, "no tail-batch loss: every row lands")
+    // fidelity schema: exactly one string column named b
+    val out = spark.read.parquet(cfg.outputDir)
+    assert(out.schema.fieldNames.toSeq == Seq("b"))
+    assert(out.filter(col("b").startsWith("Message ")).count() == n)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+import graft.Tables
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Streaming golden tests (SURVEY §5.2 #4): the EventTime builders run
+  * identically in batch and streaming, and watermarks drop late rows.
+  */
+class EventTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch = Seq(
+    Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+    Ev(2, ts("2024-01-01 10:20:00"), 1, "click", 3.0),
+    Ev(3, ts("2024-01-01 11:10:00"), 2, "buy", 5.0),
+    Ev(4, ts("2024-01-01 11:40:00"), 2, "click", 7.0),
+    Ev(5, ts("2024-01-01 12:30:00"), 1, "buy", 9.0)
+  )
+
+  test("streaming tumbling counts equal the batch plan on the same rows") {
+    val expected = EventTime.tumblingCounts(batch.toDF())
+      .orderBy("ws", "event_type").collect().toSeq
+
+    val mem = MemoryStream[Ev](1, spark, None)
+    mem.addData(batch: _*)
+    val q = EventTime.tumblingCounts(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("tumbling_golden")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tumbling_golden")
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("watermark drops rows older than the watermark in append mode") {
+    val mem = MemoryStream[Ev](2, spark, None)
+    val q = EventTime.tumblingCounts(mem.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("late_golden")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window
+      mem.addData(Ev(2, ts("2024-01-01 15:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // late row for the long-closed 10:00 window → dropped
+      mem.addData(Ev(3, ts("2024-01-01 10:06:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 23:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_golden")
+        .select(col("ws"), col("n")).as[(Long, Long)].collect().toMap
+      val w10 = ts("2024-01-01 10:00:00").getTime / 1000
+      assert(rows(w10) == 1L, s"late row must not inflate the closed window: $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids") {
+    val mem = MemoryStream[Ev](3, spark, None)
+    val q = EventTime.dedupCounts(mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("dedup_golden")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0), // dup id
+        Ev(2, ts("2024-01-01 10:01:00"), 1, "buy", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_golden")
+        .as[(String, Long)].collect().toMap
+      assert(got == Map("click" -> 1L, "buy" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session windows group by 30-minute inactivity gap") {
+    val rows = EventTime.sessionStats(Tables.events(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    // sanity on the synthetic table: session value sums are finite and
+    // every session has >= 1 event
+    assert(rows.forall(_.getAs[Long]("n") >= 1))
+  }
+}
