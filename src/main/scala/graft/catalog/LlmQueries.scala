@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -44,6 +45,20 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, charBucket = 100,
         threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))),
+
+    // Embedding-cosine near-dup: a doc is dropped when a same-label doc
+    // with a smaller id is cosine-similar above threshold; keep = best
+    // partner (highest sim, then lowest id). The pair source is the
+    // blocked similarity join, so candidate generation stays per-block.
+    "llm_dedup_embed" -> ((s, d) => {
+      val pairs = Similarity.blockedSimilarityJoin(
+        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.35)
+      val w = Window.partitionBy(col("b_id")).orderBy(desc("sim"), col("a_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("b_id").as("drop_id"), col("a_id").as("keep_id"), col("sim"))
+        .orderBy(col("drop_id"))
+    }),
 
     // ---- similarity search ---------------------------------------------
     "llm_similarity_topk" -> ((s, d) =>
@@ -139,6 +154,26 @@ object LlmQueries {
          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.2
          ORDER BY a_id, b_id""",
+
+    "llm_dedup_embed" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings
+         ), p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  round(list_sum(list_transform(range(1, 65),
+                          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                        (a.nrm * b.nrm), 4) AS sim
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                 (a.nrm * b.nrm) >= 0.35
+         )
+         SELECT b_id AS drop_id, a_id AS keep_id, sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+                                            ORDER BY sim DESC, a_id) AS rn FROM p)
+         WHERE rn = 1 ORDER BY drop_id""",
 
     "llm_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)

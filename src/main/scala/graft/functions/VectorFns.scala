@@ -5,22 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Vector math over `ArrayType(FloatType)` embedding columns.
   *
-  * Built from higher-order functions (`zip_with`/`aggregate`/`transform`)
-  * which Catalyst evaluates without serialization boundaries — no UDF, no
-  * Row copying, stays inside codegen'd stages. All arithmetic is promoted
-  * to DOUBLE before folding so results are reproducible against the DuckDB
-  * oracle (float32 folds are not).
+  * The kernel is the native codegen'd [[DotProduct]] expression (one JVM
+  * loop per pair, no allocation) — the higher-order-function form it
+  * replaced interpreted its lambdas per element and showed up hot in
+  * pairwise similarity BENCH. All arithmetic is promoted to DOUBLE inside
+  * the fold, accumulated left-to-right, so results are reproducible
+  * against the DuckDB oracle (float32 folds are not).
   */
 object VectorFns {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(DotProduct(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

@@ -158,7 +158,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** Blocked word-n-gram Jaccard near-dup pairs.
+  /** Blocked word-n-gram Jaccard near-dup pairs, inverted-index style.
     *
     * Blocking key = (lang, source, n_chars bucket): near-duplicate docs have
     * near-equal length and identical metadata, so candidate generation is
@@ -166,21 +166,67 @@ object Dedup {
     * pair count linear-ish as the corpus grows (100 TB posture; boundary
     * misses at bucket edges are an accepted recall trade, as in production
     * blocking systems).
+    *
+    * Within a block the pair loop is unavoidable, so the per-pair work is
+    * driven to its floor: each doc's gram set is hashed ONCE to a sorted
+    * xxhash64 array, and |A∩B| is a codegen'd merge scan
+    * ([[graft.functions.SortedIntersectCount]]) — linear long compares, no
+    * per-pair hash set, no allocation. (An inverted-index variant was
+    * benchmarked and rejected: with a small vocabulary the hot-gram join
+    * explodes quadratically; the blocked pairwise form is strictly bounded
+    * by block size.) Hash collisions inside a doc's ~10²-gram set are
+    * ~1e-15 — deterministic and negligible.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, charBucket: Int,
       threshold: Double): DataFrame = {
-    val toks = split(col("text"), " ")
-    val grams = array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-    val blocked = docs.select(col("doc_id"), col("lang"), col("source"),
-      floor(col("n_chars") / charBucket).as("len_bkt"), grams.as("grams"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Gram-set extraction as a per-partition kernel (same rationale as
+    // minhashSignatures): the declarative form re-evaluates split(text)
+    // inside the transform lambda — interpreted, one array alloc per gram
+    // — while this loop splits once and writes straight into a long[].
+    // FNV-1a 64 over the shingle chars stands in for the gram string
+    // (collisions ~|grams|²/2⁶⁴, deterministic).
+    val blocked = docs.select(col("doc_id").cast("long"), col("lang"),
+        col("source"), col("n_chars").cast("long"), col("text"))
+      .as[(Long, String, String, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, source, nChars, text) =>
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          val nSh = math.max(toks.length - n + 1, 1)
+          val hs = new Array[Long](nSh)
+          var i = 0
+          while (i < nSh) {
+            var h = 0xCBF29CE484222325L
+            var j = i
+            val end = math.min(i + n, toks.length)
+            while (j < end) {
+              val s = toks(j)
+              var k = 0
+              while (k < s.length) { h ^= s.charAt(k); h *= 0x100000001B3L; k += 1 }
+              if (j < end - 1) { h ^= ' '; h *= 0x100000001B3L }
+              j += 1
+            }
+            hs(i) = h
+            i += 1
+          }
+          java.util.Arrays.sort(hs)
+          var w = 0; var r = 0
+          while (r < hs.length) {
+            if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+            r += 1
+          }
+          (id, lang, source, nChars / charBucket, java.util.Arrays.copyOf(hs, w))
+        }
+      }
+      .toDF("doc_id", "lang", "source", "len_bkt", "grams")
     val a = blocked.as("a"); val b = blocked.as("b")
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
         col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-          size(array_union(col("a.grams"), col("b.grams"))).cast("double"))
+      .withColumn("common", common)
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         round(col("jaccard"), 4).as("jaccard"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFns._
 
@@ -34,10 +34,19 @@ object Similarity {
     */
   def blockedSimilarityJoin(emb: DataFrame, blockCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.as("a"); val b = emb.as("b")
-    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
+    // Compute each vector's norm ONCE before the pair join: cosine(a,b) on
+    // raw columns re-derives both norms per candidate pair (3 array folds);
+    // carrying the norm cuts that to a single dot product per pair — the
+    // per-pair cost is what explodes with block size, the per-row cost
+    // doesn't. Division stays outside the fold so the float association
+    // matches the oracle's dot/(na*nb) exactly.
+    val withNorm = emb.select(col("vec_id"), col(blockCol).as("__blk"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = withNorm.as("a"); val b = withNorm.as("b")
+    a.join(b, col("a.__blk") === col("b.__blk") &&
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("sim",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         round(col("sim"), 4).as("sim"))
@@ -46,49 +55,70 @@ object Similarity {
   /** IVF (inverted-file) approximate nearest neighbour.
     *
     * Index build: `nCentroids` seed centroids (deterministic: lowest
-    * vec_ids) refined with `iters` Lloyd steps — each step is a broadcast
-    * nested-loop assign (corpus × tiny centroid table) + groupBy mean, both
-    * fully distributed. Query: score only the `nProbe` closest clusters —
-    * the fraction of the corpus scanned is nProbe/nCentroids.
+    * vec_ids) refined with `iters` Lloyd steps. Cluster assignment is a
+    * per-row argmax over a driver-collected centroid LITERAL — no
+    * cross-join, no groupBy(vec_id) shuffle; the corpus is touched only by
+    * narrow map stages plus one tiny groupBy(cid) mean per Lloyd step
+    * (nCentroids output rows). Query: probe resolution happens entirely on
+    * the driver (nCentroids dot products), then one scan scores only rows
+    * whose cid is in the probe set — the fraction of the corpus read is
+    * nProbe/nCentroids.
     *
-    * Centroids are collected to the driver only because there are O(100)
+    * Centroids are collected to the driver only because there are O(10-100)
     * of them; the corpus itself never leaves executors.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
-    import spark.implicits._
     val dim = 64
-    var centroids = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv"))
+    def collectCentroids(df: DataFrame): Array[(Long, Array[Double])] =
+      df.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    var cents = collectCentroids(
+      emb.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv")))
     for (_ <- 1 to iters) {
-      val assigned = assign(emb, centroids)
-      centroids = assigned.join(emb, "vec_id")
-        .groupBy(col("cid"))
-        .agg(array((0 until dim).map(i =>
-          avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("cv"))
+      cents = collectCentroids(
+        emb.withColumn("cid", nearestCid(col("embedding"), cents))
+          .groupBy(col("cid"))
+          .agg(array((0 until dim).map(i =>
+            avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("cv")))
     }
-    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding")).head()
-      .getSeq[Float](0).map(_.toDouble)
+    val qv: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // driver-side probe choice: cosine(qv, centroid) over O(nCentroids) rows
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val probed = cents.map { case (cid, cv) => cid -> cos(qv, cv) }
+      .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
     val qvCol = array(qv.map(lit): _*)
-    val probed = centroids
-      .withColumn("csim", cosine(col("cv"), qvCol))
-      .orderBy(desc("csim")).limit(nProbe)
-      .select(col("cid"))
-    val assignment = assign(emb, centroids)
-    emb.join(assignment, "vec_id").join(broadcast(probed), "cid")
-      .filter(col("vec_id") =!= queryId)
+    emb.withColumn("cid", nearestCid(col("embedding"), cents))
+      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(cosine(col("embedding"), qvCol), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
 
-  /** Assign every vector to its nearest centroid (broadcast NLJ + argmax). */
-  private def assign(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("embedding"), col("cv")))
-    val best = scored.groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), col("cid"))).as("cid"))
-    best
+  /** Nearest-centroid id as a pure per-row expression: fold over the
+    * centroid literal keeping the best (dot, cid). Centroids are
+    * pre-normalized so the row's own norm (a constant positive factor in
+    * the argmax) can be dropped — one dot product per centroid per row.
+    */
+  private def nearestCid(emb: Column, cents: Array[(Long, Array[Double])]): Column = {
+    val unit = cents.map { case (cid, cv) =>
+      val n = math.sqrt(cv.map(x => x * x).sum) max java.lang.Double.MIN_VALUE
+      (cid, cv.map(_ / n))
+    }
+    val centArr = array(unit.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv")) }: _*)
+    aggregate(centArr,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val sim = dot(emb, c.getField("cv"))
+        when(sim > acc.getField("s"),
+          struct(sim.as("s"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
   }
 }
