@@ -24,9 +24,23 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Execute the query's OWN physical plan via the noop sink:
+      // df.count() would replan as Aggregate(count(1)) — column pruning
+      // and sort elimination would then benchmark a different (cheaper)
+      // query than the one declared. (Not toRdd: it bypasses the SQL
+      // execution context and deadlocks AQE's final-plan update.)
+      val n = try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        -2L // rows not observable through the noop sink
+      } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s rows=$n%-8d $dt%.1fs")
+      // untimed sanity count for the log line (the timed number above is
+      // the full-plan noop execution)
+      val rows = if (n == -2L) {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      } else n
+      System.err.println(f"[bench] $name%-28s rows=$rows%-8d $dt%.1fs")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.catalog.{FunctionQueries, RelationalQueries, StreamingQueries}
+import graft.catalog.{FunctionQueries, LlmQueries, RelationalQueries, StreamingQueries}
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 object JudgeSmoke {
@@ -16,7 +16,8 @@ object JudgeSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val all = RelationalQueries.queries ++ FunctionQueries.queries ++ StreamingQueries.queries
+    val all = RelationalQueries.queries ++ FunctionQueries.queries ++
+      StreamingQueries.queries ++ LlmQueries.queries
     all.toSeq.sortBy(_._1).foreach { case (k, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -116,23 +116,50 @@ object Dedup {
       .agg(sum(col("mates")).as("bucket_mates"))
   }
 
-  /** 64-bit SimHash from murmur3 token hashes: bit b of the fingerprint is
-    * the sign of sum over tokens of (+1 if bit b of hash64(token) else -1).
-    * Near-identical texts differ in O(1) bits → hamming-ball lookup.
-    * Computed fully with higher-order functions (no UDF).
+  /** 64-bit SimHash from 64-bit token hashes: bit b of the fingerprint is
+    * the sign of sum over distinct tokens of (+1 if bit b of hash64(token)
+    * else -1). Near-identical texts differ in O(1) bits → hamming-ball
+    * lookup.
+    *
+    * Per-partition kernel (same rationale as minhashSignatures): the
+    * nested-HOF form costs 64 × |tokens| interpreted lambda evals per row
+    * — measured at ~40 ms/row, 200+ s for a 5 k-doc scan — while this loop
+    * is one xxhash64 per token plus 64 integer adds. Token hash = Spark's
+    * own `xxhash64` (XXH64, seed 42), so fingerprints are bit-identical to
+    * the declarative `xxhash64(token)` form. Pure map: no shuffle, linear
+    * in executors at 100 TB.
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = array_distinct(split(col(textCol), " "))
-    val hashes = transform(toks, t => xxhash64(t))
-    val fp = aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc + when(
-        aggregate(hashes, lit(0L),
-          (s, h) => s + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)) > 0,
-        call_function("shiftleft", lit(1L), b)).otherwise(0L))
-    docs.select(col(idCol).as("doc_id"), fp.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val counts = new Array[Int](64)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(counts, 0)
+          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          val seen = new scala.collection.mutable.HashSet[String]
+          var t = 0
+          while (t < toks.length) {
+            val s = toks(t)
+            if (seen.add(s)) {
+              val h = org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+              var b = 0
+              while (b < 64) {
+                counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+                b += 1
+              }
+            }
+            t += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) fp |= (1L << b); b += 1 }
+          (id, fp)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup candidates within hamming distance `maxDist`, found by

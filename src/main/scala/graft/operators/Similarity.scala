@@ -93,7 +93,7 @@ object Similarity {
     }
     val probed = cents.map { case (cid, cv) => cid -> cos(qv, cv) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
-    val qvCol = array(qv.map(lit): _*)
+    val qvCol = doubleArrayLit(qv)
     emb.withColumn("cid", nearestCid(col("embedding"), cents))
       .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(cosine(col("embedding"), qvCol), 4).as("sim"))
@@ -101,18 +101,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** A pre-converted catalyst Literal for a double array: one leaf node,
+    * zero per-row construction cost — `array(lit, lit, ...)` re-evaluates
+    * every element expression per row.
+    */
+  private def doubleArrayLit(v: Array[Double]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    org.apache.spark.sql.graftshim.GraftColumns.column(
+      Literal.create(v, ArrayType(DoubleType)))
+  }
+
   /** Nearest-centroid id as a pure per-row expression: fold over the
     * centroid literal keeping the best (dot, cid). Centroids are
     * pre-normalized so the row's own norm (a constant positive factor in
     * the argmax) can be dropped — one dot product per centroid per row.
+    * The centroid table is a single pre-converted Literal leaf, not a
+    * per-row `array(struct(...))` construction.
     */
   private def nearestCid(emb: Column, cents: Array[(Long, Array[Double])]): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
     val unit = cents.map { case (cid, cv) =>
       val n = math.sqrt(cv.map(x => x * x).sum) max java.lang.Double.MIN_VALUE
       (cid, cv.map(_ / n))
     }
-    val centArr = array(unit.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv")) }: _*)
+    val centSchema = ArrayType(StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cv", ArrayType(DoubleType), nullable = false))))
+    val centArr = org.apache.spark.sql.graftshim.GraftColumns.column(
+      Literal.create(unit.toSeq.map { case (cid, cv) => org.apache.spark.sql.Row(cid, cv.toSeq) },
+        centSchema))
     aggregate(centArr,
       struct(lit(Double.NegativeInfinity).as("s"), lit(-1L).as("cid")),
       (acc, c) => {

@@ -66,15 +66,30 @@ object TextAnalysis {
 
   /** Deterministic position-weighted document fingerprint:
     * sum over chars of code(c_i) * ((i-1) mod 64 + 1) — an order-sensitive
-    * rolling-hash-style signature computed as one codegen'd fold, cheap
-    * enough to run over 100 TB as a pure map.
+    * rolling-hash-style signature.
+    *
+    * Per-partition kernel: the HOF fold (`aggregate(transform(sequence))`)
+    * evaluates an interpreted lambda + substr allocation PER CHARACTER —
+    * ~1.5 ms/doc, 7 s for a 5 k-doc scan — while this loop is one charAt
+    * per character. Identical to the SQL twin for the (all-ASCII/BMP)
+    * corpus: charAt == codepoint there. Pure map, no shuffle.
     */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val fp = aggregate(
-      transform(sequence(lit(1), length(col("text"))),
-        i => ascii(col("text").substr(i, lit(1))) * (pmod(i - 1, lit(64)) + 1)),
-      lit(0L), (acc, x) => acc + x.cast("long"))
-    docs.select(col("doc_id"), fp.as("fingerprint"),
-      length(col("text")).cast("int").as("n_chars_obs"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          var sum = 0L
+          var i = 0
+          while (i < t.length) {
+            sum += t.charAt(i).toLong * ((i % 64) + 1)
+            i += 1
+          }
+          (id, sum, t.length)
+        }
+      }
+      .toDF("doc_id", "fingerprint", "n_chars_obs")
   }
 }
