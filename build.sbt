@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Deliberately modest heap: Spark's ContextCleaner frees shuffle/
+  // broadcast state only when GC runs, and with a huge heap GC never
+  // triggers — measured 57-query runs degrade 57s → 338s at 48g while
+  // staying stable at 8g (see BASELINE.md). periodicGC.interval in the
+  // session configs backstops this.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

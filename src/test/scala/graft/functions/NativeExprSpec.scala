@@ -63,6 +63,15 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+         graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 9L)) AS c""")
+      .as[(Double, Long)].head()
+    assert(row == ((11.0, 2L)))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
