@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time transforms (SURVEY §2.B streaming block).
   *
@@ -44,4 +47,69 @@ object EventTime {
   def dedupCounts(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+
+  /** One open session per user, maintained by hand. */
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  /** Emitted when a session closes (gap exceeded or watermark timeout). */
+  case class ClosedSession(user_id: Long, session_start: Long,
+      session_end: Long, n: Long, session_value: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API surface (`session_window` above covers the
+    * declarative form). Sessions close when a gap > `gapMinutes` appears
+    * within a user's (sorted) events, or — in streaming mode — when the
+    * event-time timeout fires past the watermark. State per key is one
+    * fixed-size SessionState: bounded memory, scales with distinct live
+    * users, not event volume.
+    */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    // NB: no cast on ts — casting a watermarked column drops its
+    // watermark tag and EventTimeTimeout then fails analysis
+    val typed = events
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, Timestamp, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start, s.lastTs, s.n, s.sum))
+          } else {
+            // batch mode delivers ALL of a user's rows at once (streaming
+            // delivers per-trigger chunks): sort by time, close on gaps
+            val sorted = rows.map { case (_, ts, v) => (ts.getTime, v) }
+              .toArray.sortBy(_._1)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { case (t, v) =>
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.start, s.lastTs, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, v))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, v))
+              }
+            }
+            cur match {
+              case Some(s) if state.getOption.isEmpty || closed.nonEmpty ||
+                  sorted.nonEmpty =>
+                state.update(s)
+                if (!state.hasTimedOut) {
+                  try state.setTimeoutTimestamp(s.lastTs + gapMs)
+                  catch { case _: Throwable => () } // batch mode: no watermark
+                }
+              case _ => ()
+            }
+            closed.iterator
+          }
+      }
+  }
 }

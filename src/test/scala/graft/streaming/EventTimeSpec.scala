@@ -84,6 +84,34 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions by gap and by watermark timeout") {
+    val mem = MemoryStream[Ev](4, spark, None)
+    val sessions = EventTime.sessionizeStateful(spark,
+      mem.toDF().withWatermark("ts", "1 minute"))
+    val q = sessions.writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 60-min gap
+      mem.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts("2024-01-01 11:00:00"), 1, "buy", 4.0))
+      q.processAllAvailable()
+      // user 2 far in the future advances the watermark past 11:00+30min
+      mem.addData(Ev(4, ts("2024-01-01 13:00:00"), 2, "click", 8.0))
+      q.processAllAvailable()
+      val got = spark.table("state_sessions")
+        .as[EventTime.ClosedSession].collect()
+        .map(s => (s.user_id, s.session_start / 1000, s.n, s.session_value)).toSet
+      val t1000 = ts("2024-01-01 10:00:00").getTime / 1000
+      val t1100 = ts("2024-01-01 11:00:00").getTime / 1000
+      assert(got.contains((1L, t1000, 2L, 3.0)), s"gap-closed session missing: $got")
+      assert(got.contains((1L, t1100, 1L, 4.0)), s"timeout-closed session missing: $got")
+      assert(!got.exists(_._1 == 2L), "user 2's session is still open")
+    } finally q.stop()
+  }
+
   test("session windows group by 30-minute inactivity gap") {
     val rows = EventTime.sessionStats(Tables.events(spark, sfDir)).collect()
     assert(rows.nonEmpty)
