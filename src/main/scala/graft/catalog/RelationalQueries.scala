@@ -206,6 +206,19 @@ object RelationalQueries {
       """)
     }),
 
+    // Exact percentiles (interpolated, matching SQL quantile_cont). Exact
+    // percentile buffers each group's values — fine for bounded group
+    // counts; the unbounded-cardinality scale path is approx_percentile
+    // (t-digest sketch, mergeable map-side).
+    "agg_median" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          round(expr("percentile(l_discount, 0.25)"), 4).as("q1_disc"))
+        .orderBy(col("l_returnflag"))),
+
     "agg_custom_typed" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -439,6 +452,13 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_median" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+                round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+                round(quantile_cont(l_discount, 0.25), 4) AS q1_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_custom_typed" ->
       """SELECT l_returnflag,

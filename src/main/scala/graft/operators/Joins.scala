@@ -64,4 +64,28 @@ object Joins {
     matched.filter(col("__is_l") === 1)
       .select(leftCols.map(col) ++ rightPayload.map(c => col(s"__m_$c").as(s"asof_$c")): _*)
   }
+
+  /** Skew-resistant equi-join: salt the skewed (left) side into
+    * `saltFactor` sub-keys and replicate the right side once per salt, so
+    * one hot key spreads over `saltFactor` reducers instead of melting a
+    * single task. Deterministic (salt = hash of the whole left row), so
+    * results are reproducible run-to-run.
+    *
+    * AQE's skew-join handling covers sort-merge joins at runtime; this is
+    * the explicit form for when the skew is known ahead of time, the join
+    * is not SMJ, or AQE is off. Cost: right side inflated ×saltFactor —
+    * use for moderate saltFactor on a side that is small-ish but too big
+    * to broadcast.
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    val lSalted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+    val rSalted = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    lSalted.join(rSalted,
+        col(leftKey) === col(rightKey) && lSalted("__salt") === rSalted("__salt"))
+      .drop("__salt")
+  }
 }

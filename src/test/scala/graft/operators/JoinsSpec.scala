@@ -36,6 +36,21 @@ class JoinsSpec extends SparkSpec {
     assert(out(104L) == ((None, None)))
   }
 
+  test("salted equi-join equals the plain join on skewed data") {
+    // key 1 is hot: 500 of 520 left rows
+    val left = ((1 to 500).map(i => (1L, i.toLong)) ++
+      (1 to 20).map(i => ((i % 5 + 2).toLong, i.toLong))).toDF("k", "lv")
+    val right = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "unmatched"))
+      .toDF("rk", "rv")
+    val plain = left.join(right, $"k" === $"rk").select("k", "lv", "rv")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = Joins.saltedEquiJoin(left, right, "k", "rk", saltFactor = 8)
+      .select("k", "lv", "rv")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_._1 == 1L) == 500)
+  }
+
   test("asof join breaks equal-timestamp right-row ties by greatest tiebreak") {
     val left = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "ts")
     val right = Seq(
