@@ -48,6 +48,35 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // CSV round-trip: schema-on-read with an explicit StructType (CSV has
+    // no embedded types); kept to exactly-representable columns.
+    "sink_roundtrip_csv" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING")
+        .csv(tmp)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // JSON-lines round-trip (the interchange format of most LLM data
+    // pipelines): long/string columns only — doubles round-trip lossily.
+    "sink_roundtrip_json" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .json(tmp)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ---- filters / projections ----------------------------------------
     "filter_compound" -> ((s, d) =>
       Tables.orders(s, d)
@@ -322,6 +351,16 @@ object RelationalQueries {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem WHERE l_quantity < 10
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "sink_roundtrip_csv" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
+
+    "sink_roundtrip_json" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
 
     "filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice
