@@ -129,7 +129,18 @@ object LlmQueries {
       Multimodal.sampleFrames(
         Multimodal.withMediaColumn(Tables.documents(s, d)), 4)
         .select(col("doc_id"), col("frame_idx"), col("frame_bytes"))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // real feature extraction on the binary column (byte histogram —
+    // the per-partition kernel shape of any media feature extractor)
+    "llm_multimodal_features" -> ((s, d) => {
+      import s.implicits._
+      val m = Multimodal.withMediaColumn(Tables.documents(s, d))
+        .select(col("doc_id"), col("media")).as[Multimodal.MediaRow]
+      Multimodal.byteHistogram(s, m)
+        .select(col("doc_id"), col("bin").cast("int").as("bin"), col("n"))
+        .orderBy(col("doc_id"), col("bin"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -291,6 +302,14 @@ object LlmQueries {
                 CAST(64 + (checksum // 7) % 480 AS INT) AS height,
                 3 AS channels, checksum
          FROM c ORDER BY doc_id""",
+
+    // media bytes = UTF-8 of the (all-ASCII) text, so the byte histogram
+    // equals the char-codepoint histogram
+    "llm_multimodal_features" ->
+      """SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+         GROUP BY 1, 2 ORDER BY doc_id, bin""",
 
     "llm_multimodal_frames" ->
       """SELECT doc_id, CAST(n - 1 AS INT) AS frame_idx,

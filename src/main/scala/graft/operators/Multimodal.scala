@@ -48,6 +48,28 @@ object Multimodal {
     }
   }
 
+  /** Feature extraction over the binary column: a 16-bin byte histogram
+    * per blob — a REAL feature (no codec needed), the shape any
+    * embedding-from-media extractor has: per-partition kernel over
+    * `Dataset[MediaRow]`, one pass over the bytes, fixed-size output.
+    * Emitted exploded as (doc_id, bin, n) so the SQL oracle can twin it.
+    */
+  def byteHistogram(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val counts = new Array[Long](16)
+        var i = 0
+        while (i < r.media.length) {
+          counts((r.media(i) & 0xff) >> 4) += 1
+          i += 1
+        }
+        (0 until 16).iterator.filter(counts(_) > 0)
+          .map(b => (r.doc_id, b, counts(b)))
+      }
+    }.toDF("doc_id", "bin", "n")
+  }
+
   /** Frame sampling stub: slice the blob into `n` evenly spaced "frames"
     * (binary sub-blobs) — 1→N generator, same plan shape as a real video
     * frame sampler (explode after a per-row decode).
