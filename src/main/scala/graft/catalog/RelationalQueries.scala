@@ -288,6 +288,18 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          graft.functions.Rounding.roundTo(percent_rank().over(w), 4).as("pct_rank"),
+          graft.functions.Rounding.roundTo(cume_dist().over(w), 4).as("cume"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Distributed running sum: bucketed two-pass instead of the
     // single-partition global window (see Windows.distributedRunningSum).
     "window_running_sum" -> ((s, d) =>
@@ -525,6 +537,15 @@ object RelationalQueries {
                 floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS mov_avg
          FROM events ORDER BY event_id""",
+
+    "window_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(ntile(4) OVER win AS INT) AS quartile,
+                floor(percent_rank() OVER win * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+                floor(cume_dist() OVER win * 10000.0 + 0.5) / 10000.0 AS cume
+         FROM orders WHERE o_custkey <= 100
+         WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
 
     "window_running_sum" ->
       """SELECT o_orderkey,
