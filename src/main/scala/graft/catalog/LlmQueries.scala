@@ -60,6 +60,16 @@ object LlmQueries {
         .orderBy(col("drop_id"))
     }),
 
+    // Transitive near-dup clusters from the embedding pair graph: each
+    // clustered doc labeled with its cluster's min id (connected
+    // components via distributed min-label propagation).
+    "llm_dedup_clusters" -> ((s, d) => {
+      val pairs = Similarity.blockedSimilarityJoin(
+        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.35)
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("id"))
+    }),
+
     // ---- similarity search ---------------------------------------------
     "llm_similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 1L, k = 10)),
@@ -185,6 +195,28 @@ object LlmQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
                                             ORDER BY sim DESC, a_id) AS rn FROM p)
          WHERE rn = 1 ORDER BY drop_id""",
+
+    "llm_dedup_clusters" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings
+         ), p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                 (a.nrm * b.nrm) >= 0.35
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM p
+           UNION SELECT b_id, a_id FROM p
+         ), reach AS (
+           SELECT a AS id, a AS lab FROM edges
+           UNION
+           SELECT eg.a, r.lab FROM edges eg JOIN reach r ON r.id = eg.b
+         )
+         SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY id ORDER BY id""",
 
     "llm_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)

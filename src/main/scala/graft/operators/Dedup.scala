@@ -103,6 +103,49 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs: every doc that appears in a
+    * pair gets the minimum doc_id of its transitive cluster — the step
+    * that turns pairwise similarity into actual keep/drop groups.
+    *
+    * Iterative min-label propagation: label(v) ← min(label(v),
+    * min(label(u)) over neighbors u), to fixpoint. Each step is one
+    * shuffle join + groupBy — fully distributed; iterations =
+    * O(cluster diameter), which for near-dup clusters is tiny (dups of
+    * one document link to each other). `localCheckpoint` truncates the
+    * growing lineage each round (at cluster scale, a reliable checkpoint
+    * dir; the large-star/small-star variant halves rounds if diameters
+    * ever grow).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.select(col("id"), col("cluster_id").as("newc"))
+        .join(labels, "id")
+        .filter(col("newc") =!= col("cluster_id"))
+        .isEmpty == false
+      labels = updated
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
   /** Per-doc bucket-population summary of the MinHash LSH index (always
     * non-empty — used as the smoke surface; pair extraction above is the
     * real operator, exercised by unit tests with synthetic near-dups).

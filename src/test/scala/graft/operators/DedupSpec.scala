@@ -50,6 +50,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).exists(_ <= 16), "near-dups within hamming ball")
   }
 
+  test("connected components cluster transitive pairs to the min id") {
+    // chain 1-2-3-4, separate pair 10-11, chain via hub 20-21, 20-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ngram jaccard pairs respect blocking and threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, charBucket = 100, threshold = 0.5)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
