@@ -70,6 +70,22 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // The materialized dedup output: documents surviving cluster dedup
+    // (drop every clustered doc except its cluster's min id) — the
+    // training-set-side composition of pairs → clusters → keep set.
+    "llm_dedup_keep" -> ((s, d) => {
+      val pairs = Similarity.blockedSimilarityJoin(
+        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.35)
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      Tables.documents(s, d)
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- similarity search ---------------------------------------------
     "llm_similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 1L, k = 10)),
@@ -217,6 +233,32 @@ object LlmQueries {
          )
          SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id
          FROM reach GROUP BY id ORDER BY id""",
+
+    "llm_dedup_keep" ->
+      """WITH RECURSIVE e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings
+         ), p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                 (a.nrm * b.nrm) >= 0.35
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM p
+           UNION SELECT b_id, a_id FROM p
+         ), reach AS (
+           SELECT a AS id, a AS lab FROM edges
+           UNION
+           SELECT eg.a, r.lab FROM edges eg JOIN reach r ON r.id = eg.b
+         ), dropped AS (
+           SELECT id FROM reach GROUP BY id HAVING id != min(lab)
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS kept_chars
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+         GROUP BY lang ORDER BY lang""",
 
     "llm_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
