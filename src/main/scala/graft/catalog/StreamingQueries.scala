@@ -37,6 +37,20 @@ object StreamingQueries {
       EventTime.dedupCounts(Tables.events(s, d))
         .orderBy(col("event_type"))),
 
+    // batch form of the stream-stream interval join (clicks → following
+    // buys within 1h per user); streaming form golden-tested with two
+    // MemoryStreams + watermarks
+    "stream_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventTime.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .select(col("l_id"), col("r_id"),
+          graft.functions.Rounding.roundTo(col("r_value") - col("l_value"), 2)
+            .as("value_delta"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // R1→R4 end-to-end (SURVEY §2.A): stream the events table through the
     // reference's projection + size-batched parquet sink, then return what
     // landed on disk.
@@ -63,6 +77,15 @@ object StreamingQueries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "stream_interval_join" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id,
+                floor((r.value - l.value) * 100.0 + 0.5) / 100.0 AS value_delta
+         FROM (SELECT * FROM events WHERE event_type = 'click') l
+         JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 60 MINUTES
+         ORDER BY l_id, r_id""",
 
     // every event belongs to the 4 sliding 1h/15m windows ending at or
     // after it: starts time_bucket(15m, ts) - {0,15,30,45} minutes.

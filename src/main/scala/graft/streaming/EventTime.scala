@@ -48,6 +48,25 @@ object EventTime {
     events.dropDuplicates("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Event-time interval join: pair each left event with the same user's
+    * right events in (left.ts, left.ts + `withinMinutes`]. In streaming
+    * mode both inputs carry watermarks and the interval condition bounds
+    * the join state on both sides (Spark drops buffered rows once the
+    * watermark passes the interval) — the stream-stream join shape. The
+    * identical plan runs in batch for the oracle.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      withinMinutes: Int = 60): DataFrame = {
+    val l = left.select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+      col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+      col("ts").as("r_ts"), col("value").as("r_value"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+  }
+
   /** One open session per user, maintained by hand. */
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
   /** Emitted when a session closes (gap exceeded or watermark timeout). */

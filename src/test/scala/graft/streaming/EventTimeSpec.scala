@@ -84,6 +84,35 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the window, streaming = batch") {
+    val clicks = Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 12:00:00"), 1, "click", 2.0))
+    val buys = Seq(
+      Ev(10, ts("2024-01-01 10:30:00"), 1, "purchase", 5.0), // joins click 1
+      Ev(11, ts("2024-01-01 11:30:00"), 1, "purchase", 6.0), // outside 1h of click 1
+      Ev(12, ts("2024-01-01 12:15:00"), 2, "purchase", 7.0)) // other user
+    val expected = EventTime.intervalJoin(clicks.toDF(), buys.toDF())
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(expected == Set((1L, 10L)), s"batch sanity: $expected")
+
+    val lMem = MemoryStream[Ev](10, spark, None)
+    val rMem = MemoryStream[Ev](11, spark, None)
+    val joined = EventTime.intervalJoin(
+      lMem.toDF().withWatermark("ts", "10 minutes"),
+      rMem.toDF().withWatermark("ts", "10 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ssj_golden")
+      .outputMode("append").start()
+    try {
+      lMem.addData(clicks: _*)
+      rMem.addData(buys: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssj_golden")
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"streaming result $got != batch $expected")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions by gap and by watermark timeout") {
     val mem = MemoryStream[Ev](4, spark, None)
     val sessions = EventTime.sessionizeStateful(spark,
