@@ -81,7 +81,7 @@ object Joins {
       leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val lSalted = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
     val rSalted = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     lSalted.join(rSalted,

@@ -95,7 +95,7 @@ object Similarity {
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
     val qvCol = doubleArrayLit(qv)
     emb.withColumn("cid", nearestCid(col("embedding"), cents))
-      .filter(col("cid").isin(probed: _*) && col("vec_id") =!= queryId)
+      .filter(col("cid").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= queryId)
       .select(col("vec_id"), round(cosine(col("embedding"), qvCol), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
