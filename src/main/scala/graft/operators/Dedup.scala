@@ -123,6 +123,13 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
+    // Convergence signature: labels only ever decrease, so sum(cluster_id)
+    // is strictly decreasing until fixpoint — one cheap aggregate per
+    // round instead of a change-detection join. (Decimal sum: immune to
+    // long overflow at billions-of-ids scale.)
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSig = sig(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -135,12 +142,10 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changed = updated.select(col("id"), col("cluster_id").as("newc"))
-        .join(labels, "id")
-        .filter(col("newc") =!= col("cluster_id"))
-        .isEmpty == false
+      val newSig = sig(updated)
       labels = updated
-      converged = !changed
+      converged = newSig.compareTo(prevSig) == 0
+      prevSig = newSig
       iter += 1
     }
     labels
