@@ -110,7 +110,7 @@ object LlmQueries {
         count(lit(1)).as("n_tokens"),
         countDistinct(col("token")).as("vocab"))
       val chars = docs.groupBy(col("lang"))
-        .agg(round(avg(col("n_chars")), 2).as("avg_chars"))
+        .agg(graft.functions.Rounding.roundTo(avg(col("n_chars")), 2).as("avg_chars"))
       perLang.join(chars, "lang")
         .select(col("lang"), col("n_docs"), col("n_tokens"), col("vocab"), col("avg_chars"))
         .orderBy(col("lang"))
@@ -136,7 +136,7 @@ object LlmQueries {
           col("doc_id") === col("vec_id"), "inner")
         .select(col("doc_id"), col("lang"), col("n_chars"),
           size(col("embedding")).as("dim"),
-          round(VectorFns.norm(col("embedding")), 4).as("vnorm"))
+          graft.functions.Rounding.roundTo(VectorFns.norm(col("embedding")), 4).as("vnorm"))
         .orderBy(col("doc_id"))),
 
     // binary-column decode via mapPartitions (decoder stub, real plumbing);
@@ -183,8 +183,9 @@ object LlmQueries {
                  FROM documents)
          )
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-                      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE, 4) AS jaccard
+                floor(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                      len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE
+                      * 10000.0 + 0.5) / 10000.0 AS jaccard
          FROM g a JOIN g b
            ON a.lang = b.lang AND a.source = b.source AND a.len_bkt = b.len_bkt
           AND a.doc_id < b.doc_id
@@ -199,9 +200,9 @@ object LlmQueries {
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                  round(list_sum(list_transform(range(1, 65),
+                  floor(list_sum(list_transform(range(1, 65),
                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                        (a.nrm * b.nrm), 4) AS sim
+                        (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS sim
            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -263,11 +264,12 @@ object LlmQueries {
     "llm_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
          SELECT vec_id,
-                round(
+                floor(
                   list_sum(list_transform(range(1, 65),
                     i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
                   (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
-                   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))), 4) AS sim
+                   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))))
+                  * 10000.0 + 0.5) / 10000.0 AS sim
          FROM embeddings, q WHERE vec_id <> 1
          ORDER BY sim DESC, vec_id LIMIT 10""",
 
@@ -278,9 +280,9 @@ object LlmQueries {
            FROM embeddings
          )
          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                round(list_sum(list_transform(range(1, 65),
+                floor(list_sum(list_transform(range(1, 65),
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                      (a.nrm * b.nrm), 4) AS sim
+                      (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS sim
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          WHERE list_sum(list_transform(range(1, 65),
                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -296,7 +298,8 @@ object LlmQueries {
                   CAST(count(DISTINCT token) AS BIGINT) AS vocab
            FROM toks GROUP BY lang
          ), chars AS (
-           SELECT lang, round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang
+           SELECT lang, floor(avg(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars
+           FROM documents GROUP BY lang
          )
          SELECT per_lang.lang, n_docs, n_tokens, vocab, avg_chars
          FROM per_lang JOIN chars USING (lang) ORDER BY lang""",
@@ -357,7 +360,8 @@ object LlmQueries {
 
     "llm_multimodal_schema" ->
       """SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim,
-                round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS vnorm
+                floor(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+                      * 10000.0 + 0.5) / 10000.0 AS vnorm
          FROM documents JOIN embeddings ON doc_id = vec_id
          ORDER BY doc_id""",
 

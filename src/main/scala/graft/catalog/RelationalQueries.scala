@@ -37,7 +37,7 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     "sink_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val tmp = graft.util.Scratch.fresh("sink_roundtrip")
       Tables.lineitem(s, d)
         .filter(col("l_quantity") < 10)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
@@ -51,7 +51,7 @@ object RelationalQueries {
     // CSV round-trip: schema-on-read with an explicit StructType (CSV has
     // no embedded types); kept to exactly-representable columns.
     "sink_roundtrip_csv" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = graft.util.Scratch.fresh("sink_roundtrip_csv")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
         .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -66,7 +66,7 @@ object RelationalQueries {
     // JSON-lines round-trip (the interchange format of most LLM data
     // pipelines): long/string columns only — doubles round-trip lossily.
     "sink_roundtrip_json" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val tmp = graft.util.Scratch.fresh("sink_roundtrip_json")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").json(tmp)
@@ -243,9 +243,9 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
-          round(expr("percentile(l_discount, 0.25)"), 4).as("q1_disc"))
+          graft.functions.Rounding.roundTo(expr("percentile(l_quantity, 0.5)"), 2).as("med_qty"),
+          graft.functions.Rounding.roundTo(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+          graft.functions.Rounding.roundTo(expr("percentile(l_discount, 0.25)"), 4).as("q1_disc"))
         .orderBy(col("l_returnflag"))),
 
     "agg_custom_typed" -> ((s, d) =>
@@ -506,9 +506,9 @@ object RelationalQueries {
 
     "agg_median" ->
       """SELECT l_returnflag,
-                round(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
-                round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-                round(quantile_cont(l_discount, 0.25), 4) AS q1_disc
+                floor(quantile_cont(l_quantity, 0.5) * 100.0 + 0.5) / 100.0 AS med_qty,
+                floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
+                floor(quantile_cont(l_discount, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_custom_typed" ->

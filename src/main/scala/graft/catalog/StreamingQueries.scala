@@ -27,8 +27,9 @@ object StreamingQueries {
       EventTime.slidingAvg(Tables.events(s, d))
         .orderBy(col("ws"))),
 
-    // no portable SQL for gap-based sessionization → rows-only check;
-    // real correctness covered by the streaming golden spec.
+    // gap-based sessionization IS portable SQL (gaps-and-islands: lag →
+    // new-session flag → running sum as session id) → full oracle below;
+    // streaming semantics covered by the golden spec.
     "stream_session" -> ((s, d) =>
       EventTime.sessionStats(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
@@ -55,7 +56,10 @@ object StreamingQueries {
     // reference's projection + size-batched parquet sink, then return what
     // landed on disk.
     "kafka_pipeline" -> ((s, d) => {
-      val base = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      // fresh() wipes the previous run's out+checkpoint together: a stale
+      // checkpoint with AvailableNow would silently skip the (already
+      // processed) input and this query would return zero new files.
+      val base = graft.util.Scratch.fresh("kafka_pipeline")
       val cfg = PipelineConfig(batchSize = 1000,
         outputDir = s"$base/out", checkpointDir = s"$base/chk")
       KafkaPipeline.initOutput(cfg.outputDir)
@@ -73,6 +77,30 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Spark's session_window starts a NEW session when the gap is >= 30
+    // minutes (windows are [start, last+gap) half-open); the lag-based
+    // flag mirrors that. session_value = cent-scaled integer sum (order-
+    // independent) / 100, matching EventTime.sessionStats exactly.
+    "stream_session" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           >= INTERVAL 30 MINUTES
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+         ), s AS (
+           SELECT user_id, ts, value,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM o
+         )
+         SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS session_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
     "stream_tumbling_counts" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws, event_type,
                 CAST(count(*) AS BIGINT) AS n

@@ -12,13 +12,25 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: one surviving doc per distinct text (min doc_id), plus the
-    * duplicate count. A single hash-partitioned groupBy on the text — Spark
-    * does map-side partial aggregation, so the shuffle carries one row per
-    * distinct text per input partition, not one per document.
+    * duplicate count. Grouping key is `(xxhash64(text), length(text))`, not
+    * the text itself: map-side partial aggregation already collapses to one
+    * row per distinct text per partition, but with a raw-text key the
+    * shuffle still carries full document bodies — hashing drops that to 16
+    * bytes/row, which at 100 TB is the difference between shuffling
+    * terabytes and shuffling gigabytes.
+    *
+    * Collision guard: a second, independent digest (md5) rides along as
+    * `countDistinct` — if two distinct texts ever collided on
+    * (xxhash64, length) the group would see two md5s and the query fails
+    * loudly instead of silently merging documents. The md5 partial-agg key
+    * is 32 bytes, so the guard keeps the shuffle body-free too.
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(col(textCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+    docs.groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(coalesce(md5(col(textCol)), lit("<null>"))).as("__digests"))
+      .filter(coalesce(assert_true(col("__digests") === 1,
+        lit("exact-dedup collision: distinct texts share (xxhash64, length)")), lit(true)))
       .select(col("keep_id"), col("n_copies"))
 
   /** Deterministic MinHash signature: `numHashes` permutations simulated as
@@ -100,7 +112,8 @@ object Dedup {
         size(array_intersect(col("ta"), col("tb"))).cast("double") /
           size(array_union(col("ta"), col("tb"))).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Connected components over near-dup pairs: every doc that appears in a
@@ -304,6 +317,6 @@ object Dedup {
         (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        round(col("jaccard"), 4).as("jaccard"))
+        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
   }
 }

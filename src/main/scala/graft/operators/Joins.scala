@@ -80,12 +80,26 @@ object Joins {
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
-    val lSalted = left.withColumn("__salt",
-      pmod(hash(left.columns.toIndexedSeq.map(col): _*), lit(saltFactor)))
-    val rSalted = right.withColumn("__salt",
+    // Salt = hash of the key plus every hashable non-key column as a row
+    // discriminator: rows sharing a hot key must spread across salts (a
+    // key-only hash is constant per key and spreads nothing). MapType is
+    // unhashable in Spark, so map columns are excluded rather than failing
+    // the whole join.
+    val discrim = left.schema.fields
+      .filterNot(f => f.name == leftKey ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val lSalted = left.withColumn("__lsalt",
+      pmod(hash((col(leftKey) +: discrim): _*), lit(saltFactor)))
+    val rSalted = right.withColumn("__rsalt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
+    // Keys resolved against their own frames: with the common same-name
+    // key (k = k) an unqualified col(k) would be ambiguous; the two salt
+    // columns are named apart so neither resolution nor the final drop
+    // can grab the wrong one.
     lSalted.join(rSalted,
-        col(leftKey) === col(rightKey) && lSalted("__salt") === rSalted("__salt"))
-      .drop("__salt")
+        lSalted(leftKey) === rSalted(rightKey) &&
+          col("__lsalt") === col("__rsalt"))
+      .drop("__lsalt", "__rsalt")
   }
 }

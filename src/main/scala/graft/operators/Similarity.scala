@@ -23,7 +23,8 @@ object Similarity {
       .select(col("embedding").as("qv")))
     emb.filter(col("vec_id") =!= queryId)
       .crossJoin(q)
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 4).as("sim"))
+      .select(col("vec_id"),
+        graft.functions.Rounding.roundTo(cosine(col("embedding"), col("qv")), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }
@@ -49,7 +50,7 @@ object Similarity {
         dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(col("sim"), 4).as("sim"))
+        graft.functions.Rounding.roundTo(col("sim"), 4).as("sim"))
   }
 
   /** IVF (inverted-file) approximate nearest neighbour.
@@ -96,7 +97,8 @@ object Similarity {
     val qvCol = doubleArrayLit(qv)
     emb.withColumn("cid", nearestCid(col("embedding"), cents))
       .filter(col("cid").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("embedding"), qvCol), 4).as("sim"))
+      .select(col("vec_id"),
+        graft.functions.Rounding.roundTo(cosine(col("embedding"), qvCol), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
   }

@@ -33,10 +33,18 @@ object EventTime {
         count(lit(1)).as("n"))
       .select(unix_timestamp(col("window.start")).as("ws"), col("avg_value"), col("n"))
 
-  /** Per-user session windows with a 30-minute inactivity gap. */
+  /** Per-user session windows with a 30-minute inactivity gap.
+    *
+    * `session_value` sums cent-scaled integers (`floor(value*100+0.5)`)
+    * rather than rounding a double sum: integer addition is
+    * order-independent, so the result is identical no matter how Spark
+    * partitions the session's rows — and bit-identical to the SQL oracle,
+    * which a float sum (non-associative) cannot guarantee.
+    */
   def sessionStats(events: DataFrame): DataFrame =
     events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("session_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0).as("session_value"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n"), col("session_value"))
@@ -121,10 +129,18 @@ object EventTime {
               case Some(s) if state.getOption.isEmpty || closed.nonEmpty ||
                   sorted.nonEmpty =>
                 state.update(s)
-                if (!state.hasTimedOut) {
-                  try state.setTimeoutTimestamp(s.lastTs + gapMs)
-                  catch { case _: Throwable => () } // batch mode: no watermark
-                }
+                // Streaming: arm the gap timeout, clamped past the current
+                // watermark — if lastTs+gap is already at/behind it, an
+                // unclamped call throws and the session would never time
+                // out (state leak). Batch: no watermark exists (the
+                // getCurrentWatermarkMs call itself throws) and timeouts
+                // never fire anyway, so skip arming; that narrow case is
+                // the ONLY swallowed error.
+                val wmMs =
+                  try state.getCurrentWatermarkMs()
+                  catch { case _: UnsupportedOperationException => -1L }
+                if (wmMs >= 0L)
+                  state.setTimeoutTimestamp(math.max(wmMs + 1L, s.lastTs + gapMs))
               case _ => ()
             }
             closed.iterator
