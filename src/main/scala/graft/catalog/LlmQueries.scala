@@ -95,8 +95,21 @@ object LlmQueries {
         Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Sign-LSH composite blocking: block key = (label, 8-bit sign bucket).
+    // The label-only block is quadratic in a hot label; composing the LSH
+    // bucket caps every block at ~1/256 of the label's rows while keeping
+    // near-identical vectors (which agree on signs) together — the 100 TB
+    // candidate-generation path. Exact SQL twin, so fully oracle-checked.
+    "llm_similarity_lsh" -> ((s, d) =>
+      Similarity.blockedSimilarityJoin(
+        Tables.embeddings(s, d).withColumn("blk",
+          concat_ws("|", col("label"), VectorFns.signBucket(col("embedding"), 8))),
+        "blk", 0.2)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // IVF ANN: approximate by construction → rows-only; recall asserted
-    // vs brute force in the unit suite.
+    // vs brute force in the unit suite. Runs against the materialized
+    // partitionBy(cid) index — the probe scan prunes to nProbe partitions.
     "llm_similarity_ivf" -> ((s, d) =>
       Similarity.ivfTopK(s, Tables.embeddings(s, d), queryId = 1L, k = 10)),
 
@@ -284,6 +297,31 @@ object LlmQueries {
                         i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
                       (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS sim
          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(range(1, 65),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+               (a.nrm * b.nrm) >= 0.2
+         ORDER BY a_id, b_id""",
+
+    "llm_similarity_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+                  concat(label, '|',
+                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS blk
+           FROM embeddings
+         )
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                floor(list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                      (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS sim
+         FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
          WHERE list_sum(list_transform(range(1, 65),
                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
                (a.nrm * b.nrm) >= 0.2

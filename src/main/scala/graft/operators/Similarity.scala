@@ -53,23 +53,28 @@ object Similarity {
         graft.functions.Rounding.roundTo(col("sim"), 4).as("sim"))
   }
 
-  /** IVF (inverted-file) approximate nearest neighbour.
+  /** IVF (inverted-file) approximate nearest neighbour over a MATERIALIZED
+    * index.
     *
-    * Index build: `nCentroids` seed centroids (deterministic: lowest
-    * vec_ids) refined with `iters` Lloyd steps. Cluster assignment is a
-    * per-row argmax over a driver-collected centroid LITERAL — no
-    * cross-join, no groupBy(vec_id) shuffle; the corpus is touched only by
-    * narrow map stages plus one tiny groupBy(cid) mean per Lloyd step
-    * (nCentroids output rows). Query: probe resolution happens entirely on
-    * the driver (nCentroids dot products), then one scan scores only rows
-    * whose cid is in the probe set — the fraction of the corpus read is
-    * nProbe/nCentroids.
+    * Index build ([[buildIvfIndex]]): `nCentroids` seed centroids
+    * (deterministic: lowest vec_ids) refined with `iters` Lloyd steps —
+    * assignment is a per-row argmax over a driver-collected centroid
+    * LITERAL (no cross-join), each Lloyd step is one tiny groupBy(cid)
+    * mean. The assigned corpus is then written `partitionBy("cid")`: one
+    * shuffle at build time, paid once.
     *
-    * Centroids are collected to the driver only because there are O(10-100)
-    * of them; the corpus itself never leaves executors.
+    * Query ([[ivfQuery]]): probe resolution happens entirely on the driver
+    * (nCentroids dot products over the tiny centroids file), then the
+    * corpus read carries `cid IN (probes)` on the PARTITION column —
+    * Catalyst prunes to the probed directories at planning time
+    * (`.explain` shows the pruned partition count), so the fraction of the
+    * corpus read is nProbe/nCentroids, not a full rescan.
+    *
+    * Centroids are collected to the driver only because there are
+    * O(10-100) of them; the corpus itself never leaves executors.
     */
-  def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
+  def buildIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
+      nCentroids: Int = 16, iters: Int = 1): Unit = {
     val dim = 64
     def collectCentroids(df: DataFrame): Array[(Long, Array[Double])] =
       df.collect().map(r =>
@@ -84,9 +89,26 @@ object Similarity {
           .agg(array((0 until dim).map(i =>
             avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("cv")))
     }
-    val qv: Array[Double] = emb.filter(col("vec_id") === queryId)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
-    // driver-side probe choice: cosine(qv, centroid) over O(nCentroids) rows
+    import spark.implicits._
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // Repartition on (cid, salt) before the partitioned write: without it
+    // every input task writes a file into every cid directory (tasks ×
+    // centroids small files); the salt keeps parallelism WITHIN a hot cid
+    // instead of funnelling 1/nCentroids of the corpus through one task.
+    emb.withColumn("cid", nearestCid(col("embedding"), cents))
+      .repartition(col("cid"), pmod(xxhash64(col("vec_id")), lit(8)))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/corpus")
+  }
+
+  /** Top-k cosine ANN against a built index: reads only the `nProbe`
+    * probed cid partitions (partition pruning on the directory column).
+    */
+  def ivfQuery(spark: SparkSession, dir: String, qv: Array[Double], k: Int,
+      nProbe: Int = 4, excludeId: Long = -1L): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -95,12 +117,37 @@ object Similarity {
     val probed = cents.map { case (cid, cv) => cid -> cos(qv, cv) }
       .sortBy { case (cid, s) => (-s, cid) }.take(nProbe).map(_._1)
     val qvCol = doubleArrayLit(qv)
-    emb.withColumn("cid", nearestCid(col("embedding"), cents))
-      .filter(col("cid").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= queryId)
+    spark.read.parquet(s"$dir/corpus")
+      .filter(col("cid").isin(probed.toIndexedSeq: _*) && col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         graft.functions.Rounding.roundTo(cosine(col("embedding"), qvCol), 4).as("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Indexes already built this JVM, keyed by scratch dir. */
+  private val builtIndexes = scala.collection.mutable.HashSet.empty[String]
+
+  /** Convenience: build-once-per-session index for `emb` (keyed by its
+    * canonicalized logical plan), then a pruned [[ivfQuery]] probe. The
+    * query-vector lookup is a point filter on the source table (min/max
+    * row-group pruning), not an index scan.
+    */
+  def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
+    val key = "ivf_" +
+      Integer.toHexString(emb.queryExecution.analyzed.semanticHash()) +
+      s"_${nCentroids}_$iters"
+    val (dir, _) = graft.util.Scratch.reuse(key)
+    synchronized {
+      if (!builtIndexes.contains(dir)) {
+        buildIvfIndex(spark, emb, dir, nCentroids, iters)
+        builtIndexes += dir
+      }
+    }
+    val qv: Array[Double] = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    ivfQuery(spark, dir, qv, k, nProbe, excludeId = queryId)
   }
 
   /** A pre-converted catalyst Literal for a double array: one leaf node,

@@ -43,6 +43,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 4, s"IVF recall too low: $recall/10 (nProbe=4 of 16 clusters)")
   }
 
+  test("IVF probe plan prunes to the probed cid partitions") {
+    val df = Similarity.ivfTopK(spark, emb, 1L, 10) // builds the index on first call
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val corpusScan = scans.find(_.metadata.get("Location").exists(_.contains("corpus")))
+    assert(corpusScan.isDefined, s"no corpus scan in plan: $scans")
+    val pf = corpusScan.get.metadata.getOrElse("PartitionFilters", "")
+    assert(pf.contains("cid"), s"probe scan not pruned on cid: PartitionFilters=$pf")
+  }
+
+  test("sign-LSH composite block yields a non-empty subset of label-blocked pairs") {
+    import org.apache.spark.sql.functions.concat_ws
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val labelOnly = pairs(Similarity.blockedSimilarityJoin(
+      emb.withColumn("blk", col("label")), "blk", 0.2))
+    val lsh = pairs(Similarity.blockedSimilarityJoin(
+      emb.withColumn("blk",
+        concat_ws("|", col("label"), VectorFns.signBucket(col("embedding"), 8))),
+      "blk", 0.2))
+    assert(lsh.nonEmpty, "LSH blocking dropped every candidate pair")
+    assert(lsh.subsetOf(labelOnly), "LSH block leaked a cross-label pair")
+  }
+
   test("blocked similarity join: only same-block pairs, threshold respected") {
     val blocked = emb.withColumn("blk", col("label"))
     val pairs = Similarity.blockedSimilarityJoin(blocked, "blk", 0.2)
