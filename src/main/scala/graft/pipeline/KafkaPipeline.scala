@@ -98,6 +98,65 @@ object KafkaPipeline {
       .option("maxRecordsPerFile", cfg.batchSize.toLong)
       .trigger(trigger)
 
+  /** R5 exact-name fidelity sink: reproduces the reference's
+    * `partition_{p}_batch_{b}.parquet` layout byte-for-byte
+    * (main.rs:274-283) — per Kafka partition, every `batchSize` messages
+    * (in offset order) become one single-column (`b`) file, with `b`
+    * counting up per partition across micro-batches.
+    *
+    * This mode inherits the reference's own scale ceiling: one file per
+    * `batchSize` messages is inherently a small-files layout, and exact
+    * naming forces one writer per (partition, batch) chunk — use
+    * [[parquetSink]] unless a downstream consumer globs these names.
+    * Tail chunks ARE flushed (the R3 no-tail-loss upgrade; the reference
+    * drops a final partial batch).
+    */
+  def fidelityFileSink(df: DataFrame, cfg: PipelineConfig,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => writeFidelityBatch(batch, cfg))
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(trigger)
+
+  /** (outputDir, kafka partition) → next batch id; carries numbering
+    * across micro-batches within this driver (a restart would re-derive
+    * it by scanning existing file names — not needed for AvailableNow
+    * drains).
+    */
+  private val fidelityCounters =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
+
+  private def writeFidelityBatch(batch: DataFrame, cfg: PipelineConfig): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
+    val chunked = KafkaPipeline.payloadAsString(batch)
+      .select(col("b"), col("partition").cast("int").as("partition"), col("offset"))
+      .withColumn("__chunk",
+        ((row_number().over(w) - 1) / cfg.batchSize).cast("int"))
+      .persist()
+    try {
+      val chunks = chunked.select(col("partition"), col("__chunk")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+      chunks.foreach { case (p, c) =>
+        val bId = fidelityCounters.getOrElse((cfg.outputDir, p), 0) + c
+        val tmp = s"${cfg.outputDir}/.tmp_${p}_$bId"
+        chunked.filter(col("partition") === p && col("__chunk") === c)
+          .orderBy(col("offset")).select(col("b"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        Files.move(part.toPath,
+          Paths.get(cfg.outputDir, s"partition_${p}_batch_$bId.parquet"))
+        val dir = new java.io.File(tmp)
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+      chunks.groupBy(_._1).foreach { case (p, cs) =>
+        fidelityCounters((cfg.outputDir, p)) =
+          fidelityCounters.getOrElse((cfg.outputDir, p), 0) + cs.length
+      }
+    } finally chunked.unpersist()
+  }
+
   /** R10: synthetic producer — n records shaped exactly like the
     * reference's generator: payload "Message {i}", key "Key {i}", one
     * header header_key→header_value (main.rs:74-83). Write with

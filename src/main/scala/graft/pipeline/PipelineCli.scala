@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import scala.annotation.tailrec
+
+import org.apache.spark.sql.SparkSession
+
+/** R12: the reference's CLI entry point (main.rs:312-394), Spark-native.
+  *
+  * Flag surface mirrors the reference's clap definition exactly:
+  * `-b/--brokers` (default `localhost:9092`), `-g/--group-id` (default
+  * `example_consumer_group_id`), `--log-conf`, `-t/--topic` (REQUIRED),
+  * `-m/--mode` (default `C`; only the literal `p` selects producer —
+  * any other value falls through to consumer, like the reference's
+  * `Some("p") => produce / Some(_) | None => consume` match), and
+  * `-n/--num-messages` (default 10), which doubles as the consumer's
+  * rows-per-file batch size (main.rs:373-377, 388).
+  *
+  * Sandbox extensions (not in the reference, needed where no broker or
+  * Kafka connector exists): `--file-source <dir>` swaps the Kafka
+  * source/sink for a parquet directory with the same record schema, and
+  * `--output-dir`/`--checkpoint-dir` relocate the reference's hardcoded
+  * `output` dir (main.rs:285-294).
+  */
+object PipelineCli {
+
+  case class ParsedCli(config: PipelineConfig, producer: Boolean,
+      logConf: Option[String], fileSource: Option[String])
+
+  val usage: String =
+    """usage: PipelineCli -t <topic> [-b <brokers>] [-g <group-id>] [-m C|p]
+      |                   [-n <num-messages>] [--log-conf <conf>]
+      |                   [--file-source <dir>] [--output-dir <dir>] [--checkpoint-dir <dir>]""".stripMargin
+
+  private val flagNames = Map(
+    "-b" -> "brokers", "--brokers" -> "brokers",
+    "-g" -> "group-id", "--group-id" -> "group-id",
+    "--log-conf" -> "log-conf",
+    "-t" -> "topic", "--topic" -> "topic",
+    "-m" -> "mode", "--mode" -> "mode",
+    "-n" -> "num-messages", "--num-messages" -> "num-messages",
+    "--file-source" -> "file-source",
+    "--output-dir" -> "output-dir",
+    "--checkpoint-dir" -> "checkpoint-dir")
+
+  @tailrec
+  private def collect(rest: List[String],
+      acc: Map[String, String]): Either[String, Map[String, String]] =
+    rest match {
+      case Nil => Right(acc)
+      case flag :: tail =>
+        flagNames.get(flag) match {
+          case None => Left(s"unknown flag: $flag")
+          case Some(key) => tail match {
+            case v :: t2 => collect(t2, acc + (key -> v))
+            case Nil => Left(s"flag $flag requires a value")
+          }
+        }
+    }
+
+  def parse(args: Array[String]): Either[String, ParsedCli] =
+    collect(args.toList, Map.empty).flatMap { m =>
+      (m.get("topic"), m.getOrElse("num-messages", "10")) match {
+        case (None, _) => Left("missing required flag: -t/--topic")
+        case (Some(topic), nStr) => nStr.toIntOption match {
+          case None => Left(s"-n/--num-messages must be an integer, got: $nStr")
+          case Some(n) if n <= 0 => Left(s"-n/--num-messages must be positive, got: $n")
+          case Some(n) => Right(ParsedCli(
+            PipelineConfig(
+              brokers = m.getOrElse("brokers", "localhost:9092"),
+              groupId = m.getOrElse("group-id", "example_consumer_group_id"),
+              topic = topic,
+              batchSize = n,
+              outputDir = m.getOrElse("output-dir", "output"),
+              checkpointDir = m.getOrElse("checkpoint-dir", "checkpoint")),
+            producer = m.get("mode").contains("p"),
+            logConf = m.get("log-conf"),
+            fileSource = m.get("file-source")))
+        }
+      }
+    }
+
+  /** Producer mode (main.rs:57-90): emit `-n` synthetic records to the
+    * topic — or, with `--file-source`, append them as parquet so a
+    * broker-free consumer run can drain them.
+    */
+  def runProducer(spark: SparkSession, p: ParsedCli): Unit = {
+    val records = KafkaPipeline.syntheticRecords(spark, p.config.batchSize.toLong)
+    p.fileSource match {
+      case Some(dir) => records.write.mode("append").parquet(dir)
+      case None => records
+        .selectExpr("key", "value")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", p.config.brokers)
+        .option("topic", p.config.topic)
+        .save()
+    }
+  }
+
+  /** Consumer mode (main.rs:203-310): fail-fast output-dir creation, then
+    * the source → UTF-8 `b` projection → size-batched parquet sink.
+    * `AvailableNow` drains everything currently readable and terminates —
+    * the checkpointed, exactly-once form of the reference's
+    * run-until-interrupted loop.
+    */
+  def runConsumer(spark: SparkSession, p: ParsedCli): Unit = {
+    KafkaPipeline.initOutput(p.config.outputDir)
+    spark.streams.addListener(KafkaPipeline.progressListener())
+    val src = p.fileSource match {
+      case Some(dir) =>
+        KafkaPipeline.fileStream(spark, dir, spark.read.parquet(dir).schema)
+      case None => KafkaPipeline.kafkaStream(spark, p.config)
+    }
+    val q = KafkaPipeline.parquetSink(
+      KafkaPipeline.fidelityProjection(src), p.config).start()
+    q.awaitTermination()
+  }
+
+  def main(args: Array[String]): Unit =
+    parse(args) match {
+      case Left(err) =>
+        System.err.println(s"error: $err")
+        System.err.println(usage)
+        sys.exit(2)
+      case Right(p) =>
+        val spark = SparkSession.builder()
+          .appName("kafka-to-parquet")
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+          .getOrCreate()
+        // --log-conf in the reference configures env_logger; the Spark
+        // analogue is the root log level.
+        p.logConf.foreach(spark.sparkContext.setLogLevel)
+        try {
+          if (p.producer) runProducer(spark, p) else runConsumer(spark, p)
+        } finally spark.stop()
+    }
+}
