@@ -120,48 +120,89 @@ object Dedup {
     * pair gets the minimum doc_id of its transitive cluster — the step
     * that turns pairwise similarity into actual keep/drop groups.
     *
-    * Iterative min-label propagation: label(v) ← min(label(v),
-    * min(label(u)) over neighbors u), to fixpoint. Each step is one
-    * shuffle join + groupBy — fully distributed; iterations =
-    * O(cluster diameter), which for near-dup clusters is tiny (dups of
-    * one document link to each other). `localCheckpoint` truncates the
-    * growing lineage each round (at cluster scale, a reliable checkpoint
-    * dir; the large-star/small-star variant halves rounds if diameters
-    * ever grow).
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", MR-friendly CC):
+    * each round rewires every node's larger neighbors (large-star) then
+    * its smaller neighbors (small-star) toward the local minimum, which
+    * converges to per-component stars in O(log n) rounds — independent of
+    * component DIAMETER, unlike min-label propagation whose round count a
+    * long near-dup chain (A~B~C~...) can blow past any fixed cap. Each
+    * half-round is one groupBy + one join on the edge set; edges only
+    * move toward smaller ids, so the edge count never grows beyond the
+    * deduped input.
+    *
+    * Convergence is detected (edge-set signature stable), and hitting
+    * `maxIter` without it THROWS rather than silently returning partial
+    * clusters. Lineage is truncated per round: `localCheckpoint` by
+    * default (executor-memory; fine single-node), or a reliable
+    * `checkpointDir` for cluster runs where losing an executor must not
+    * kill the lineage.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
-    // Convergence signature: labels only ever decrease, so sum(cluster_id)
-    // is strictly decreasing until fixpoint — one cheap aggregate per
-    // round instead of a change-detection join. (Decimal sum: immune to
-    // long overflow at billions-of-ids scale.)
-    def sig(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSig = sig(labels)
-    var converged = false
+      bCol: String = "b_id", maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    var edges = ckpt(pairs
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    // node set off the checkpointed edges, NOT off `pairs` — the pair
+    // source (a similarity join) must not be re-evaluated at label time
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    // Signature: (row count, decimal sum of a 64-bit edge hash) — one
+    // cheap aggregate per round; stable signature across a round means a
+    // fixed point (stars reproduce themselves under both phases).
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prevSig = sig(edges)
+    var converged = prevSig._1 == 0
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
-      val newSig = sig(updated)
-      labels = updated
-      converged = newSig.compareTo(prevSig) == 0
+      // large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u})
+      val nbrs = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = nbrs.groupBy(col("a"))
+        .agg(min(col("b")).as("nmin"))
+        .select(col("a"), least(col("a"), col("nmin")).as("m"))
+      val large = nbrs.join(mins, "a").filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: direct edges large→small; every small neighbor and
+      // the center re-point to the center's minimum neighbor
+      val dir = large.select(greatest(col("u"), col("v")).as("a"),
+        least(col("u"), col("v")).as("b"))
+      val mins2 = dir.groupBy(col("a")).agg(min(col("b")).as("nmin"))
+      val small = dir.join(mins2, "a")
+        .select(col("b").as("u"), col("nmin").as("v"))
+        .union(mins2.select(col("a").as("u"), col("nmin").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      edges = ckpt(small.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")))
+      val newSig = sig(edges)
+      converged = newSig == prevSig
       prevSig = newSig
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "raise maxIter; returning partial clusters would mislabel documents")
+    // Converged edges are stars (v, componentMin): label = min star
+    // neighbor, or the node's own id for component minima.
+    val starMin = edges.select(col("v").as("id2"), col("u").as("lab"))
+      .union(edges.select(col("u").as("id2"), col("v").as("lab")))
+      .groupBy(col("id2")).agg(min(col("lab")).as("lab"))
+    nodes.join(starMin, nodes("id") === starMin("id2"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("lab"), col("id"))).as("cluster_id"))
   }
 
   /** Per-doc bucket-population summary of the MinHash LSH index (always

@@ -60,6 +60,23 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components converge on a long chain (diameter >> star rounds)") {
+    // a 300-hop chain: min-label propagation would need 300 rounds and a
+    // fixed cap would silently mislabel; star contraction is O(log n)
+    val n = 300L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min id")
+  }
+
+  test("connected components throw on non-convergence instead of mislabeling") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 0)
+    }
+  }
+
   test("ngram jaccard pairs respect blocking and threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, charBucket = 100, threshold = 0.5)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
