@@ -10,6 +10,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // ContextCleaner frees shuffle files / broadcasts only on GC; a
       // multi-query session otherwise accumulates state until execution
       // degrades (measured 57s → 338s over 57 queries). 30s periodic GC

@@ -18,6 +18,7 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .appName("graft-explain").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // multi-query session: let ContextCleaner actually run (see Bench)
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()

@@ -82,7 +82,21 @@ object FunctionQueries {
       Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("token")))
+        .orderBy(col("token"))),
+
+    // The native codegen expression resolved from SQL TEXT — exercises the
+    // registration surface (GraftExtensions via spark.sql.extensions on a
+    // cluster; GraftFunctions.register for an already-built session, used
+    // here so the query works in any driver session).
+    "fn_native_sql" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_native")
+      s.sql("""
+        SELECT vec_id,
+               floor(graft_dot(embedding, embedding) * 100.0 + 0.5) / 100.0 AS self_dot
+        FROM graft_emb_native ORDER BY vec_id
+      """)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -136,6 +150,12 @@ object FunctionQueries {
     "fn_udtf_explode" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-         GROUP BY token ORDER BY token"""
+         GROUP BY token ORDER BY token""",
+
+    "fn_native_sql" ->
+      """SELECT vec_id,
+                floor(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))
+                      * 100.0 + 0.5) / 100.0 AS self_dot
+         FROM embeddings ORDER BY vec_id"""
   )
 }

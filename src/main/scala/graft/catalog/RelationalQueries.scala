@@ -153,6 +153,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
         .orderBy(col("p_brand"))),
 
+    // The explicit skew-salting path (AQE handles SMJ skew at runtime;
+    // this is the ahead-of-time form) — same result set as the plain join,
+    // verified by the oracle.
+    "join_salted" -> ((s, d) =>
+      Joins.saltedEquiJoin(Tables.orders(s, d), Tables.customer(s, d),
+        "o_custkey", "c_custkey", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))),
+
+    // Co-located join over bucketed tables: both sides pre-hash-partitioned
+    // on custkey at write time, so the sort-merge join has NO exchange
+    // (plan-asserted in BucketingSpec) — the pay-the-shuffle-once layout.
+    "join_bucketed" -> ((s, d) => {
+      graft.sources.Bucketing.ensure(s, d)
+      val o = s.table(graft.sources.Bucketing.OrdersTable)
+      val c = s.table(graft.sources.Bucketing.CustomerTable)
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "join_asof" -> ((s, d) =>
       Joins.asof(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
@@ -255,6 +282,29 @@ object RelationalQueries {
           .as("wavg_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Pivot (long→wide): one column per l_linestatus value. Values are
+    // listed explicitly — an unlisted-values pivot would scan once just to
+    // discover the columns.
+    "agg_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_returnflag"))),
+
+    // Approximate percentiles: the unbounded-cardinality scale path for
+    // agg_median (t-digest-style sketch, mergeable map-side — constant
+    // memory per group where exact percentile buffers every value).
+    // Sketch-dependent output → rows-only; error vs exact asserted ±5% in
+    // AggregatesSpec.
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- window functions ----------------------------------------------
     "window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -309,6 +359,28 @@ object RelationalQueries {
         Seq(col("o_orderdate"), col("o_orderkey")), "running")
         .select(col("o_orderkey"), round(col("running"), 2).as("running"))
         .orderBy(col("o_orderkey"))),
+
+    // RANGE frame (trailing 7 days by order date, peers share the frame)
+    // + frame-navigation functions over an unbounded ROWS frame. Frame
+    // sums use cent-scaled integers: a double sum's value depends on
+    // intra-frame order, which ties make nondeterministic.
+    "window_range_frame" -> ((s, d) => {
+      val days = datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+      val wRange = Window.partitionBy(col("o_custkey")).orderBy(days)
+        .rangeBetween(-7, Window.currentRow)
+      val wFull = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).over(wRange) / 100.0)
+            .as("trail7_price"),
+          first(col("o_orderkey")).over(wFull).as("first_ok"),
+          last(col("o_orderkey")).over(wFull).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_ok"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- sorts / limits / set ops ---------------------------------------
     "sort_limit_topk" -> ((s, d) =>
@@ -503,6 +575,38 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+                round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+                round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+                sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey
+                        ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                        RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) / 100.0 AS trail7_price,
+                first_value(o_orderkey) OVER wfull AS first_ok,
+                last_value(o_orderkey) OVER wfull AS last_ok,
+                nth_value(o_orderkey, 2) OVER wfull AS second_ok
+         FROM orders WHERE o_custkey <= 200
+         WINDOW wfull AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+
+    "join_salted" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "join_bucketed" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "agg_median" ->
       """SELECT l_returnflag,

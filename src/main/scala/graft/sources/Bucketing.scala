@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** Bucketed-table layout: the co-located join path (SURVEY §2.B scale
+  * posture — "pre-shuffle once, join many times").
+  *
+  * `orders` and `customer` are written `bucketBy(n, custkey)` +
+  * `sortBy(custkey)`: both sides land pre-hash-partitioned on the join key,
+  * so an equi-join on custkey plans as a sort-merge join with NO exchange
+  * on either side (asserted by `BucketingSpec`). At 100 TB this is the
+  * difference between re-shuffling the fact table on every join and paying
+  * the shuffle once at ingest: any downstream join/aggregation keyed on
+  * custkey reuses the layout for free.
+  */
+object Bucketing {
+  val OrdersTable = "graft_orders_bkt"
+  val CustomerTable = "graft_customer_bkt"
+
+  private var bucketedFor: Option[String] = None
+
+  /** Idempotently materialize the bucketed twins of orders/customer for
+    * `d` in the session catalog (external data in the scratch dir). One
+    * write per (JVM, sf dir); repeated query invocations reuse the layout
+    * — which is the point of bucketing.
+    */
+  def ensure(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
+    val fresh = !bucketedFor.contains(d) ||
+      !s.catalog.tableExists(OrdersTable) || !s.catalog.tableExists(CustomerTable)
+    if (fresh) {
+      val base = graft.util.Scratch.fresh(
+        "bucketed_" + Integer.toHexString(d.hashCode))
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders").saveAsTable(OrdersTable)
+      Tables.customer(s, d).write.mode("overwrite")
+        .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer").saveAsTable(CustomerTable)
+      bucketedFor = Some(d)
+    }
+  }
+}

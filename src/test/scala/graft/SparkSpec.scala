@@ -24,6 +24,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the library's SparkSessionExtensions entry point — suites exercise
+      // the config-registered (cluster deployment) path, not just
+      // GraftFunctions.register
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

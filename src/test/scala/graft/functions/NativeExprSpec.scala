@@ -72,6 +72,16 @@ class NativeExprSpec extends SparkSpec {
     assert(row == ((11.0, 2L)))
   }
 
+  test("graft_dot resolves from SQL text via the GraftExtensions config path") {
+    // a fresh session has a fresh FunctionRegistry — nothing registered by
+    // GraftFunctions.register here, so resolution can only come from the
+    // spark.sql.extensions=GraftExtensions config the session was built with
+    val fresh = spark.newSession()
+    val d = fresh.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
