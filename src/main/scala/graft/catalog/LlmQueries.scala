@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** SURVEY §2.B LLM-data-pipeline block (BASELINE.json north-star):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -140,6 +140,37 @@ object LlmQueries {
 
     "llm_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    // TF-IDF top terms per language: scores ROUNDED BEFORE ranking so the
+    // cross-engine ordering never hinges on a libm ulp; ties broken by
+    // token. Corpus-level idf needs one tiny broadcast aggregate.
+    "llm_text_topterms" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy(col("token"))
+        .agg(countDistinct(col("lang")).as("df"))
+      val nLangs = docs.agg(countDistinct(col("lang")).as("nl"))
+      val scored = tf.join(dfreq, "token")
+        .crossJoin(broadcast(nLangs))
+        .withColumn("score", graft.functions.Rounding.roundTo(
+          col("tf") * log(col("nl").cast("double") / col("df").cast("double")), 4))
+      val w = Window.partitionBy(col("lang")).orderBy(desc("score"), col("token"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("token"), col("score"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
+    // Content-hash stratified sample (layout-independent membership —
+    // xxhash64-specific, no SQL twin → rows-only; reproducibility and
+    // fraction accuracy unit-asserted in SamplingSpec).
+    "llm_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedById(Tables.documents(s, d), "lang", "doc_id",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 1.0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))),
 
     // ---- multimodal ----------------------------------------------------
     // text + vector + metadata in one row (the lakehouse multimodal layout)
@@ -395,6 +426,27 @@ object LlmQueries {
                   i -> ascii(text[i]) * ((i - 1) % 64 + 1))) AS BIGINT) AS fingerprint,
                 CAST(length(text) AS INT) AS n_chars_obs
          FROM documents ORDER BY doc_id""",
+
+    "llm_text_topterms" ->
+      """WITH toks AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+         ), tf AS (
+           SELECT lang, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+         ), dfq AS (
+           SELECT token, count(DISTINCT lang) AS df FROM toks GROUP BY 1
+         ), nl AS (
+           SELECT count(DISTINCT lang) AS nl FROM documents
+         ), scored AS (
+           SELECT lang, token,
+                  floor(tf * ln(nl::DOUBLE / df::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS score
+           FROM tf JOIN dfq USING (token) CROSS JOIN nl
+         )
+         SELECT lang, CAST(rnk AS INT) AS rnk, token, score
+         FROM (SELECT lang, token, score,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY score DESC, token) AS rnk
+               FROM scored)
+         WHERE rnk <= 5 ORDER BY lang, rnk""",
 
     "llm_multimodal_schema" ->
       """SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim,

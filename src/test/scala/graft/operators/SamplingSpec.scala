@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fractions = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25)
+
+  test("content-hash sample is identical across re-runs AND repartitioning") {
+    val docs = Tables.documents(spark, sfDir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedById(df, "lang", "doc_id", fractions)
+        .select(col("doc_id")).as[Long].collect().toSet
+    val a = ids(docs)
+    val b = ids(docs)
+    val c = ids(docs.repartition(7, col("n_chars"))) // different layout
+    assert(a.nonEmpty)
+    assert(a == b, "same input must sample the same rows")
+    assert(a == c, "membership must not depend on partitioning (rand-based sampleBy fails this)")
+  }
+
+  test("per-stratum fractions are honored within Bernoulli tolerance") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01") // more rows per stratum
+    val totals = docs.groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedById(docs, "lang", "doc_id", fractions)
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    fractions.foreach { case (lang, f) =>
+      val n = totals(lang).toDouble
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      // 4-sigma Bernoulli band
+      val sigma = math.sqrt(n * f * (1 - f))
+      assert(math.abs(got - n * f) <= 4 * sigma + 1,
+        s"$lang: sampled $got of $n at fraction $f")
+    }
+    assert(!sampled.contains("zh"), "stratum with no declared fraction must drop")
+  }
+}
