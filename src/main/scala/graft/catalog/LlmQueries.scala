@@ -141,6 +141,35 @@ object LlmQueries {
     "llm_text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    // Canonical text normalization (the usual pre-dedup pass: lowercase,
+    // strip non-alphanumerics, collapse whitespace) — normalize-then-dedup
+    // catches near-dups that differ only in casing/punctuation.
+    "llm_text_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).as("n_norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition scoring (Gopher-style quality signal): fraction of
+    // duplicated word 2-grams per document.
+    "llm_text_repetition" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val grams = transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (size(toks) - 1).as("n_grams"),
+          graft.functions.Rounding.roundTo(
+            when(size(toks) > 1,
+              lit(1.0) - size(array_distinct(grams)).cast("double") /
+                size(grams).cast("double"))
+              .otherwise(lit(0.0)), 4).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per language: scores ROUNDED BEFORE ranking so the
     // cross-engine ordering never hinges on a libm ulp; ties broken by
     // token. Corpus-level idf needs one tiny broadcast aggregate.
@@ -426,6 +455,27 @@ object LlmQueries {
                   i -> ascii(text[i]) * ((i - 1) % 64 + 1))) AS BIGINT) AS fingerprint,
                 CAST(length(text) AS INT) AS n_chars_obs
          FROM documents ORDER BY doc_id""",
+
+    "llm_text_normalize" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                    ' +', ' ', 'g')) AS norm_text,
+                CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                                ' +', ' ', 'g'))) AS INT) AS n_norm_chars
+         FROM documents ORDER BY doc_id""",
+
+    "llm_text_repetition" ->
+      """WITH g AS (
+           SELECT doc_id, len(toks) AS nt,
+                  [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))] AS grams
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         )
+         SELECT doc_id, CAST(nt - 1 AS INT) AS n_grams,
+                CASE WHEN nt > 1
+                     THEN floor((1.0 - len(list_distinct(grams))::DOUBLE /
+                                       len(grams)::DOUBLE) * 10000.0 + 0.5) / 10000.0
+                     ELSE 0.0 END AS rep_ratio
+         FROM g ORDER BY doc_id""",
 
     "llm_text_topterms" ->
       """WITH toks AS (
