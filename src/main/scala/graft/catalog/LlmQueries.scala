@@ -154,19 +154,12 @@ object LlmQueries {
     }),
 
     // Repetition scoring (Gopher-style quality signal): fraction of
-    // duplicated word 2-grams per document.
+    // duplicated word 2-grams per document. Kernel-backed — the HOF gram
+    // build was the slowest query in BENCH (see TextAnalysis.repetitionRatio).
     "llm_text_repetition" -> ((s, d) => {
-      val toks = split(col("text"), " ")
-      val grams = transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (size(toks) - 1).as("n_grams"),
-          graft.functions.Rounding.roundTo(
-            when(size(toks) > 1,
-              lit(1.0) - size(array_distinct(grams)).cast("double") /
-                size(grams).cast("double"))
-              .otherwise(lit(0.0)), 4).as("rep_ratio"))
+      val out = TextAnalysis.repetitionRatio(Tables.documents(s, d))
+      out.select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+          col("rep_ratio"))
         .orderBy(col("doc_id"))
     }),
 
