@@ -86,6 +86,23 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // The COMPLETE fuzzy-dedup pipeline in one query: MinHash-LSH
+    // candidate pairs (band-bucket join, Jaccard-verified) → star-
+    // contraction connected components → drop non-min cluster members →
+    // per-lang survivor stats. MinHash-specific → rows-only; the
+    // composition is unit-asserted on planted near-dups (DedupSpec).
+    "llm_dedup_fuzzy_keep" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- similarity search ---------------------------------------------
     "llm_similarity_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), queryId = 1L, k = 10)),

@@ -77,6 +77,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy dedup pipeline: minhash pairs → clusters → survivors") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L),
+      s"cluster {1,2,4} keeps min id 1; unrelated 3 and 5 survive: got $kept")
+  }
+
   test("ngram jaccard pairs respect blocking and threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, n = 3, charBucket = 100, threshold = 0.5)
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
