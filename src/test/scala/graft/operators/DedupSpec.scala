@@ -70,6 +70,28 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), "every chain node must label to the min id")
   }
 
+  test("star-contraction CC equals union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 80
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(v => find(v.toInt))
+        .flatMap { case (_, vs) => val mn = vs.min; vs.map(_ -> mn) }.toMap
+      assert(got == expected, "star contraction must agree with union-find")
+    }
+  }
+
   test("connected components throw on non-convergence instead of mislabeling") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
