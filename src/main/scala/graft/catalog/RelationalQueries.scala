@@ -415,7 +415,33 @@ object RelationalQueries {
       Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
         .except(Tables.part(s, d).filter(col("p_size") > 25)
           .select(col("p_partkey").as("partkey")))
-        .orderBy(col("partkey")))
+        .orderBy(col("partkey"))),
+
+    // Bag semantics: EXCEPT ALL keeps multiplicity (n_left - n_right per
+    // value), unlike the set-semantics except above.
+    "set_except_all" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
+        .exceptAll(Tables.part(s, d).filter(col("p_size") > 25)
+          .select(col("p_partkey").as("partkey")))
+        .orderBy(col("partkey"))),
+
+    // Explicit cartesian product (tiny dimension × tiny dimension) — the
+    // one join shape that must NEVER appear against a fact table; here it
+    // is the declared semantics.
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(
+          Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))),
+
+    // Array aggregation: collect_set sorted for a deterministic, portable
+    // output (list(DISTINCT) twin in DuckDB).
+    "agg_collect_set" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          sort_array(collect_set(col("l_linenumber"))).as("linenos"))
+        .orderBy(col("l_returnflag")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -685,6 +711,23 @@ object RelationalQueries {
       """SELECT l_partkey AS partkey FROM lineitem
          EXCEPT
          SELECT p_partkey AS partkey FROM part WHERE p_size > 25
-         ORDER BY partkey"""
+         ORDER BY partkey""",
+
+    "set_except_all" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+         EXCEPT ALL
+         SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+         ORDER BY partkey""",
+
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN (SELECT n_nationkey, n_name FROM nation)
+         ORDER BY r_regionkey, n_nationkey""",
+
+    "agg_collect_set" ->
+      """SELECT l_returnflag,
+                list_sort(list(DISTINCT l_linestatus)) AS statuses,
+                list_sort(list(DISTINCT l_linenumber)) AS linenos
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
