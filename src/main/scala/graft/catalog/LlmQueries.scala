@@ -117,10 +117,14 @@ object LlmQueries {
     // bucket caps every block at ~1/256 of the label's rows while keeping
     // near-identical vectors (which agree on signs) together — the 100 TB
     // candidate-generation path. Exact SQL twin, so fully oracle-checked.
+    // (label coalesced on BOTH sides: Spark concat_ws skips nulls while
+    // DuckDB concat keeps the separator — a null label would silently
+    // build different block keys per engine)
     "llm_similarity_lsh" -> ((s, d) =>
       Similarity.blockedSimilarityJoin(
         Tables.embeddings(s, d).withColumn("blk",
-          concat_ws("|", col("label"), VectorFns.signBucket(col("embedding"), 8))),
+          concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
+            VectorFns.signBucket(col("embedding"), 8))),
         "blk", 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
@@ -376,7 +380,7 @@ object LlmQueries {
       """WITH e AS (
            SELECT vec_id, embedding,
                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-                  concat(label, '|',
+                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
                     CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
                     CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,

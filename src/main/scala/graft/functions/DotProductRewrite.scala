@@ -58,24 +58,41 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => e
   }
 
-  private def sameVars(l: Expression, r: Expression,
-      p: NamedLambdaVariable, q: NamedLambdaVariable): Boolean =
-    (stripCast(l), stripCast(r)) match {
-      case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
-        (lv.exprId == p.exprId && rv.exprId == q.exprId) ||
-          (lv.exprId == q.exprId && rv.exprId == p.exprId)
-      case _ => false
-    }
+  /** The multiply operand must EVALUATE IN DOUBLE for the rewrite to be
+    * exact: either the variable is already double, or it is explicitly
+    * cast to double. A raw float×float multiply rounds the product to
+    * float — DotProduct's double product would differ in the low bits, so
+    * that shape is declined (see the float-no-cast regression test).
+    */
+  private def doubleVarOf(e: Expression): Option[NamedLambdaVariable] = e match {
+    case v: NamedLambdaVariable if v.dataType == DoubleType => Some(v)
+    case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+    case _ => None
+  }
 
   private def isProductOf(e: Expression,
       x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean = e match {
-    case Multiply(l, r, _) => sameVars(l, r, x, y)
+    case Multiply(l, r, _) => (doubleVarOf(l), doubleVarOf(r)) match {
+      case (Some(lv), Some(rv)) =>
+        (lv.exprId == x.exprId && rv.exprId == y.exprId) ||
+          (lv.exprId == y.exprId && rv.exprId == x.exprId)
+      case _ => false
+    }
     case _ => false
   }
 
+  /** The accumulator is double by construction (zero literal 0.0D); a cast
+    * on the element side is only double-widening of an already-double
+    * product once [[isProductOf]] holds, so stripping it is exact.
+    */
   private def isSumOf(e: Expression,
       acc: NamedLambdaVariable, v: NamedLambdaVariable): Boolean = e match {
-    case Add(l, r, _) => sameVars(l, r, acc, v)
+    case Add(l, r, _) => (stripCast(l), stripCast(r)) match {
+      case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
+        (lv.exprId == acc.exprId && rv.exprId == v.exprId) ||
+          (lv.exprId == v.exprId && rv.exprId == acc.exprId)
+      case _ => false
+    }
     case _ => false
   }
 }

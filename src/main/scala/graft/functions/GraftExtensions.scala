@@ -22,11 +22,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      GraftExtensions.binaryBuilder("graft_dot", DotProduct(_, _))))
     ext.injectFunction((
       FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),
-      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+      GraftExtensions.binaryBuilder("graft_sorted_intersect_count",
+        SortedIntersectCount(_, _))))
   }
+}
+
+object GraftExtensions {
+  /** Arity-checked builder: a wrong-arity SQL call gets a clean analysis
+    * error naming the function, not an IndexOutOfBoundsException from
+    * `exprs(1)`.
+    */
+  private[functions] def binaryBuilder(name: String,
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      f(exprs(0), exprs(1))
+    }
 }

@@ -14,9 +14,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "graft_dot",
+      GraftExtensions.binaryBuilder("graft_dot", DotProduct(_, _)), "built-in")
     registry.createOrReplaceTempFunction(
       "graft_sorted_intersect_count",
-      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+      GraftExtensions.binaryBuilder("graft_sorted_intersect_count",
+        SortedIntersectCount(_, _)), "built-in")
   }
 }

@@ -92,7 +92,9 @@ object TextAnalysis {
       .mapPartitions { it =>
         val seen = new java.util.HashSet[String]()
         it.map { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          // limit -1: keep trailing empty tokens, matching the oracle's
+          // string_split (Java's split(char) silently drops them)
+          val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
           val n = toks.length - 1
           val ratio = if (n > 0) {
             seen.clear()

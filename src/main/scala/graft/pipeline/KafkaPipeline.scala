@@ -118,13 +118,36 @@ object KafkaPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(trigger)
 
-  /** (outputDir, kafka partition) → next batch id; carries numbering
-    * across micro-batches within this driver (a restart would re-derive
-    * it by scanning existing file names — not needed for AvailableNow
-    * drains).
+  /** Per-partition batch numbering lives in `<outputDir>/_graft_batch_state`
+    * ("p base" lines, underscore-prefixed so parquet readers skip it),
+    * written atomically AFTER a micro-batch's files land. A replay of an
+    * uncommitted micro-batch therefore recomputes the same batch ids and
+    * overwrites its own partial files (`REPLACE_EXISTING`; chunking is
+    * deterministic, so names and contents are identical), a driver restart
+    * resumes numbering from disk, and a wiped output dir restarts at
+    * batch_0. The state write is the naming commit point — a crash landing
+    * exactly between it and the checkpoint commit can duplicate one
+    * batch's files under new names (torn dual-commit; the default
+    * [[parquetSink]] remains the strict exactly-once path).
     */
-  private val fidelityCounters =
-    scala.collection.concurrent.TrieMap.empty[(String, Int), Int]
+  private def batchStatePath(dir: String) = Paths.get(dir, "_graft_batch_state")
+
+  private def readBatchBases(dir: String): Map[Int, Int] =
+    if (Files.exists(batchStatePath(dir))) {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(batchStatePath(dir)).asScala
+        .filter(_.nonEmpty)
+        .map { l => val Array(p, b) = l.split(' '); p.toInt -> b.toInt }
+        .toMap
+    } else Map.empty
+
+  private def writeBatchBases(dir: String, bases: Map[Int, Int]): Unit = {
+    val tmp = Paths.get(dir, "._graft_batch_state.tmp")
+    Files.writeString(tmp,
+      bases.toSeq.sorted.map { case (p, b) => s"$p $b" }.mkString("\n"))
+    Files.move(tmp, batchStatePath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def writeFidelityBatch(batch: DataFrame, cfg: PipelineConfig): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -135,10 +158,11 @@ object KafkaPipeline {
         ((row_number().over(w) - 1) / cfg.batchSize).cast("int"))
       .persist()
     try {
+      val bases = readBatchBases(cfg.outputDir)
       val chunks = chunked.select(col("partition"), col("__chunk")).distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
       chunks.foreach { case (p, c) =>
-        val bId = fidelityCounters.getOrElse((cfg.outputDir, p), 0) + c
+        val bId = bases.getOrElse(p, 0) + c
         val tmp = s"${cfg.outputDir}/.tmp_${p}_$bId"
         chunked.filter(col("partition") === p && col("__chunk") === c)
           .orderBy(col("offset")).select(col("b"))
@@ -146,14 +170,14 @@ object KafkaPipeline {
         val part = new java.io.File(tmp).listFiles()
           .find(f => f.getName.endsWith(".parquet")).get
         Files.move(part.toPath,
-          Paths.get(cfg.outputDir, s"partition_${p}_batch_$bId.parquet"))
+          Paths.get(cfg.outputDir, s"partition_${p}_batch_$bId.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         val dir = new java.io.File(tmp)
         dir.listFiles().foreach(_.delete()); dir.delete()
       }
-      chunks.groupBy(_._1).foreach { case (p, cs) =>
-        fidelityCounters((cfg.outputDir, p)) =
-          fidelityCounters.getOrElse((cfg.outputDir, p), 0) + cs.length
-      }
+      writeBatchBases(cfg.outputDir, bases ++ chunks.groupBy(_._1).map {
+        case (p, cs) => p -> (bases.getOrElse(p, 0) + cs.length)
+      })
     } finally chunked.unpersist()
   }
 

@@ -51,8 +51,10 @@ object PipelineCli {
         flagNames.get(flag) match {
           case None => Left(s"unknown flag: $flag")
           case Some(key) => tail match {
-            case v :: t2 => collect(t2, acc + (key -> v))
-            case Nil => Left(s"flag $flag requires a value")
+            // a following flag is NOT a value (clap errors here too — a
+            // forgotten value must not silently become e.g. the topic)
+            case v :: t2 if !v.startsWith("-") => collect(t2, acc + (key -> v))
+            case _ => Left(s"flag $flag requires a value")
           }
         }
     }

@@ -19,15 +19,17 @@ object Bucketing {
   val OrdersTable = "graft_orders_bkt"
   val CustomerTable = "graft_customer_bkt"
 
-  private var bucketedFor: Option[String] = None
+  private var bucketedFor: Option[(String, Int)] = None
 
   /** Idempotently materialize the bucketed twins of orders/customer for
     * `d` in the session catalog (external data in the scratch dir). One
-    * write per (JVM, sf dir); repeated query invocations reuse the layout
-    * — which is the point of bucketing.
+    * write per (JVM, sf dir, bucket count); repeated query invocations
+    * reuse the layout — which is the point of bucketing. A different
+    * `buckets` forces a rebuild (a join co-partitioned at the wrong count
+    * would silently reintroduce the exchange).
     */
   def ensure(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
-    val fresh = !bucketedFor.contains(d) ||
+    val fresh = !bucketedFor.contains((d, buckets)) ||
       !s.catalog.tableExists(OrdersTable) || !s.catalog.tableExists(CustomerTable)
     if (fresh) {
       val base = graft.util.Scratch.fresh(
@@ -38,7 +40,7 @@ object Bucketing {
       Tables.customer(s, d).write.mode("overwrite")
         .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
         .option("path", s"$base/customer").saveAsTable(CustomerTable)
-      bucketedFor = Some(d)
+      bucketedFor = Some((d, buckets))
     }
   }
 }

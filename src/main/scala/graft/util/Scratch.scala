@@ -21,8 +21,10 @@ object Scratch {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 
   /** A clean (non-existent) scratch path for `name`; any previous contents

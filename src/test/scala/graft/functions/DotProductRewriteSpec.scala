@@ -36,6 +36,20 @@ class DotProductRewriteSpec extends SparkSpec {
     assert(!rewriteFired(df), "must not rewrite when a null element could change the result")
   }
 
+  test("rewrite declines a raw float multiply (no double cast): precision differs") {
+    // (x, y) -> x * y over float arrays multiplies IN FLOAT; DotProduct
+    // multiplies in double — low bits differ, so the rule must not fire
+    val src = spark.range(1).map(_ => (Array(1.1f, 2.0f), Array(1.1f, 4.0f))).toDF("a", "b")
+    val df = src.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(!rewriteFired(df),
+      "float-precision multiply must not be replaced by a double-precision kernel")
+    // HOF float product of 1.1f*1.1f, then widened: NOT equal to double product
+    val hof = df.as[Double].head()
+    assert(hof == 1.1f * 1.1f + 8.0f, s"float-rounded product expected, got $hof")
+  }
+
   test("unequal lengths yield null after rewrite, matching zip_with padding") {
     val src = spark.range(1).map(_ => (Array(1.0f, 2.0f), Array(3.0f))).toDF("a", "b")
     val df = hofDot(src, "a", "b")

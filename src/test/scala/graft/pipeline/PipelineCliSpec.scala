@@ -89,5 +89,21 @@ class PipelineCliSpec extends SparkSpec {
     val tail1 = spark.read.parquet(s"${cfg.outputDir}/partition_1_batch_2.parquet").count()
     assert(tail0 == 3 && tail1 == 2, s"tail chunks flushed: $tail0/$tail1")
     assert(spark.read.parquet(cfg.outputDir + "/*.parquet").count() == 25)
+
+    // a wiped output dir must restart numbering at batch_0 (state lives
+    // with the files, not in driver memory)
+    def wipe(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.exists()) { Option(f.listFiles()).foreach(_.foreach(c => wipe(c.getPath))); f.delete() }
+    }
+    wipe(cfg.outputDir); wipe(cfg.checkpointDir)
+    KafkaPipeline.initOutput(cfg.outputDir)
+    val q2 = KafkaPipeline.fidelityFileSink(
+      KafkaPipeline.fileStream(spark, src, spark.read.parquet(src).schema),
+      cfg).start()
+    q2.awaitTermination()
+    val names2 = new java.io.File(cfg.outputDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(names2 == expected, s"wiped dir must renumber from batch_0: got $names2")
   }
 }
