@@ -84,6 +84,25 @@ object FunctionQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("token"))),
 
+    "fn_bitwise" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("and8"),
+        col("o_orderkey").bitwiseOR(lit(16L)).as("or16"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xor_ck"),
+        shiftleft(col("o_orderkey"), 2).as("shl2"),
+        shiftright(col("o_orderkey"), 3).as("shr3"))
+        .orderBy(col("o_orderkey"))),
+
+    // Content digests (dedup manifests, integrity checks): identical hex
+    // output across engines by definition of the hash.
+    "fn_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("md5_hex"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"))
+        .orderBy(col("doc_id"))),
+
     // The native codegen expression resolved from SQL TEXT — exercises the
     // registration surface (GraftExtensions via spark.sql.extensions on a
     // cluster; GraftFunctions.register for an already-built session, used
@@ -151,6 +170,19 @@ object FunctionQueries {
       """SELECT token, CAST(count(*) AS BIGINT) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
          GROUP BY token ORDER BY token""",
+
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS and8,
+                o_orderkey | 16 AS or16,
+                xor(o_orderkey, o_custkey) AS xor_ck,
+                o_orderkey << 2 AS shl2,
+                o_orderkey >> 3 AS shr3
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+         FROM documents ORDER BY doc_id""",
 
     "fn_native_sql" ->
       """SELECT vec_id,

@@ -282,6 +282,21 @@ object RelationalQueries {
           .as("wavg_price"))
         .orderBy(col("l_returnflag"))),
 
+    // Statistical aggregates (single-pass merge-able moments — map-side
+    // combinable, so 100 TB-safe). Engines' merge orders differ in the
+    // ~1e-10 tails; 4-decimal portable rounding absorbs that.
+    "agg_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.Rounding.roundTo(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          graft.functions.Rounding.roundTo(var_samp(col("l_quantity")), 4).as("var_qty"),
+          graft.functions.Rounding.roundTo(
+            corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          graft.functions.Rounding.roundTo(
+            covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"))
+        .orderBy(col("l_returnflag"))),
+
     // Pivot (long→wide): one column per l_linestatus value. Values are
     // listed explicitly — an unlisted-values pivot would scan once just to
     // discover the columns.
@@ -601,6 +616,14 @@ object RelationalQueries {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+                floor(stddev_samp(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sd_qty,
+                floor(var_samp(l_quantity) * 10000.0 + 0.5) / 10000.0 AS var_qty,
+                floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qp,
+                floor(covar_samp(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS covar_qp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_pivot" ->
       """SELECT l_returnflag,
