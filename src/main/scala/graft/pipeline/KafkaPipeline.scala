@@ -136,8 +136,17 @@ object KafkaPipeline {
     if (Files.exists(batchStatePath(dir))) {
       import scala.jdk.CollectionConverters._
       Files.readAllLines(batchStatePath(dir)).asScala
-        .filter(_.nonEmpty)
-        .map { l => val Array(p, b) = l.split(' '); p.toInt -> b.toInt }
+        .map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          l.split(' ') match {
+            case Array(p, b) if p.forall(_.isDigit) && b.forall(_.isDigit) =>
+              p.toInt -> b.toInt
+            case _ => throw new IllegalStateException(
+              s"corrupt line '$l' in ${batchStatePath(dir)} — delete the " +
+                "state file AND the partition_*.parquet output it numbers, " +
+                "then restart the sink")
+          }
+        }
         .toMap
     } else Map.empty
 
@@ -145,8 +154,11 @@ object KafkaPipeline {
     val tmp = Paths.get(dir, "._graft_batch_state.tmp")
     Files.writeString(tmp,
       bases.toSeq.sorted.map { case (p, b) => s"$p $b" }.mkString("\n"))
+    // same-directory atomic rename: the state write IS the naming commit
+    // point, so it must not be observable half-written
     Files.move(tmp, batchStatePath(dir),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def writeFidelityBatch(batch: DataFrame, cfg: PipelineConfig): Unit = {
@@ -159,6 +171,24 @@ object KafkaPipeline {
       .persist()
     try {
       val bases = readBatchBases(cfg.outputDir)
+      // Fail-loud guard: numbered output with NO state file means the
+      // numbering history is gone (state deleted, or dir populated by
+      // something else) — restarting at batch_0 would silently clobber
+      // committed files. The one legitimate no-state case — replaying a
+      // crashed FIRST micro-batch — requires wiping the partial files,
+      // which this error names. (The consumer path's initOutput fail-fast
+      // guards the normal start.)
+      if (bases.isEmpty) {
+        val preexisting = Option(new java.io.File(cfg.outputDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("partition_") &&
+            f.getName.endsWith(".parquet"))
+        require(preexisting.isEmpty,
+          s"${cfg.outputDir} holds ${preexisting.length} numbered parquet " +
+            s"files but no ${batchStatePath(cfg.outputDir).getFileName} — " +
+            "refusing to renumber from batch_0 over committed output; wipe " +
+            "the directory (or restore the state file) and restart")
+      }
       val chunks = chunked.select(col("partition"), col("__chunk")).distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
       chunks.foreach { case (p, c) =>

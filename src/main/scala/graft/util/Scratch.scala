@@ -19,6 +19,9 @@ object Scratch {
     p
   }
 
+  /** Recursively delete an arbitrary path (no-op if absent). */
+  def delete(path: String): Unit = deleteRecursively(java.nio.file.Paths.get(path))
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

@@ -92,11 +92,8 @@ class PipelineCliSpec extends SparkSpec {
 
     // a wiped output dir must restart numbering at batch_0 (state lives
     // with the files, not in driver memory)
-    def wipe(p: String): Unit = {
-      val f = new java.io.File(p)
-      if (f.exists()) { Option(f.listFiles()).foreach(_.foreach(c => wipe(c.getPath))); f.delete() }
-    }
-    wipe(cfg.outputDir); wipe(cfg.checkpointDir)
+    graft.util.Scratch.delete(cfg.outputDir)
+    graft.util.Scratch.delete(cfg.checkpointDir)
     KafkaPipeline.initOutput(cfg.outputDir)
     val q2 = KafkaPipeline.fidelityFileSink(
       KafkaPipeline.fileStream(spark, src, spark.read.parquet(src).schema),
