@@ -450,12 +450,20 @@ object RelationalQueries {
         .orderBy(col("r_regionkey"), col("n_nationkey"))),
 
     // Array aggregation: collect_set sorted for a deterministic, portable
-    // output (list(DISTINCT) twin in DuckDB).
+    // output. Serialized to comma-joined STRING because the driver's hash
+    // comparator cannot hash list-typed cells (pandas "unhashable
+    // numpy.ndarray"); the array-typed form stays covered by
+    // RelationalQueriesSpec.
     "agg_collect_set" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-          sort_array(collect_set(col("l_linenumber"))).as("linenos"))
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          // sort NUMERICALLY first, stringify only for the join (lexical
+          // "10" < "2" would diverge from DuckDB's numeric list_sort)
+          array_join(
+            transform(sort_array(collect_set(col("l_linenumber"))), _.cast("string")),
+            ",").as("linenos"))
         .orderBy(col("l_returnflag")))
   )
 
@@ -749,8 +757,8 @@ object RelationalQueries {
 
     "agg_collect_set" ->
       """SELECT l_returnflag,
-                list_sort(list(DISTINCT l_linestatus)) AS statuses,
-                list_sort(list(DISTINCT l_linenumber)) AS linenos
+                array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+                array_to_string(list_sort(list(DISTINCT l_linenumber)), ',') AS linenos
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -21,4 +21,30 @@ class AggregatesSpec extends SparkSpec {
       assert(math.abs(a90 - e90) / e90 < 0.05, s"$flag p90: approx $a90 vs exact $e90")
     }
   }
+
+  // The oracled agg_collect_set query serializes to STRING (the driver's
+  // comparator can't hash list cells); this keeps the ARRAY-typed form itself
+  // under test: numeric sort order, distinctness, and agreement with the
+  // serialized query output.
+  test("collect_set array form is sorted, distinct, and matches the string-serialized query") {
+    val arrayForm = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        sort_array(collect_set(col("l_linenumber"))).as("linenos"))
+      .orderBy(col("l_returnflag"))
+      .as[(String, Seq[String], Seq[Int])].collect()
+    assert(arrayForm.nonEmpty)
+    arrayForm.foreach { case (flag, statuses, linenos) =>
+      assert(statuses == statuses.distinct.sorted, s"$flag statuses not sorted-distinct")
+      assert(linenos == linenos.distinct.sorted, s"$flag linenos not numerically sorted-distinct")
+    }
+    val serialized = graft.SparkEntry.queries("agg_collect_set")(spark, sfDir)
+      .as[(String, String, String)].collect()
+      .map { case (flag, st, ln) => flag -> ((st, ln)) }.toMap
+    arrayForm.foreach { case (flag, statuses, linenos) =>
+      assert(serialized(flag)._1 == statuses.mkString(","), s"$flag statuses serialization drift")
+      assert(serialized(flag)._2 == linenos.mkString(","), s"$flag linenos serialization drift")
+    }
+  }
 }
