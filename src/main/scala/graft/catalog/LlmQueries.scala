@@ -22,6 +22,20 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 object LlmQueries {
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Embeddings with the composite (label, 4-bit sign-bucket) block key
+    * shared by the whole embed-dedup family. Label-only blocking is
+    * quadratic on a hot label at 100 TB; composing the sign-LSH bucket
+    * caps every block at ~1/16 of its label's rows while near-identical
+    * vectors (which agree on signs) still collide. Label is coalesced on
+    * BOTH engines: Spark's concat_ws skips nulls while DuckDB's concat
+    * keeps the separator, so a null label would otherwise build different
+    * block keys per engine (same contract as llm_similarity_lsh).
+    */
+  private def dedupBlocked(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).withColumn("blk",
+      concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
+        VectorFns.signBucket(col("embedding"), 4)))
+
   val queries: Map[String, QFn] = Map(
     // ---- deduplication -------------------------------------------------
     "llm_dedup_exact" -> ((s, d) =>
@@ -46,13 +60,17 @@ object LlmQueries {
         threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
-    // Embedding-cosine near-dup: a doc is dropped when a same-label doc
+    // Embedding-cosine near-dup: a doc is dropped when a same-block doc
     // with a smaller id is cosine-similar above threshold; keep = best
     // partner (highest sim, then lowest id). The pair source is the
-    // blocked similarity join, so candidate generation stays per-block.
+    // blocked similarity join over the composite (label, sign-bucket)
+    // key — label alone is quadratic in a hot label at 100 TB; the 4-bit
+    // sign bucket caps every block at ~1/16 of its label while keeping
+    // sign-agreeing near-dups together. Threshold retuned 0.35 → 0.25
+    // with the tighter blocking so the result set stays non-trivial
+    // (25 pairs at sf0.01 vs 26 under label-only@0.35).
     "llm_dedup_embed" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(
-        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.35)
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", 0.25)
       val w = Window.partitionBy(col("b_id")).orderBy(desc("sim"), col("a_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -62,10 +80,10 @@ object LlmQueries {
 
     // Transitive near-dup clusters from the embedding pair graph: each
     // clustered doc labeled with its cluster's min id (connected
-    // components via distributed min-label propagation).
+    // components via large-star/small-star contraction). Same composite
+    // blocking as llm_dedup_embed.
     "llm_dedup_clusters" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(
-        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.35)
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", 0.25)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
     }),
@@ -74,8 +92,7 @@ object LlmQueries {
     // (drop every clustered doc except its cluster's min id) — the
     // training-set-side composition of pairs → clusters → keep set.
     "llm_dedup_keep" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(
-        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.35)
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", 0.25)
       val dropped = Dedup.connectedComponents(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
@@ -283,17 +300,22 @@ object LlmQueries {
     "llm_dedup_embed" ->
       """WITH e AS (
            SELECT vec_id, label, embedding,
-                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
+                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                   floor(list_sum(list_transform(range(1, 65),
                           i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
                         (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS sim
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                 (a.nrm * b.nrm) >= 0.35
+                 (a.nrm * b.nrm) >= 0.25
          )
          SELECT b_id AS drop_id, a_id AS keep_id, sim
          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
@@ -303,14 +325,19 @@ object LlmQueries {
     "llm_dedup_clusters" ->
       """WITH RECURSIVE e AS (
            SELECT vec_id, label, embedding,
-                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
+                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                 (a.nrm * b.nrm) >= 0.35
+                 (a.nrm * b.nrm) >= 0.25
          ), edges AS (
            SELECT a_id AS a, b_id AS b FROM p
            UNION SELECT b_id, a_id FROM p
@@ -325,14 +352,19 @@ object LlmQueries {
     "llm_dedup_keep" ->
       """WITH RECURSIVE e AS (
            SELECT vec_id, label, embedding,
-                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
+                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id
-           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+           FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                 (a.nrm * b.nrm) >= 0.35
+                 (a.nrm * b.nrm) >= 0.25
          ), edges AS (
            SELECT a_id AS a, b_id AS b FROM p
            UNION SELECT b_id, a_id FROM p

@@ -146,24 +146,39 @@ object Dedup {
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
 
-    var edges = ckpt(pairs
+    // Canonicalize BEFORE the self-loop filter and checkpoint that: the
+    // node set must include nodes appearing only as self-pairs (x, x) —
+    // deriving nodes after the filter silently dropped them — and the
+    // pair source (a similarity join) is evaluated exactly once.
+    val canon = ckpt(pairs
       .select(least(col(aCol), col(bCol)).as("u"),
         greatest(col(aCol), col(bCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct())
-    // node set off the checkpointed edges, NOT off `pairs` — the pair
-    // source (a similarity join) must not be re-evaluated at label time
-    val nodes = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id"))).distinct()
-    // Signature: (row count, decimal sum of a 64-bit edge hash) — one
-    // cheap aggregate per round; stable signature across a round means a
-    // fixed point (stars reproduce themselves under both phases).
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      .distinct())
+    val nodes = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id"))).distinct()
+    var edges = canon.filter(col("u") =!= col("v"))
+    // Signature: (row count, decimal sum of a 64-bit edge hash, distinct
+    // v count) — one cheap aggregate per round; a stable signature across
+    // a round means a fixed point (stars reproduce themselves under both
+    // phases).
+    def sig(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
       val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
-      (r.getLong(0), r.getDecimal(1))
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        countDistinct(col("v"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getLong(2))
     }
+    // Early exit when the edge set is ALREADY disjoint stars, instead of
+    // paying one more full round to observe a stable signature. Stars ⟺
+    // every v (leaf) appears in exactly one edge (count == distinct v,
+    // free from the signature aggregate) AND no u (center) appears as a
+    // leaf (a left-semi probe, run only when the cheap count test holds).
+    // Both are required: v-uniqueness alone misses chains, u∩v=∅ alone
+    // misses multi-center leaves like (1,3),(2,3).
+    def isStar(df: DataFrame, s: (Long, java.math.BigDecimal, Long)): Boolean =
+      s._1 == s._3 && df.select(col("u"))
+        .join(df.select(col("v").as("u")), Seq("u"), "left_semi").isEmpty
     var prevSig = sig(edges)
-    var converged = prevSig._1 == 0
+    var converged = prevSig._1 == 0 || isStar(edges, prevSig)
     var iter = 0
     while (!converged && iter < maxIter) {
       // large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u})
@@ -187,7 +202,7 @@ object Dedup {
       edges = ckpt(small.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v")))
       val newSig = sig(edges)
-      converged = newSig == prevSig
+      converged = newSig == prevSig || newSig._1 == 0 || isStar(edges, newSig)
       prevSig = newSig
       iter += 1
     }
