@@ -22,19 +22,45 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 object LlmQueries {
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Embeddings with the composite (label, 4-bit sign-bucket) block key
-    * shared by the whole embed-dedup family. Label-only blocking is
-    * quadratic on a hot label at 100 TB; composing the sign-LSH bucket
-    * caps every block at ~1/16 of its label's rows while near-identical
-    * vectors (which agree on signs) still collide. Label is coalesced on
-    * BOTH engines: Spark's concat_ws skips nulls while DuckDB's concat
-    * keeps the separator, so a null label would otherwise build different
-    * block keys per engine (same contract as llm_similarity_lsh).
+  /** Bit width of the embed-dedup sign bucket and the cosine near-dup
+    * threshold, shared by llm_dedup_{embed,clusters,keep} on BOTH engines
+    * (the oracle SQL is built from the same two values below, so the twins
+    * cannot diverge). 0.35 is the semantic near-dup line; 2 bits keeps the
+    * sf0.01 result set non-trivial (9 pairs) at that threshold. Block-size
+    * math at scale: a hot label's expected block is |label|/2^bits rows, so
+    * per-block pair work shrinks 4^bits-fold — at 100 TB you raise `bits`
+    * (accepting recall loss from sign flips near zero) or add rotated
+    * bucket sets, rather than loosening the threshold.
+    */
+  private val DedupBits = 2
+  private val DedupThreshold = 0.35
+  /** 8-bit twin for llm_similarity_lsh (~1/256 block cap). */
+  private val LshBits = 8
+
+  /** Embeddings with the composite (label, sign-bucket) block key shared by
+    * the whole embed-dedup family. Label-only blocking is quadratic on a
+    * hot label at 100 TB; composing the sign-LSH bucket caps every block at
+    * ~1/2^bits of its label's rows while near-identical vectors (which
+    * agree on signs) still collide. Label is coalesced on BOTH engines:
+    * Spark's concat_ws skips nulls while DuckDB's concat keeps the
+    * separator, so a null label would otherwise build different block keys
+    * per engine (same contract as llm_similarity_lsh).
     */
   private def dedupBlocked(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("blk",
       concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
-        VectorFns.signBucket(col("embedding"), 4)))
+        VectorFns.signBucket(col("embedding"), DedupBits)))
+
+  /** DuckDB block-key expression twinned with [[dedupBlocked]] — same bits,
+    * same null-label coalescing.
+    */
+  private val dedupBlkSql: String =
+    s"concat(coalesce(CAST(label AS VARCHAR), '∅'), '|', " +
+      s"${VectorFns.signBucketSql("embedding", DedupBits)})"
+
+  private val lshBlkSql: String =
+    s"concat(coalesce(CAST(label AS VARCHAR), '∅'), '|', " +
+      s"${VectorFns.signBucketSql("embedding", LshBits)})"
 
   val queries: Map[String, QFn] = Map(
     // ---- deduplication -------------------------------------------------
@@ -64,13 +90,13 @@ object LlmQueries {
     // with a smaller id is cosine-similar above threshold; keep = best
     // partner (highest sim, then lowest id). The pair source is the
     // blocked similarity join over the composite (label, sign-bucket)
-    // key — label alone is quadratic in a hot label at 100 TB; the 4-bit
-    // sign bucket caps every block at ~1/16 of its label while keeping
-    // sign-agreeing near-dups together. Threshold retuned 0.35 → 0.25
-    // with the tighter blocking so the result set stays non-trivial
-    // (25 pairs at sf0.01 vs 26 under label-only@0.35).
+    // key — label alone is quadratic in a hot label at 100 TB; the sign
+    // bucket caps every block at ~1/2^DedupBits of its label while
+    // keeping sign-agreeing near-dups together. Threshold stays at the
+    // semantic 0.35 near-dup line; DedupBits=2 keeps the sf0.01 pair set
+    // non-trivial there (9 pairs vs 26 under label-only blocking).
     "llm_dedup_embed" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", 0.25)
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
       val w = Window.partitionBy(col("b_id")).orderBy(desc("sim"), col("a_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -83,7 +109,7 @@ object LlmQueries {
     // components via large-star/small-star contraction). Same composite
     // blocking as llm_dedup_embed.
     "llm_dedup_clusters" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", 0.25)
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
     }),
@@ -92,7 +118,7 @@ object LlmQueries {
     // (drop every clustered doc except its cluster's min id) — the
     // training-set-side composition of pairs → clusters → keep set.
     "llm_dedup_keep" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", 0.25)
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
       val dropped = Dedup.connectedComponents(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
@@ -141,7 +167,7 @@ object LlmQueries {
       Similarity.blockedSimilarityJoin(
         Tables.embeddings(s, d).withColumn("blk",
           concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
-            VectorFns.signBucket(col("embedding"), 8))),
+            VectorFns.signBucket(col("embedding"), LshBits))),
         "blk", 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
@@ -298,14 +324,10 @@ object LlmQueries {
          ORDER BY a_id, b_id""",
 
     "llm_dedup_embed" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, label, embedding,
                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
-                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
+                  $dedupBlkSql AS blk
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -315,7 +337,7 @@ object LlmQueries {
            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                 (a.nrm * b.nrm) >= 0.25
+                 (a.nrm * b.nrm) >= $DedupThreshold
          )
          SELECT b_id AS drop_id, a_id AS keep_id, sim
          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
@@ -323,21 +345,17 @@ object LlmQueries {
          WHERE rn = 1 ORDER BY drop_id""",
 
     "llm_dedup_clusters" ->
-      """WITH RECURSIVE e AS (
+      s"""WITH RECURSIVE e AS (
            SELECT vec_id, label, embedding,
                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
-                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
+                  $dedupBlkSql AS blk
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id
            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                 (a.nrm * b.nrm) >= 0.25
+                 (a.nrm * b.nrm) >= $DedupThreshold
          ), edges AS (
            SELECT a_id AS a, b_id AS b FROM p
            UNION SELECT b_id, a_id FROM p
@@ -350,21 +368,17 @@ object LlmQueries {
          FROM reach GROUP BY id ORDER BY id""",
 
     "llm_dedup_keep" ->
-      """WITH RECURSIVE e AS (
+      s"""WITH RECURSIVE e AS (
            SELECT vec_id, label, embedding,
                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
-                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS blk
+                  $dedupBlkSql AS blk
            FROM embeddings
          ), p AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id
            FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
            WHERE list_sum(list_transform(range(1, 65),
                    i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                 (a.nrm * b.nrm) >= 0.25
+                 (a.nrm * b.nrm) >= $DedupThreshold
          ), edges AS (
            SELECT a_id AS a, b_id AS b FROM p
            UNION SELECT b_id, a_id FROM p
@@ -409,18 +423,10 @@ object LlmQueries {
          ORDER BY a_id, b_id""",
 
     "llm_similarity_lsh" ->
-      """WITH e AS (
+      s"""WITH e AS (
            SELECT vec_id, embedding,
                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
-                  concat(coalesce(CAST(label AS VARCHAR), '∅'), '|',
-                    CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-                    CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS blk
+                  $lshBlkSql AS blk
            FROM embeddings
          )
          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -512,11 +518,11 @@ object LlmQueries {
 
     "llm_text_repetition" ->
       """WITH g AS (
-           SELECT doc_id, len(toks) AS nt,
+           SELECT doc_id, coalesce(len(toks), 0) AS nt,
                   [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))] AS grams
            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
          )
-         SELECT doc_id, CAST(nt - 1 AS INT) AS n_grams,
+         SELECT doc_id, CAST(greatest(nt - 1, 0) AS INT) AS n_grams,
                 CASE WHEN nt > 1
                      THEN floor((1.0 - len(list_distinct(grams))::DOUBLE /
                                        len(grams)::DOUBLE) * 10000.0 + 0.5) / 10000.0

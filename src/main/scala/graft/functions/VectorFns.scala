@@ -28,4 +28,14 @@ object VectorFns {
   def signBucket(a: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** DuckDB twin of [[signBucket]]: the CASE-expression chain for the same
+    * n-bit bucket. Oracle SQL builds its block key from this helper with the
+    * SAME `bits` argument as the Spark side, so the two engines cannot
+    * silently diverge on bit count (they used to duplicate the expansion by
+    * hand in three SQL strings).
+    */
+  def signBucketSql(arrayCol: String, bits: Int): String =
+    (1 to bits).map(i =>
+      s"CASE WHEN $arrayCol[$i] >= 0 THEN '1' ELSE '0' END").mkString(", ")
 }

@@ -95,7 +95,8 @@ object TextAnalysis {
           // limit -1: keep trailing empty tokens, matching the oracle's
           // string_split (Java's split(char) silently drops them)
           val toks = if (text == null) Array.empty[String] else text.split(" ", -1)
-          val n = toks.length - 1
+          // null text has zero grams, not -1 (empty array minus one)
+          val n = math.max(toks.length - 1, 0)
           val ratio = if (n > 0) {
             seen.clear()
             var i = 0

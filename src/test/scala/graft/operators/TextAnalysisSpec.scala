@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Edge-case coverage for the text-analysis kernels; bulk correctness is
+  * carried by the DuckDB oracle over the documents table.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetitionRatio: null and empty text yield 0 grams, ratio 0.0") {
+    val out = TextAnalysis
+      .repetitionRatio(docs(1L -> null, 2L -> "", 3L -> "a a a a"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0) === Row(1L, 0, 0.0)) // null text: 0 grams, not -1
+    assert(out(1) === Row(2L, 0, 0.0)) // "" splits to [""] -> 0 grams
+    assert(out(2) === Row(3L, 3, 0.6667)) // grams {a a}x3 -> 1 - 1/3
+  }
+
+  test("repetitionRatio: trailing empty tokens are kept (split limit -1)") {
+    // "x x " -> tokens [x, x, ""] -> grams ["x x", "x "] -> 2 distinct of 2
+    val out = TextAnalysis.repetitionRatio(docs(1L -> "x x ")).collect()
+    assert(out(0) === Row(1L, 2, 0.0))
+  }
+
+  test("fingerprint: null text fingerprints as empty") {
+    val out = TextAnalysis
+      .fingerprint(docs(1L -> null, 2L -> "ab"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0).getLong(1) === 0L)
+    assert(out(0).getInt(2) === 0)
+    // 'a'*1 + 'b'*2 = 97 + 196
+    assert(out(1).getLong(1) === 293L)
+  }
+}
