@@ -37,19 +37,25 @@ object LlmQueries {
   /** 8-bit twin for llm_similarity_lsh (~1/256 block cap). */
   private val LshBits = 8
 
-  /** Embeddings with the composite (label, sign-bucket) block key shared by
-    * the whole embed-dedup family. Label-only blocking is quadratic on a
-    * hot label at 100 TB; composing the sign-LSH bucket caps every block at
-    * ~1/2^bits of its label's rows while near-identical vectors (which
-    * agree on signs) still collide. Label is coalesced on BOTH engines:
-    * Spark's concat_ws skips nulls while DuckDB's concat keeps the
-    * separator, so a null label would otherwise build different block keys
-    * per engine (same contract as llm_similarity_lsh).
+  /** The composite `(label, sign-bucket)` block key over an embeddings
+    * frame, shared by the embed-dedup family and `llm_similarity_lsh`.
+    * Label-only blocking is quadratic on a hot label at 100 TB; composing
+    * the sign-LSH bucket caps every block at ~1/2^bits of its label's rows
+    * while near-identical vectors (which agree on signs) still collide.
+    * Cross-engine parity contract, pinned by `SimilaritySpec`:
+    *  - null label coalesces to `∅` on BOTH engines (Spark's concat_ws
+    *    skips nulls while DuckDB's concat keeps the separator, so without
+    *    the coalesce a null label builds different keys per engine);
+    *  - a dimension past the array's end reads null on both engines
+    *    (`element_at` / list index out of range) and buckets as '0'.
     */
+  private[graft] def compositeBlockKey(bits: Int): org.apache.spark.sql.Column =
+    concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
+      VectorFns.signBucket(col("embedding"), bits))
+
+  /** Embeddings with the composite block key the embed-dedup family joins on. */
   private def dedupBlocked(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).withColumn("blk",
-      concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
-        VectorFns.signBucket(col("embedding"), DedupBits)))
+    Tables.embeddings(s, d).withColumn("blk", compositeBlockKey(DedupBits))
 
   /** DuckDB block-key expression twinned with [[dedupBlocked]] — same bits,
     * same null-label coalescing.
@@ -165,9 +171,7 @@ object LlmQueries {
     // build different block keys per engine)
     "llm_similarity_lsh" -> ((s, d) =>
       Similarity.blockedSimilarityJoin(
-        Tables.embeddings(s, d).withColumn("blk",
-          concat_ws("|", coalesce(col("label").cast("string"), lit("∅")),
-            VectorFns.signBucket(col("embedding"), LshBits))),
+        Tables.embeddings(s, d).withColumn("blk", compositeBlockKey(LshBits)),
         "blk", 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 

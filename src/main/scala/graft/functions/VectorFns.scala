@@ -26,8 +26,11 @@ object VectorFns {
     * all-pairs similarity scan into per-bucket scans — the 100 TB path.
     */
   def signBucket(a: Column, bits: Int): Column =
+    // try_element_at, not element_at: ANSI mode throws on an index past the
+    // array's end, while the DuckDB twin's list index reads NULL there — a
+    // sub-`bits`-dim vector must bucket as '0' on both engines, not crash.
     concat((1 to bits).map(i =>
-      when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+      when(try_element_at(a, lit(i)) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
   /** DuckDB twin of [[signBucket]]: the CASE-expression chain for the same
     * n-bit bucket. Oracle SQL builds its block key from this helper with the

@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(labelOnly), "LSH block leaked a cross-label pair")
   }
 
+  test("composite block key: null label coalesces to ∅, short embedding pads '0'") {
+    // Pins the cross-engine parity contract of LlmQueries.compositeBlockKey:
+    // the DuckDB twin coalesces null labels to '∅' and an out-of-range list
+    // index buckets as '0', so the Spark side must do exactly the same or
+    // the two engines silently generate different candidate pair sets.
+    val df = Seq(
+      (1L, Some(7), Seq(1.0f, -2.0f, 3.0f, -4.0f)), // full-width, mixed signs
+      (2L, None, Seq(1.0f, -2.0f, 3.0f, -4.0f)),    // null label -> ∅
+      (3L, Some(7), Seq(-0.5f)),                    // 1-dim: dims 2.. read null -> '0'
+      (4L, Some(7), Seq[Float]())                   // empty: all dims -> '0'
+    ).toDF("vec_id", "label", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.catalog.LlmQueries.compositeBlockKey(4).as("blk"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "7|1010")
+    assert(got(2L) == "∅|1010")
+    assert(got(3L) == "7|0000")
+    assert(got(4L) == "7|0000")
+  }
+
   test("blocked similarity join: only same-block pairs, threshold respected") {
     val blocked = emb.withColumn("blk", col("label"))
     val pairs = Similarity.blockedSimilarityJoin(blocked, "blk", 0.2)
