@@ -104,12 +104,13 @@ object KafkaPipeline {
     * (in offset order) become one single-column (`b`) file, with `b`
     * counting up per partition across micro-batches.
     *
-    * This mode inherits the reference's own scale ceiling: one file per
-    * `batchSize` messages is inherently a small-files layout, and exact
-    * naming forces one writer per (partition, batch) chunk — use
-    * [[parquetSink]] unless a downstream consumer globs these names.
-    * Tail chunks ARE flushed (the R3 no-tail-loss upgrade; the reference
-    * drops a final partial batch).
+    * This mode inherits the reference's own scale ceiling — one file per
+    * `batchSize` messages is inherently a small-files layout — but each
+    * micro-batch is a single Spark job: one shuffle on (partition, batch),
+    * one dynamic-partition write (one file per chunk), one driver-side
+    * rename pass. Use [[parquetSink]] unless a downstream consumer globs
+    * these names. Tail chunks ARE flushed (the R3 no-tail-loss upgrade;
+    * the reference drops a final partial batch).
     */
   def fidelityFileSink(df: DataFrame, cfg: PipelineConfig,
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
@@ -163,52 +164,80 @@ object KafkaPipeline {
 
   private def writeFidelityBatch(batch: DataFrame, cfg: PipelineConfig): Unit = {
     import org.apache.spark.sql.expressions.Window
+    val bases = readBatchBases(cfg.outputDir)
+    // Fail-loud guard: numbered output with NO state file means the
+    // numbering history is gone (state deleted, or dir populated by
+    // something else) — restarting at batch_0 would silently clobber
+    // committed files. The one legitimate no-state case — replaying a
+    // crashed FIRST micro-batch — requires wiping the partial files,
+    // which this error names. (The consumer path's initOutput fail-fast
+    // guards the normal start.)
+    if (bases.isEmpty) {
+      val preexisting = Option(new java.io.File(cfg.outputDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("partition_") &&
+          f.getName.endsWith(".parquet"))
+      require(preexisting.isEmpty,
+        s"${cfg.outputDir} holds ${preexisting.length} numbered parquet " +
+          s"files but no ${batchStatePath(cfg.outputDir).getFileName} — " +
+          "refusing to renumber from batch_0 over committed output; wipe " +
+          "the directory (or restore the state file) and restart")
+    }
+    // Final batch id is computed inside the plan (base-for-partition +
+    // chunk-within-batch, bases broadcast as a map literal), so the whole
+    // micro-batch is ONE Spark job: shuffle once on (partition, bid),
+    // dynamic-partition write one file per chunk, then a driver-side
+    // metadata pass renames part files to the exact-name contract. The
+    // repartition guarantees a chunk's rows land in a single task (→ a
+    // single file); the sort satisfies the writer's partition-column
+    // ordering (so it inserts no extra sort) and keeps offset order inside
+    // each file.
     val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
-    val chunked = KafkaPipeline.payloadAsString(batch)
+    val baseFor = coalesce(
+      try_element_at(typedLit(bases), col("partition")), lit(0))
+    val tmp = Paths.get(cfg.outputDir, ".tmp_fidelity")
+    KafkaPipeline.payloadAsString(batch)
       .select(col("b"), col("partition").cast("int").as("partition"), col("offset"))
-      .withColumn("__chunk",
-        ((row_number().over(w) - 1) / cfg.batchSize).cast("int"))
-      .persist()
-    try {
-      val bases = readBatchBases(cfg.outputDir)
-      // Fail-loud guard: numbered output with NO state file means the
-      // numbering history is gone (state deleted, or dir populated by
-      // something else) — restarting at batch_0 would silently clobber
-      // committed files. The one legitimate no-state case — replaying a
-      // crashed FIRST micro-batch — requires wiping the partial files,
-      // which this error names. (The consumer path's initOutput fail-fast
-      // guards the normal start.)
-      if (bases.isEmpty) {
-        val preexisting = Option(new java.io.File(cfg.outputDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("partition_") &&
-            f.getName.endsWith(".parquet"))
-        require(preexisting.isEmpty,
-          s"${cfg.outputDir} holds ${preexisting.length} numbered parquet " +
-            s"files but no ${batchStatePath(cfg.outputDir).getFileName} — " +
-            "refusing to renumber from batch_0 over committed output; wipe " +
-            "the directory (or restore the state file) and restart")
+      .withColumn("bid",
+        (baseFor + (row_number().over(w) - 1) / cfg.batchSize).cast("int"))
+      .repartition(col("partition"), col("bid"))
+      .sortWithinPartitions(col("partition"), col("bid"), col("offset"))
+      .select(col("b"), col("partition"), col("bid"))
+      .write.partitionBy("partition", "bid").mode("overwrite")
+      .parquet(tmp.toString)
+    // Rename pass: tmp/partition=p/bid=b/part-*.parquet →
+    // partition_{p}_batch_{b}.parquet. REPLACE_EXISTING keeps the replay
+    // contract: an uncommitted micro-batch recomputes the same names
+    // (chunking is deterministic) and overwrites its own partial files.
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("partition="))
+      .foreach { pDir =>
+        val p = pDir.getName.stripPrefix("partition=").toInt
+        pDir.listFiles().filter(d => d.isDirectory && d.getName.startsWith("bid="))
+          .foreach { bDir =>
+            val b = bDir.getName.stripPrefix("bid=").toInt
+            val parts = bDir.listFiles().filter(_.getName.endsWith(".parquet"))
+            assert(parts.length == 1,
+              s"expected exactly one file for (partition=$p, bid=$b), " +
+                s"got ${parts.length} — repartition invariant broken")
+            Files.move(parts.head.toPath,
+              Paths.get(cfg.outputDir, s"partition_${p}_batch_$b.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            moved += ((p, b))
+          }
       }
-      val chunks = chunked.select(col("partition"), col("__chunk")).distinct()
-        .collect().map(r => (r.getInt(0), r.getInt(1))).sorted
-      chunks.foreach { case (p, c) =>
-        val bId = bases.getOrElse(p, 0) + c
-        val tmp = s"${cfg.outputDir}/.tmp_${p}_$bId"
-        chunked.filter(col("partition") === p && col("__chunk") === c)
-          .orderBy(col("offset")).select(col("b"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet")).get
-        Files.move(part.toPath,
-          Paths.get(cfg.outputDir, s"partition_${p}_batch_$bId.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val dir = new java.io.File(tmp)
-        dir.listFiles().foreach(_.delete()); dir.delete()
-      }
-      writeBatchBases(cfg.outputDir, bases ++ chunks.groupBy(_._1).map {
-        case (p, cs) => p -> (bases.getOrElse(p, 0) + cs.length)
+    deleteRecursively(tmp.toFile)
+    if (moved.nonEmpty)
+      writeBatchBases(cfg.outputDir, bases ++ moved.groupBy(_._1).map {
+        case (p, bs) => p -> (bs.map(_._2).max + 1)
       })
-    } finally chunked.unpersist()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete()
   }
 
   /** R10: synthetic producer — n records shaped exactly like the

@@ -80,11 +80,15 @@ class PipelineCliSpec extends SparkSpec {
     val expected = (0 to 2).flatMap(b =>
       Seq(s"partition_0_batch_$b.parquet", s"partition_1_batch_$b.parquet")).toSet
     assert(names == expected, s"got $names")
-    // per-file contents: batchSize rows except the tail, offset-ordered payloads
+    // per-file contents: batchSize rows except the tail, offset-ordered
+    // payloads — the exact sequence, pinning the writer's sort preservation
+    // (partition = id % 2, offset = id → p0/b0 is messages 0,2,4,6,8)
     val full = spark.read.parquet(s"${cfg.outputDir}/partition_0_batch_0.parquet")
       .as[String].collect()
-    assert(full.length == 5)
-    assert(full.forall(_.startsWith("Message ")))
+    assert(full.toSeq == (0 to 8 by 2).map(i => s"Message $i"))
+    val b1 = spark.read.parquet(s"${cfg.outputDir}/partition_1_batch_1.parquet")
+      .as[String].collect()
+    assert(b1.toSeq == (11 to 19 by 2).map(i => s"Message $i"))
     val tail0 = spark.read.parquet(s"${cfg.outputDir}/partition_0_batch_2.parquet").count()
     val tail1 = spark.read.parquet(s"${cfg.outputDir}/partition_1_batch_2.parquet").count()
     assert(tail0 == 3 && tail1 == 2, s"tail chunks flushed: $tail0/$tail1")
