@@ -23,11 +23,16 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       println(s"========== $name ==========")
+      graft.operators.Dedup.lastRounds = -1
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.explain("formatted")
       val t0 = System.nanoTime()
       val n = df.count()
       println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      // connected-components queries iterate during construction; surface
+      // how many star rounds that took at this SF (see EXPLAINS.md)
+      if (graft.operators.Dedup.lastRounds >= 0)
+        println(s"ccRounds=${graft.operators.Dedup.lastRounds}")
     }
     spark.stop()
   }

@@ -138,6 +138,14 @@ object Dedup {
     * `checkpointDir` for cluster runs where losing an executor must not
     * kill the lineage.
     */
+  /** Star rounds the most recent [[connectedComponents]] call took before
+    * converging (0 = the input was already disjoint stars and the early
+    * exit fired). Diagnostics only — read by `graft.Explain` and the spec
+    * so the round count at a given SF is observable; not part of the
+    * query contract.
+    */
+  @volatile var lastRounds: Int = -1
+
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -206,6 +214,7 @@ object Dedup {
       prevSig = newSig
       iter += 1
     }
+    lastRounds = iter
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds — " +

@@ -60,6 +60,15 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: star input early-exits in 0 rounds, chains stay O(log n)") {
+    // already-disjoint stars: isStar fires before the loop -> lastRounds 0
+    val stars = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(stars).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(Dedup.lastRounds == 0,
+      s"star input must early-exit without contraction, took ${Dedup.lastRounds}")
+  }
+
   test("connected components converge on a long chain (diameter >> star rounds)") {
     // a 300-hop chain: min-label propagation would need 300 rounds and a
     // fixed cap would silently mislabel; star contraction is O(log n)
@@ -68,6 +77,8 @@ class DedupSpec extends SparkSpec {
     val labels = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
     assert(labels.length == n)
     assert(labels.forall(_._2 == 0L), "every chain node must label to the min id")
+    assert(Dedup.lastRounds <= 10,
+      s"300-hop chain must converge in O(log n) rounds, took ${Dedup.lastRounds}")
   }
 
   test("star-contraction CC equals union-find on random graphs") {
