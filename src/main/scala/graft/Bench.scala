@@ -67,11 +67,33 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val med = times.map { case (k, v) => k -> median(v.toSeq) }
-    val qs = med.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsMin = times.map { case (k, v) => s"\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
+    // The stdout JSON line must stay SHORT: the driver keeps only the last
+    // ~2000 chars of the sbt output (the line shares that window with the
+    // `[info] ` prefix and the `[success] Total time...` trailer, ≈ 1910
+    // usable), and every prior round's line — full-precision doubles +
+    // an inline queries_min map — overflowed it, so the driver never got
+    // a parseable line. Full precision goes to stderr; stdout precision
+    // adapts so the line ALWAYS fits: centiseconds, else deciseconds,
+    // else (last resort) total-only.
+    def fmt(d: Double, dp: Int): String =
+      s"%.${dp}f".format(d).reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val total = med.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"runs":$runs,"sf":"$sfDir"}""")
+    val sf = scala.util.Try(sfDir.split('/').last.stripPrefix("sf").toDouble)
+      .map(_.toString).getOrElse("\"" + sfDir + "\"")
+    def build(dp: Int, withQueries: Boolean): String = {
+      val qs =
+        if (withQueries) med.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dp) }
+          .mkString(""","queries":{""", ",", "}")
+        else ""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$qs,"runs":$runs,"sf":$sf}"""
+    }
+    System.err.println("[bench] medians=" +
+      med.map { case (k, v) => s"$k=$v" }.mkString(",") +
+      " mins=" + times.map { case (k, v) => s"$k=${v.min}" }.mkString(","))
+    val line = Seq(build(2, true), build(1, true), build(2, false))
+      .find(_.length <= 1900)
+      .getOrElse(build(2, false))
+    println(line)
     spark.stop()
   }
 }

@@ -132,6 +132,12 @@ object Similarity {
     * canonicalized logical plan), then a pruned [[ivfQuery]] probe. The
     * query-vector lookup is a point filter on the source table (min/max
     * row-group pruning), not an index scan.
+    *
+    * Staleness contract: the cache key is the analyzed plan's
+    * `semanticHash`, which does NOT see file contents — rewriting the
+    * source parquet mid-session serves the index built from the OLD data;
+    * restart the session (or use a fresh `Scratch` dir) after rewriting
+    * the corpus.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
