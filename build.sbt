@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's single JSON stdout line; sbt's default
+// forked-run output strategy wraps every line in "[info] ", which both
+// breaks a strict per-line JSON parse and eats into the driver's bounded
+// output-tail window. Pass the child's stdout through untouched.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,8 +90,12 @@ object Bench {
     System.err.println("[bench] medians=" +
       med.map { case (k, v) => s"$k=$v" }.mkString(",") +
       " mins=" + times.map { case (k, v) => s"$k=${v.min}" }.mkString(","))
+    // Budget: the driver keeps the last 2000 chars of the sbt output; the
+    // line shares that window only with sbt's "[success] Total time..."
+    // trailer (~75 chars) now that forked-run stdout passes through
+    // unprefixed (build.sbt outputStrategy).
     val line = Seq(build(2, true), build(1, true), build(2, false))
-      .find(_.length <= 1900)
+      .find(_.length <= 1920)
       .getOrElse(build(2, false))
     println(line)
     spark.stop()
