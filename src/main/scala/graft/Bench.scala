@@ -85,7 +85,7 @@ object Bench {
         if (withQueries) med.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dp) }
           .mkString(""","queries":{""", ",", "}")
         else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$qs,"runs":$runs,"sf":$sf}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$qs,"sf":$sf}"""
     }
     System.err.println("[bench] medians=" +
       med.map { case (k, v) => s"$k=$v" }.mkString(",") +

@@ -180,6 +180,18 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Bucket-pruning point lookup: an equality filter on the bucket column
+    // resolves to ONE bucket at planning time (SelectedBucketsCount: 1 out
+    // of 8, plan-asserted in BucketingSpec) — at 100 TB a keyed lookup
+    // reads 1/n-th of the table's files, no shuffle, no full scan.
+    "scan_bucket_prune" -> ((s, d) => {
+      graft.sources.Bucketing.ensure(s, d)
+      s.table(graft.sources.Bucketing.OrdersTable)
+        .filter(col("o_custkey") === 37L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "join_asof" -> ((s, d) =>
       Joins.asof(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
@@ -664,6 +676,10 @@ object RelationalQueries {
                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "scan_bucket_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_custkey = 37 ORDER BY o_orderkey""",
 
     "agg_median" ->
       """SELECT l_returnflag,

@@ -29,6 +29,13 @@ object Bucketing {
     * would silently reintroduce the exchange).
     */
   def ensure(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
+    // The DisableUnnecessaryBucketedScan preparation rule silently falls
+    // back to an UNBUCKETED scan when no downstream operator needs the
+    // bucket distribution — which also discards bucket PRUNING, turning
+    // the scan_bucket_prune point lookup into a full-file sweep (caught by
+    // Explain: "Bucketed: false (disabled by query planner)"). A session
+    // that materialized this layout wants bucketed scans unconditionally.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val fresh = !bucketedFor.contains((d, buckets)) ||
       !s.catalog.tableExists(OrdersTable) || !s.catalog.tableExists(CustomerTable)
     if (fresh) {

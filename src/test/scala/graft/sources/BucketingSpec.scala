@@ -24,4 +24,28 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == plain.count(),
       "bucketed layout must not change join results")
   }
+
+  test("bucket pruning: point lookup on the bucket column reads ONE bucket") {
+    val df = graft.catalog.RelationalQueries.queries("scan_bucket_prune")(spark, sfDir)
+    // executedPlan, NOT sparkPlan: the DisableUnnecessaryBucketedScan
+    // preparation rule runs between them and (before Bucketing.ensure
+    // pinned autoBucketedScan off) silently discarded the bucketed scan —
+    // and with it the pruning this test exists to pin.
+    val prepared = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = prepared.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "no file scan in plan")
+    assert(scan.head.bucketedScan,
+      s"scan fell back to unbucketed: ${scan.head.metadata}")
+    assert(scan.head.optionalBucketSet.exists(_.cardinality() == 1),
+      s"point filter must prune to one bucket: ${scan.head.metadata}")
+    // and the lookup returns the same rows as the unbucketed table
+    val expect = Tables.orders(spark, sfDir).filter(col("o_custkey") === 37L).count()
+    assert(df.count() == expect && expect > 0)
+  }
 }
