@@ -75,8 +75,11 @@ object Bench {
     // a parseable line. Full precision goes to stderr; stdout precision
     // adapts so the line ALWAYS fits: centiseconds, else deciseconds,
     // else (last resort) total-only.
+    // Locale.ROOT: a comma-decimal default locale would emit "74,6" and
+    // make the line exactly as unparseable as the bug this fixes
     def fmt(d: Double, dp: Int): String =
-      s"%.${dp}f".format(d).reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(d))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val total = med.values.sum
     val sf = scala.util.Try(sfDir.split('/').last.stripPrefix("sf").toDouble)
       .map(_.toString).getOrElse("\"" + sfDir + "\"")

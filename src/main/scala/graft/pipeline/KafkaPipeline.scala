@@ -227,17 +227,11 @@ object KafkaPipeline {
             moved += ((p, b))
           }
       }
-    deleteRecursively(tmp.toFile)
+    graft.util.Scratch.delete(tmp.toString)
     if (moved.nonEmpty)
       writeBatchBases(cfg.outputDir, bases ++ moved.groupBy(_._1).map {
         case (p, bs) => p -> (bs.map(_._2).max + 1)
       })
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-      .foreach(deleteRecursively)
-    f.delete()
   }
 
   /** R10: synthetic producer — n records shaped exactly like the

@@ -22,12 +22,15 @@ import graft.operators.Dedup
 class FuzzyKeepOracleSpec extends SparkSpec {
 
   test("fuzzy_keep: CC -> survivors composition matches DuckDB over the kernel's pairs") {
-    assume(Seq("python3", "-c", "import duckdb").! == 0,
+    // Try: a missing python3 binary makes .! throw IOException before
+    // the exit code is seen — that's "tooling unavailable", not a failure
+    assume(scala.util.Try(Seq("python3", "-c", "import duckdb").!).getOrElse(1) == 0,
       "python3+duckdb (driver-side tooling) unavailable")
 
     val docs = Tables.documents(spark, sfDir)
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
-    val tmp = Files.createTempDirectory("graft_fuzzy_keep")
+    val tmp = graft.util.Scratch.fresh("fuzzy_keep_oracle")
+    Files.createDirectories(java.nio.file.Paths.get(tmp))
     val pairsDir = s"$tmp/pairs"
     pairs.write.parquet(pairsDir)
     assert(spark.read.parquet(pairsDir).count() > 0,
@@ -38,10 +41,12 @@ class FuzzyKeepOracleSpec extends SparkSpec {
       pairsDir, s"$sfDir/documents.parquet", outCsv).!
     assert(rc == 0, "fuzzy_keep_oracle.py failed")
 
-    val oracle = scala.io.Source.fromFile(outCsv).getLines().drop(1)
-      .map(_.split(",") match {
-        case Array(lang, n, chars) => (lang, n.toLong, chars.toLong)
-      }).toSeq
+    val oracle = scala.util.Using.resource(scala.io.Source.fromFile(outCsv)) { src =>
+      src.getLines().drop(1)
+        .map(_.split(",") match {
+          case Array(lang, n, chars) => (lang, n.toLong, chars.toLong)
+        }).toSeq
+    }
     val got = LlmQueries.queries("llm_dedup_fuzzy_keep")(spark, sfDir)
       .select(col("lang"), col("n_kept"), col("kept_chars"))
       .collect()
