@@ -106,6 +106,14 @@ object StreamingQueries {
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
 
+    // dropDuplicates("event_id") → per-type counts is portable WHEN
+    // event_id → event_type is functional (true of this data, asserted in
+    // EventTimeSpec): keeping an arbitrary row per id then counting by
+    // type equals counting distinct ids per type.
+    "stream_dedup" ->
+      """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
     "stream_interval_join" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id,
                 floor((r.value - l.value) * 100.0 + 0.5) / 100.0 AS value_delta

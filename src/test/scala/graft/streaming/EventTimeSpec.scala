@@ -84,6 +84,20 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup oracle precondition: event_id determines event_type") {
+    // The DuckDB twin (count(DISTINCT event_id) per type) equals
+    // dropDuplicates-then-count ONLY while event_id → event_type is
+    // functional; if the generator ever plants conflicting-type dup ids,
+    // this fails loudly instead of the oracle hash drifting.
+    import org.apache.spark.sql.functions.countDistinct
+    val conflicting = graft.Tables.events(spark, sfDir)
+      .groupBy("event_id")
+      .agg(countDistinct("event_type").as("nt"))
+      .filter(col("nt") > 1)
+    assert(conflicting.isEmpty,
+      "event_id maps to multiple event_types — stream_dedup's SQL twin is no longer valid")
+  }
+
   test("stream-stream interval join pairs events within the window, streaming = batch") {
     val clicks = Seq(
       Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
