@@ -106,6 +106,15 @@ object StreamingQueries {
                 CAST(count(*) AS BIGINT) AS n
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
 
+    // End-to-end pipeline oracle: what the streaming sink persisted must
+    // be exactly the projected source rows — no loss (tail batch
+    // included), no duplicates (checkpointed exactly-once), b = the
+    // invalid-UTF-8→"" projection of props (a parquet VARCHAR is always
+    // valid UTF-8, so only the null→"" leg differs from identity).
+    "kafka_pipeline" ->
+      """SELECT coalesce(props, '') AS b, event_id
+         FROM events ORDER BY event_id""",
+
     // dropDuplicates("event_id") → per-type counts is portable WHEN
     // event_id → event_type is functional (true of this data, asserted in
     // EventTimeSpec): keeping an arbitrary row per id then counting by
