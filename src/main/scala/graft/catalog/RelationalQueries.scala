@@ -77,6 +77,25 @@ object RelationalQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // ORC round-trip: the third columnar format (fully typed like parquet,
+    // no schema-on-read needed). Same write→read→aggregate shape as
+    // sink_roundtrip so the oracle is the plain aggregate over the source.
+    "sink_roundtrip_orc" -> ((s, d) => {
+      val tmp = graft.util.Scratch.fresh("sink_roundtrip_orc")
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          (sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_price"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // ---- filters / projections ----------------------------------------
     "filter_compound" -> ((s, d) =>
       Tables.orders(s, d)
@@ -191,6 +210,20 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // Partition-pruning scan: a filter on the Hive-partition column
+    // resolves to ONE directory at planning time (PartitionFilters in the
+    // scan node, asserted by PartitionedSpec) — the other ~4/5 of the
+    // table's files are never even listed. The directory-layout twin of
+    // scan_bucket_prune's hash-bucket pruning.
+    "scan_partition_prune" -> ((s, d) =>
+      graft.sources.Partitioned.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus"))),
 
     "join_asof" -> ((s, d) =>
       Joins.asof(
@@ -680,6 +713,19 @@ object RelationalQueries {
     "scan_bucket_prune" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders WHERE o_custkey = 37 ORDER BY o_orderkey""",
+
+    "scan_partition_prune" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "sink_roundtrip_orc" ->
+      """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                round(sum(l_quantity), 2) AS sum_qty,
+                sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         FROM lineitem WHERE l_quantity >= 45
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
 
     "agg_median" ->
       """SELECT l_returnflag,

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
-  private val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
-  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+  // private[graft]: LlmQueries builds the DuckDB IN-lists from these same
+  // values, so the Spark exprs and the SQL twins cannot drift apart.
+  private[graft] val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val StopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private[graft] val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu")
 
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
