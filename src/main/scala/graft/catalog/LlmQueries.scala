@@ -68,6 +68,43 @@ object LlmQueries {
     s"concat(coalesce(CAST(label AS VARCHAR), '∅'), '|', " +
       s"${VectorFns.signBucketSql("embedding", LshBits)})"
 
+  /** Quality-gate thresholds shared by `llm_quality_filter`'s Spark side
+    * and its SQL twin: composite score floor, token-count band. 0.5 splits
+    * the corpus near its quality median (121/500 docs survive all three
+    * gates at sf0.01) so the filter is non-trivial in both directions.
+    */
+  private val QualityMin = 0.5
+  private val QualityTokMin = 10
+  private val QualityTokMax = 1000
+
+  /** DuckDB stop-word-hit count, built from the SAME Scala list the Spark
+    * expressions use (TextAnalysis.Stop*) — single-sourced across engines.
+    */
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN " +
+      words.mkString("('", "','", "')") + "))"
+
+  /** DuckDB twin of TextAnalysis.langId's argmax (ties: en > es > de). */
+  private def predictedLangSql: String = {
+    val en = hitsSql(TextAnalysis.StopEn)
+    val es = hitsSql(TextAnalysis.StopEs)
+    val de = hitsSql(TextAnalysis.StopDe)
+    s"""CASE
+          WHEN $en = 0 AND $es = 0 AND $de = 0 THEN 'unknown'
+          WHEN $en >= $es AND $en >= $de THEN 'en'
+          WHEN $es >= $de THEN 'es'
+          ELSE 'de'
+        END"""
+  }
+
+  /** DuckDB twin of TextAnalysis's composite quality score (floor-rounded
+    * to 4 dp, the portable form).
+    */
+  private def qualitySql: String =
+    s"""floor((least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0) * 0.5 +
+          (${hitsSql(TextAnalysis.StopEn)}::DOUBLE /
+           len(string_split(text, ' '))::DOUBLE) * 0.5) * 10000.0 + 0.5) / 10000.0"""
+
   val queries: Map[String, QFn] = Map(
     // ---- deduplication -------------------------------------------------
     "llm_dedup_exact" -> ((s, d) =>
@@ -252,6 +289,37 @@ object LlmQueries {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // The shipped curation gate: quality score + language agreement +
+    // token band computed in ONE pass over the corpus (no join of
+    // per-signal scans), survivors counted per (lang, source). min/max of
+    // the per-row quality stand in for avg — they are order-independent
+    // doubles, so the hash compare never hinges on float accumulation
+    // order across partitions.
+    "llm_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d),
+          QualityMin, QualityTokMin, QualityTokMax)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+        .orderBy(col("lang"), col("source"))),
+
+    // Deterministic per-source downsample: top-3 docs per source in
+    // md5(text) order — a content-hash shuffle that is reproducible,
+    // layout-independent, and portable (both engines compute the same md5
+    // hex), unlike rand()-based sampling. The data-mixing primitive: "take
+    // N docs per source" with no RNG state to carry. Scale path: the
+    // window is partitioned by source, so each source's rows sort locally
+    // — no global sort, no driver involvement.
+    "llm_sample_per_source" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk"), col("doc_id"), col("lang"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Content-hash stratified sample (layout-independent membership —
     // xxhash64-specific, no SQL twin → rows-only; reproducibility and
     // fraction accuracy unit-asserted in SamplingSpec).
@@ -261,6 +329,13 @@ object LlmQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))),
+
+    // Per-label centroids (the k-means/IVF building block, here oracled);
+    // map-side-combining + exact integer micro-unit sums — see
+    // Similarity.labelCentroids.
+    "llm_embed_centroid" -> ((s, d) =>
+      Similarity.labelCentroids(Tables.embeddings(s, d), "label")
+        .orderBy(col("label"), col("dim"))),
 
     // ---- multimodal ----------------------------------------------------
     // text + vector + metadata in one row (the lakehouse multimodal layout)
@@ -553,6 +628,37 @@ object LlmQueries {
                                          ORDER BY score DESC, token) AS rnk
                FROM scored)
          WHERE rnk <= 5 ORDER BY lang, rnk""",
+
+    "llm_quality_filter" ->
+      s"""WITH f AS (
+           SELECT doc_id, lang, source,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  $qualitySql AS quality,
+                  $predictedLangSql AS predicted_lang
+           FROM documents
+         )
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_kept,
+                min(quality) AS min_q, max(quality) AS max_q
+         FROM f
+         WHERE quality >= $QualityMin AND predicted_lang = lang
+           AND n_tokens BETWEEN $QualityTokMin AND $QualityTokMax
+         GROUP BY lang, source ORDER BY lang, source""",
+
+    "llm_sample_per_source" ->
+      """SELECT source, CAST(rk AS INT) AS rk, doc_id, lang
+         FROM (SELECT source, doc_id, lang,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY md5(text), doc_id) AS rk
+               FROM documents)
+         WHERE rk <= 3 ORDER BY source, rk""",
+
+    "llm_embed_centroid" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+                floor(sum(CAST(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5) AS BIGINT))::DOUBLE
+                      / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS centroid
+         FROM embeddings,
+              LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+         GROUP BY label, i ORDER BY label, dim""",
 
     "llm_multimodal_schema" ->
       """SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim,

@@ -29,6 +29,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group vector centroids over an embedding column — the k-means /
+    * IVF / diversity-sampling building block. `posexplode` fans each
+    * vector out to (dim, value) rows, but map-side partial aggregation
+    * collapses them to groups×dims partial sums BEFORE the shuffle: at
+    * 100 TB the exchange carries ~|groups|·dims rows per map partition,
+    * not |vectors|·dims. Elements are fixed to integer micro-units
+    * (1e-6) before summing — bigint sums are exact and order-independent,
+    * so results never depend on float accumulation order across
+    * partitions (and hash-match the SQL twin); the 1e-6 quantization is
+    * far below any embedding's meaningful precision.
+    */
+  def labelCentroids(emb: DataFrame, groupCol: String,
+      decimals: Int = 4): DataFrame =
+    emb.select(col(groupCol), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Rounding.roundTo(
+          sum(floor(col("v") * 1000000.0 + 0.5).cast("long")).cast("double")
+            / 1000000.0 / count(lit(1)).cast("double"), decimals).as("centroid"))
+
   /** All-pairs cosine >= `threshold`, blocked by `blockCol` (LSH-style
     * blocking: only same-block pairs are compared, keeping the join
     * output linear in block sizes rather than O(n²) on the corpus).

@@ -56,6 +56,40 @@ object TextAnalysis {
         (stop.cast("double") / nTok.cast("double")) * 0.5, 4).as("quality"))
   }
 
+  /** One-pass C4-style quality gate: the composite quality score, the
+    * stop-word-argmax predicted language and the token count are computed
+    * INLINE in a single projection (no scan-per-signal + join — at 100 TB
+    * re-reading the corpus once per filter signal is the difference
+    * between one pass and four), then rows are kept when
+    * quality >= minQuality, the predicted language agrees with the
+    * recorded one, and the token count is inside [minTok, maxTok].
+    * Pure map: embarrassingly parallel, no shuffle, whole-stage codegen.
+    * The score/argmax expressions are the same ones behind
+    * [[qualityScore]]/[[langId]] (oracle-verified per-row); this composes
+    * them into the keep/drop decision a curation pipeline actually ships.
+    */
+  def qualityFilter(docs: DataFrame, minQuality: Double,
+                    minTok: Int, maxTok: Int): DataFrame = {
+    import graft.functions.Rounding.roundTo
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val en = countIn(toks, StopEn); val es = countIn(toks, StopEs)
+    val de = countIn(toks, StopDe)
+    val quality = roundTo(least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
+      (en.cast("double") / nTok.cast("double")) * 0.5, 4)
+    val predicted = when(en === 0 && es === 0 && de === 0, "unknown")
+      .when(en >= es && en >= de, "en")
+      .when(es >= de, "es")
+      .otherwise("de")
+    docs
+      .withColumn("n_tokens", nTok.cast("int"))
+      .withColumn("quality", quality)
+      .withColumn("predicted_lang", predicted)
+      .filter(col("quality") >= minQuality &&
+        col("predicted_lang") === col("lang") &&
+        col("n_tokens").between(minTok, maxTok))
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * (letter runs | digit runs | single punctuation), the standard
     * pre-tokenizer shape.

@@ -21,6 +21,18 @@ class SamplingSpec extends SparkSpec {
     assert(a == c, "membership must not depend on partitioning (rand-based sampleBy fails this)")
   }
 
+  test("per-source md5 sample: exactly N per source, layout-independent") {
+    def sample() =
+      graft.catalog.LlmQueries.queries("llm_sample_per_source")(spark, sfDir)
+        .select(col("source"), col("doc_id")).as[(String, Long)].collect()
+    val out = sample()
+    val perSource = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perSource.nonEmpty && perSource.values.forall(_ == 3),
+      s"expected 3 per source: $perSource")
+    // deterministic: a second run picks the identical doc_ids
+    assert(out.toSeq == sample().toSeq)
+  }
+
   test("per-stratum fractions are honored within Bernoulli tolerance") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01") // more rows per stratum
     val totals = docs.groupBy(col("lang")).count().as[(String, Long)].collect().toMap

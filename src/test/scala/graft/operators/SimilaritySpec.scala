@@ -54,6 +54,26 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.contains("cid"), s"probe scan not pruned on cid: PartitionFilters=$pf")
   }
 
+  test("labelCentroids: exact known means, layout-independent") {
+    val in = Seq(
+      (1L, Array(1.0f, -2.0f), 7),
+      (2L, Array(3.0f, 4.0f), 7),
+      (3L, Array(10.0f, 0.5f), 8))
+      .toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.labelCentroids(df, "label")
+        .orderBy("label", "dim")
+        .as[(Int, Int, Long, Double)].collect().toSeq
+    val out = run(in)
+    assert(out === Seq(
+      (7, 0, 2L, 2.0),  // (1+3)/2
+      (7, 1, 2L, 1.0),  // (-2+4)/2
+      (8, 0, 1L, 10.0),
+      (8, 1, 1L, 0.5)))
+    // exact bigint partial sums: result identical under any partitioning
+    assert(run(in.repartition(5)) === out)
+  }
+
   test("sign-LSH composite block yields a non-empty subset of label-blocked pairs") {
     import org.apache.spark.sql.functions.concat_ws
     def pairs(df: org.apache.spark.sql.DataFrame) =

@@ -29,6 +29,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) === Row(1L, 2, 0.0))
   }
 
+  test("qualityFilter: each gate rejects independently, survivor passes all three") {
+    import spark.implicits._
+    // 25 stop-words out of 50 tokens -> quality = 0.5*1.0 + 0.5*0.5 = 0.75
+    val good = (("the " * 25) + ("x " * 25)).trim
+    // quality high but Spanish stop-words dominate -> predicted 'es' != 'en'
+    val wrongLang = (("el " * 25) + ("x " * 25)).trim
+    // only 5 tokens -> fails the [10, 1000] token band (quality would pass)
+    val short = "the the the a a"
+    // 50 tokens, zero stop-words -> quality = 0.5*1.0 + 0 = 0.5 boundary
+    val boundary = ("x " * 50).trim
+    val in = Seq(
+      (1L, good, "en"), (2L, wrongLang, "en"), (3L, short, "en"),
+      (4L, boundary, "en"))
+      .toDF("doc_id", "text", "lang")
+    val kept = TextAnalysis.qualityFilter(in, 0.5, 10, 1000)
+      .select("doc_id").as[Long].collect().toSet
+    // boundary: quality == 0.5 passes (>=) but predicts 'unknown' != 'en'
+    assert(kept === Set(1L))
+    // relax the lang gate by recording what the argmax predicts
+    val in2 = Seq((2L, wrongLang, "es"), (4L, boundary, "unknown"))
+      .toDF("doc_id", "text", "lang")
+    val kept2 = TextAnalysis.qualityFilter(in2, 0.5, 10, 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(2L, 4L))
+  }
+
   test("fingerprint: null text fingerprints as empty") {
     val out = TextAnalysis
       .fingerprint(docs(1L -> null, 2L -> "ab"))
