@@ -225,6 +225,25 @@ object RelationalQueries {
             .as("sum_price"))
         .orderBy(col("o_orderstatus"))),
 
+    // Dynamic partition pruning: the fact side is the priority-partitioned
+    // orders layout, the dim side a 5-row broadcast filtered to tier='hot'.
+    // Catalyst plans a DynamicPruningExpression on the fact scan's
+    // PartitionFilters (asserted in PartitionedSpec) that REUSES the dim's
+    // broadcast to decide, at runtime, which priority directories to read
+    // — here 2 of 5. At 100 TB this is the star-schema workhorse: the
+    // fact table is pruned by a predicate that only exists on the dim.
+    "join_dpp" -> ((s, d) => {
+      val fact = graft.sources.Partitioned.orders(s, d)
+      val dim = broadcast(graft.sources.Partitioned.priorityDim(s)
+        .filter(col("tier") === "hot"))
+      fact.join(dim, Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "join_asof" -> ((s, d) =>
       Joins.asof(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
@@ -364,6 +383,27 @@ object RelationalQueries {
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
           expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))
         .orderBy(col("l_returnflag"))),
+
+    // Ordered-funnel depth per user (the product-analytics windowFunnel):
+    // ONE grouped pass computes each user's earliest view/click/purchase
+    // times via conditional min — no self-joins, no per-stage scans —
+    // then depth = how far the strictly-ordered chain got. Conditional
+    // partial_min is map-side combinable, so the shuffle carries one row
+    // per (map partition, user).
+    "agg_funnel" -> ((s, d) => {
+      val stage = Tables.events(s, d).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      val depth = when(col("t_view").isNull, 0)
+        .when(col("t_click").isNull || !(col("t_click") > col("t_view")), 1)
+        .when(col("t_purchase").isNull || !(col("t_purchase") > col("t_click")), 2)
+        .otherwise(3)
+      stage.select(depth.cast("int").as("funnel_depth"))
+        .groupBy(col("funnel_depth"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("funnel_depth"))
+    }),
 
     // ---- window functions ----------------------------------------------
     "window_rank" -> ((s, d) => {
@@ -719,6 +759,30 @@ object RelationalQueries {
                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
          FROM orders WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "join_dpp" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+          FROM orders JOIN ${graft.sources.Partitioned.priorityTiersSql}
+               USING (o_orderpriority)
+          WHERE tier = 'hot'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // epoch_us not needed: DuckDB reads the TIMESTAMP(NANOS) parquet as
+    // µs-truncated TIMESTAMP, exactly matching Tables.events' `div 1000`.
+    "agg_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           FROM events GROUP BY user_id)
+         SELECT CAST(CASE WHEN t_view IS NULL THEN 0
+                          WHEN t_click IS NULL OR NOT (t_click > t_view) THEN 1
+                          WHEN t_purchase IS NULL OR NOT (t_purchase > t_click) THEN 2
+                          ELSE 3 END AS INT) AS funnel_depth,
+                CAST(count(*) AS BIGINT) AS n_users
+         FROM f GROUP BY 1 ORDER BY 1""",
 
     "sink_roundtrip_orc" ->
       """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,

@@ -45,4 +45,38 @@ object Partitioned {
     */
   def orders(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ordersByPriority(s, d))
+
+  /** The priority→tier dimension joined against the partitioned fact in
+    * `join_dpp`. Single-sourced: the Spark dim parquet AND the oracle's
+    * VALUES list are both built from this Seq, so the engines cannot
+    * disagree on the mapping.
+    */
+  val PriorityTiers: Seq[(String, String)] = Seq(
+    "1-URGENT" -> "hot", "2-HIGH" -> "hot",
+    "3-MEDIUM" -> "cold", "4-NOT SPECIFIED" -> "cold", "5-LOW" -> "cold")
+
+  /** DuckDB VALUES twin of [[PriorityTiers]]. */
+  def priorityTiersSql: String =
+    PriorityTiers.map { case (p, t) => s"('$p', '$t')" }
+      .mkString("(VALUES ", ", ", ") dim(o_orderpriority, tier)")
+
+  private var dimBuilt = false
+  private var dimPath: String = _
+
+  /** Materialize [[PriorityTiers]] as a parquet dim once per JVM. It must
+    * be a FILE relation, not a LocalRelation: dynamic partition pruning
+    * only plans a pruning subquery against a real scan — an in-memory
+    * literal dim would constant-fold the join away entirely.
+    */
+  def priorityDim(s: SparkSession): DataFrame = synchronized {
+    if (!dimBuilt) {
+      import s.implicits._
+      val p = graft.util.Scratch.fresh("priority_dim")
+      PriorityTiers.toDF("o_orderpriority", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      dimPath = p
+      dimBuilt = true
+    }
+    s.read.parquet(dimPath)
+  }
 }

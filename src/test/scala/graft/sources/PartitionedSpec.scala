@@ -29,6 +29,33 @@ class PartitionedSpec extends SparkSpec {
       s"partition predicate leaked into dataFilters: ${scan.head.dataFilters}")
   }
 
+  test("join_dpp: dim filter prunes fact partitions at RUNTIME via DPP") {
+    val df = graft.catalog.RelationalQueries.queries("join_dpp")(spark, sfDir)
+    // the dynamic pruning subquery is planned before execution — it lives
+    // in the scan's partitionFilters as a DynamicPruningExpression.
+    // AdaptiveSparkPlanExec exposes no children, so unwrap it first.
+    val prepared = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = prepared.collectWithSubqueries {
+      case s: FileSourceScanExec if s.partitionFilters.nonEmpty => s
+    }
+    val dpp = scans.flatMap(_.partitionFilters).exists {
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])
+    }
+    assert(dpp, s"expected a DynamicPruningExpression on the fact scan:\n" +
+      df.queryExecution.executedPlan)
+    // and the pruned join returns exactly the plain-join rows
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1-URGENT", "2-HIGH"))
+    val expect = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count()
+    assert(rows.map(_.getLong(1)).sum == expect)
+  }
+
   test("partitioned layout round-trips values with spaces and all rows") {
     val part = Partitioned.orders(spark, sfDir)
     val src = Tables.orders(spark, sfDir)
