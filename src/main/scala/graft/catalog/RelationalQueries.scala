@@ -244,6 +244,34 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Runtime bloom-filter semi-join reduction: the selective dim filter
+    // (one brand of 25, ~4% of part at every SF) is turned into a bloom
+    // filter that pre-filters lineitem BEFORE its shuffle — at 100 TB the
+    // fact side's exchange shrinks ~10× for rows that would fail the join
+    // anyway. Planned by InjectRuntimeFilter when the join shuffles (a
+    // broadcast join gets the same effect from the hash relation itself),
+    // so broadcasting is disabled and the thresholds that gate the rule at
+    // petabyte sizes are lowered — in a DEDICATED child session: session
+    // conf is planning-time state, and mutating the shared session would
+    // perturb every other query's plan. Plan-asserted in JoinsSpec.
+    "join_bloom_filtered" -> ((s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.lineitem(s2, d)
+        .join(Tables.part(s2, d).filter(col("p_brand") === "Brand#13"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")) / 100.0).as("revenue"))
+        .orderBy(col("p_size"))
+    }),
+
     "join_asof" -> ((s, d) =>
       Joins.asof(
         Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
@@ -767,6 +795,15 @@ object RelationalQueries {
                USING (o_orderpriority)
           WHERE tier = 'hot'
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // bloom filtering is semantics-preserving — the oracle is the plain
+    // filtered join
+    "join_bloom_filtered" ->
+      """SELECT p_size, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) / 100.0 AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#13'
+         GROUP BY p_size ORDER BY p_size""",
 
     // epoch_us not needed: DuckDB reads the TIMESTAMP(NANOS) parquet as
     // µs-truncated TIMESTAMP, exactly matching Tables.events' `div 1000`.

@@ -36,6 +36,25 @@ class JoinsSpec extends SparkSpec {
     assert(out(104L) == ((None, None)))
   }
 
+  test("join_bloom_filtered: runtime bloom filter lands on the fact side") {
+    val df = graft.catalog.RelationalQueries
+      .queries("join_bloom_filtered")(spark, sfDir)
+    // InjectRuntimeFilter runs during optimization — the marker is a
+    // BloomFilterMightContain predicate over the fact's join key
+    val optimized = df.queryExecution.optimizedPlan
+    val hasBloom = optimized.exists(_.expressions.exists(_.exists(
+      _.getClass.getSimpleName == "BloomFilterMightContain")))
+    assert(hasBloom, s"expected BloomFilterMightContain in:\n$optimized")
+    // semantics-preserving: equals the plain join aggregate (non-empty)
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val expect = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir).filter(col("p_brand") === "Brand#13"),
+        col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(expect > 0, "test data must join non-trivially")
+    assert(df.agg(fsum("n")).head().getLong(0) == expect)
+  }
+
   test("salted equi-join equals the plain join on skewed data") {
     // key 1 is hot: 500 of 520 left rows
     val left = ((1 to 500).map(i => (1L, i.toLong)) ++
