@@ -52,6 +52,30 @@ object StreamingQueries {
         .orderBy(col("l_id"), col("r_id"))
     }),
 
+    // foreachBatch keyed upsert: a REAL streaming query (file source,
+    // AvailableNow) maintains an external latest-event-per-user table via
+    // merge + atomic state swap; the query returns the final state.
+    // Multi-batch merge (later batch wins) is golden-tested in
+    // EventTimeSpec via mergeLatest on split batches.
+    "stream_upsert" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("stream_upsert")
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      val src = KafkaPipeline.fileStream(s, d, rawSchema, glob = "events.parquet")
+      // normalize nano-epoch longs to µs timestamps (like Tables.events)
+      // BEFORE the merge: DuckDB compares µs-truncated times, and a
+      // sub-µs difference would otherwise tie-break differently
+      val ev = if (src.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else src
+      val q = EventTime.upsertLatest(ev, s"$base/state", s"$base/chk")
+      q.awaitTermination()
+      s.read.parquet(s"$base/state")
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // R1→R4 end-to-end (SURVEY §2.A): stream the events table through the
     // reference's projection + size-batched parquet sink, then return what
     // landed on disk.
@@ -77,6 +101,15 @@ object StreamingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the upsert's final state is just the per-user argmax over all events
+    "stream_upsert" ->
+      """SELECT user_id, event_id, event_type AS last_type, value AS last_value
+         FROM (SELECT user_id, event_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+
     // Spark's session_window starts a NEW session when the gap is >= 30
     // minutes (windows are [start, last+gap) half-open); the lag-based
     // flag mirrors that. session_value = cent-scaled integer sum (order-

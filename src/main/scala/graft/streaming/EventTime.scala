@@ -1,5 +1,6 @@
 package graft.streaming
 
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -89,6 +90,49 @@ object EventTime {
     * fixed-size SessionState: bounded memory, scales with distinct live
     * users, not event volume.
     */
+  /** foreachBatch keyed upsert — the standard streaming-merge sink: the
+    * external state table at `stateDir` always holds each user's LATEST
+    * event (by ts, then event_id). Every micro-batch is reduced to its
+    * per-user winners, merged against the current state, and the state is
+    * swapped atomically (write tmp → rename), so a reader never sees a
+    * half-written table and a crash between batches leaves the previous
+    * consistent state + the checkpoint to replay from. State size is
+    * O(distinct users), not event volume. At 100 TB the same shape runs
+    * against a transactional table format's MERGE INTO; plain parquet +
+    * swap keeps the contract visible here.
+    */
+  def upsertLatest(events: DataFrame, stateDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, _: Long) => mergeLatest(batch, stateDir))
+      .start()
+
+  private[graft] val UpsertCols =
+    Seq("user_id", "event_id", "event_type", "value", "ts")
+
+  /** One upsert merge: per-user latest of (state ∪ batch) replaces the
+    * state. Exposed for batch-mode tests; called per micro-batch above.
+    */
+  private[graft] def mergeLatest(batch: DataFrame, stateDir: String): Unit = {
+    val s = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+    def latestOf(df: DataFrame): DataFrame =
+      df.select(UpsertCols.map(col): _*)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val merged =
+      if (Files.exists(Paths.get(stateDir)))
+        latestOf(s.read.parquet(stateDir).unionByName(latestOf(batch)))
+      else latestOf(batch)
+    val tmp = stateDir + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    graft.util.Scratch.delete(stateDir)
+    if (!new java.io.File(tmp).renameTo(new java.io.File(stateDir)))
+      sys.error(s"state swap failed: $tmp -> $stateDir")
+  }
+
   def sessionizeStateful(spark: SparkSession, events: DataFrame,
       gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import spark.implicits._

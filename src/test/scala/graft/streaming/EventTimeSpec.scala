@@ -155,6 +155,31 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert merge: later batch wins per user, state swap survives batches") {
+    val state = graft.util.Scratch.fresh("upsert_spec")
+    // batch 1: users 1 and 2
+    EventTime.mergeLatest(Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 11:00:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 10:00:00"), 2, "buy", 3.0)
+    ).toDF(), state)
+    // batch 2: user 1 newer event, user 2 OLDER event (must NOT win),
+    // user 3 new; plus an equal-ts pair for user 3 (event_id tiebreak)
+    EventTime.mergeLatest(Seq(
+      Ev(9, ts("2024-01-01 12:00:00"), 1, "buy", 9.0),
+      Ev(1, ts("2024-01-01 09:00:00"), 2, "view", 0.5),
+      Ev(4, ts("2024-01-01 10:00:00"), 3, "click", 4.0),
+      Ev(5, ts("2024-01-01 10:00:00"), 3, "view", 5.0)
+    ).toDF(), state)
+    val got = spark.read.parquet(state)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 9L, "buy"),   // batch-2 newer event replaced the state
+      (2L, 3L, "buy"),   // batch-2 older event did NOT
+      (3L, 5L, "view"))) // equal ts: higher event_id wins
+  }
+
   test("session windows group by 30-minute inactivity gap") {
     val rows = EventTime.sessionStats(Tables.events(spark, sfDir)).collect()
     assert(rows.nonEmpty)
