@@ -320,6 +320,28 @@ object LlmQueries {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // Sequence packing (training-batch assembly): docs are packed into
+    // fixed 512-token context windows in deterministic doc_id order per
+    // language — bin = floor(tokens-before-this-doc / 512), the
+    // fixed-order streaming-pack semantics (a doc that crosses a boundary
+    // belongs to the bin where it starts). One window cumsum per lang
+    // partition, embarrassingly parallel across langs; no driver-side
+    // packing loop. Output: per-bin doc counts and token sums.
+    "llm_pack_sequences" -> ((s, d) => {
+      val budget = 512
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("bin",
+          floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / (budget * 1.0)))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // Content-hash stratified sample (layout-independent membership —
     // xxhash64-specific, no SQL twin → rows-only; reproducibility and
     // fraction accuracy unit-asserted in SamplingSpec).
@@ -643,6 +665,22 @@ object LlmQueries {
          WHERE quality >= $QualityMin AND predicted_lang = lang
            AND n_tokens BETWEEN $QualityTokMin AND $QualityTokMax
          GROUP BY lang, source ORDER BY lang, source""",
+
+    "llm_pack_sequences" ->
+      """WITH t AS (
+           SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents
+         ), c AS (
+           SELECT lang, doc_id, n_tokens,
+                  coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM t
+         )
+         SELECT lang, CAST(floor(cum_before / 512.0) AS BIGINT) AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc
+         FROM c GROUP BY lang, bin ORDER BY lang, bin""",
 
     "llm_sample_per_source" ->
       """SELECT source, CAST(rk AS INT) AS rk, doc_id, lang

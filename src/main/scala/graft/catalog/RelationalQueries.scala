@@ -96,6 +96,29 @@ object RelationalQueries {
         .orderBy(col("l_linestatus"))
     }),
 
+    // Schema evolution read: two parquet generations (v=2 adds
+    // o_totalprice), merged with mergeSchema — rows from the old
+    // generation surface the new column as NULL, and the generation
+    // directory becomes a readable partition column. The lakehouse
+    // reality check: a 100 TB table is never written by one schema.
+    "scan_schema_merge" -> ((s, d) => {
+      val tmp = graft.util.Scratch.fresh("scan_schema_merge")
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.parquet(s"$tmp/v=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.parquet(s"$tmp/v=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_priced"),
+          (sum(floor(coalesce(col("o_totalprice"), lit(0.0)) * 100.0 + 0.5)
+            .cast("long")) / 100.0).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- filters / projections ----------------------------------------
     "filter_compound" -> ((s, d) =>
       Tables.orders(s, d)
@@ -820,6 +843,15 @@ object RelationalQueries {
                           ELSE 3 END AS INT) AS funnel_depth,
                 CAST(count(*) AS BIGINT) AS n_users
          FROM f GROUP BY 1 ORDER BY 1""",
+
+    // old-generation rows (even keys) have no o_totalprice → NULL, folded
+    // as 0 in the cent-scaled sum, invisible to n_priced
+    "scan_schema_merge" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_priced,
+                sum(CAST(floor(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END
+                               * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "sink_roundtrip_orc" ->
       """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
