@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFns
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Windows}
 
 /** SURVEY §2.B LLM-data-pipeline block (BASELINE.json north-star):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -128,6 +128,23 @@ object LlmQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, charBucket = 100,
         threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))),
+
+    // C4-style chunk-level dedup stats: per-doc duplicated-chunk fraction
+    // over consecutive 10-token chunks; multiplicity via ONE window
+    // shuffle on (xxhash64, length) — see Dedup.chunkDupStats.
+    "llm_dedup_lines" -> ((s, d) =>
+      Dedup.chunkDupStats(Tables.documents(s, d), chunkTokens = 10)
+        .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: corpus docs sharing any 4-token gram with
+    // the probe set (doc_id < 5); probe grams broadcast, corpus side never
+    // shuffles for the membership test — see Dedup.contaminationHits.
+    // 4-gram keeps the hit set non-trivial both ways at sf0.01 (11 of 500
+    // docs contaminated) and sf0.001 (9 of 500).
+    "llm_contamination" -> ((s, d) =>
+      Dedup.contaminationHits(Tables.documents(s, d), probeMaxId = 5L,
+        gramLen = 4)
+        .orderBy(col("doc_id"))),
 
     // Embedding-cosine near-dup: a doc is dropped when a same-block doc
     // with a smaller id is cosine-similar above threshold; keep = best
@@ -324,17 +341,20 @@ object LlmQueries {
     // fixed 512-token context windows in deterministic doc_id order per
     // language — bin = floor(tokens-before-this-doc / 512), the
     // fixed-order streaming-pack semantics (a doc that crosses a boundary
-    // belongs to the bin where it starts). One window cumsum per lang
-    // partition, embarrassingly parallel across langs; no driver-side
-    // packing loop. Output: per-bin doc counts and token sums.
+    // belongs to the bin where it starts). The per-lang cumulative token
+    // count is Windows.partitionedPrefixSum — a naive
+    // Window.partitionBy(lang) puts a whole language on ONE task, and a
+    // 100 TB corpus has ~5 of those; the two-pass form stays distributed
+    // at any scope size (bucket = 100-doc id ranges here; a production
+    // caller sizes buckets to one task's rows).
     "llm_pack_sequences" -> ((s, d) => {
       val budget = 512
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.documents(s, d)
-        .withColumn("n_tokens", size(split(col("text"), " ")))
-        .withColumn("bin",
-          floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / (budget * 1.0)))
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      Windows.partitionedPrefixSum(docs, col("n_tokens"),
+          Seq("lang"), floor(col("doc_id") / 100).cast("long"),
+          Seq(col("doc_id")), "cum_before")
+        .withColumn("bin", floor(col("cum_before") / (budget * 1.0)))
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("sum_tokens"),
@@ -358,6 +378,13 @@ object LlmQueries {
     "llm_embed_centroid" -> ((s, d) =>
       Similarity.labelCentroids(Tables.embeddings(s, d), "label")
         .orderBy(col("label"), col("dim"))),
+
+    // int8 quantization error audit per label (float32 → int8 storage
+    // planning); exact 1e-12-unit bigint error sums — see
+    // Similarity.quantizeError.
+    "llm_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeError(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
 
     // ---- multimodal ----------------------------------------------------
     // text + vector + metadata in one row (the lakehouse multimodal layout)
@@ -423,6 +450,40 @@ object LlmQueries {
          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.2
          ORDER BY a_id, b_id""",
+
+    // chunk = consecutive 10-token window (last chunk short); a chunk is
+    // duplicated when its text occurs elsewhere in the corpus
+    "llm_dedup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         c AS (
+           SELECT doc_id,
+                  array_to_string(toks[(i-1)*10+1 : least(i*10, len(toks))], ' ') AS chunk
+           FROM t, LATERAL (SELECT unnest(generate_series(1,
+                  CAST(ceil(len(toks)/10.0) AS BIGINT))) AS i) u
+         ),
+         m AS (SELECT doc_id, chunk, count(*) OVER (PARTITION BY chunk) AS mult FROM c)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+                CAST(count(CASE WHEN mult > 1 THEN 1 END) AS INT) AS n_dup_chunks,
+                floor(count(CASE WHEN mult > 1 THEN 1 END) * 10000.0 / count(*) + 0.5)
+                  / 10000.0 AS dup_ratio
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // probe set = doc_id < 5; empty generate_series range for docs
+    // shorter than 4 tokens mirrors the kernel's withPartial(false)
+    "llm_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, array_to_string(toks[i : i+3], ' ') AS gram
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-3)) AS i) u
+         ),
+         probe AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+         hits AS (SELECT g.doc_id, g.gram FROM g JOIN probe USING (gram)
+                  WHERE g.doc_id >= 5)
+         SELECT doc_id, CAST(count(DISTINCT gram) AS INT) AS n_hit_grams,
+                CAST(count(*) AS INT) AS n_hits
+         FROM hits GROUP BY doc_id ORDER BY doc_id""",
 
     "llm_dedup_embed" ->
       s"""WITH e AS (
@@ -697,6 +758,30 @@ object LlmQueries {
          FROM embeddings,
               LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
          GROUP BY label, i ORDER BY label, dim""",
+
+    // per-vector scale = max|v|/127; err fixed to integer 1e-12 units per
+    // element BEFORE summing (order-independent exact bigint addition);
+    // float32→double casts are exact so the IEEE expression trees match
+    "llm_embed_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings
+         ),
+         u AS (
+           SELECT vec_id, label, scale, CAST(embedding[i] AS DOUBLE) AS v
+           FROM e, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
+         ),
+         q AS (
+           SELECT vec_id, label,
+                  CAST(floor((v - floor(v/scale + 0.5)*scale) * (v - floor(v/scale + 0.5)*scale)
+                             * 1e12 + 0.5) AS BIGINT) AS err_unit
+           FROM u WHERE scale > 0
+         )
+         SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+                CAST(count(*) AS BIGINT) AS n_elems,
+                CAST(sum(err_unit) AS BIGINT) AS sum_err_units
+         FROM q GROUP BY label ORDER BY label""",
 
     "llm_multimodal_schema" ->
       """SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim,

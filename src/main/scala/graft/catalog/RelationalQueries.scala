@@ -412,6 +412,21 @@ object RelationalQueries {
             covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"))
         .orderBy(col("l_returnflag"))),
 
+    // Fixed-width histogram (the data-profiling staple): bucket =
+    // floor(price/10000) — identical IEEE double division + floor in both
+    // engines, so no width_bucket dialect drift. One map-side-combinable
+    // groupBy; min/max of doubles are order-independent and the money sum
+    // uses exact cent-unit bigints.
+    "agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 10000.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          (sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_price"))
+        .orderBy(col("bucket"))),
+
     // Pivot (long→wide): one column per l_linestatus value. Values are
     // listed explicitly — an unlisted-values pivot would scan once just to
     // discover the columns.
@@ -768,6 +783,13 @@ object RelationalQueries {
                 floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qp,
                 floor(covar_samp(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS covar_qp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n,
+                min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+                sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         FROM lineitem GROUP BY bucket ORDER BY bucket""",
 
     "agg_pivot" ->
       """SELECT l_returnflag,

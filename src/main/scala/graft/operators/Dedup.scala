@@ -384,4 +384,82 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Chunk-level (C4/RefinedWeb-style "line dedup") duplicate statistics:
+    * each doc is cut into consecutive `chunkTokens`-token chunks (last
+    * chunk may be short) and a chunk counts as duplicated when the same
+    * chunk text occurs anywhere else in the corpus. Output per doc:
+    * chunk count, duplicated-chunk count, duplicated fraction (1e-4
+    * floor-rounded for cross-engine hash parity).
+    *
+    * Scale shape: chunking is a pure-map kernel (no shuffle); the global
+    * multiplicity is ONE window shuffle keyed on
+    * `(xxhash64(chunk), length(chunk))` — 16 bytes/row, never the chunk
+    * body (same rationale as [[exact]]) — with the same md5
+    * collision-guard riding the identical partition key (no extra
+    * exchange; a silent hash collision fails loudly instead of inflating
+    * a doc's dup count). The per-doc rollup is a second small shuffle on
+    * doc_id. No pairwise compare, no driver collection.
+    */
+  def chunkDupStats(docs: DataFrame, chunkTokens: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else text.split(" ").grouped(chunkTokens).map(g => (id, g.mkString(" ")))
+      }
+      .toDF("doc_id", "chunk")
+      .withColumn("__h", xxhash64(col("chunk")))
+      .withColumn("__len", length(col("chunk")))
+    val w = Window.partitionBy(col("__h"), col("__len"))
+    chunks
+      .withColumn("mult", count(lit(1)).over(w))
+      .withColumn("__digests",
+        size(collect_set(md5(col("chunk").cast("binary"))).over(w)))
+      .filter(coalesce(assert_true(col("__digests") === 1,
+        lit("chunk-dedup collision: distinct chunks share (xxhash64, length)")),
+        lit(true)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        count(when(col("mult") > 1, 1)).cast("int").as("n_dup_chunks"),
+        (floor(count(when(col("mult") > 1, 1)) * 10000.0 / count(lit(1)) + 0.5)
+          / 10000.0).as("dup_ratio"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any `gramLen`-token
+    * word n-gram with a probe ("benchmark / eval") set, here the docs with
+    * `doc_id < probeMaxId`. Returns one row per contaminated doc with its
+    * distinct-hit-gram and total-hit counts — the per-doc evidence a
+    * pipeline needs to drop or audit contaminated training examples.
+    *
+    * Scale shape: gram building is a pure-map kernel. The probe gram set
+    * is small by construction (an eval suite, not the corpus), so the
+    * membership test is a BROADCAST hash join — the 100 TB corpus side
+    * never shuffles for the probe test; only the surviving hit rows (a
+    * tiny fraction) shuffle for the per-doc rollup. Docs shorter than
+    * `gramLen` tokens yield no grams (mirrors the SQL twin's empty
+    * generate_series range).
+    */
+  def contaminationHits(docs: DataFrame, probeMaxId: Long,
+      gramLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else text.split(" ").iterator.sliding(gramLen).withPartial(false)
+          .map(g => (id, g.mkString(" ")))
+      }
+      .toDF("doc_id", "gram")
+    val probe = grams.filter(col("doc_id") < probeMaxId)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") >= probeMaxId)
+      .join(broadcast(probe), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).cast("int").as("n_hit_grams"),
+        count(lit(1)).cast("int").as("n_hits"))
+  }
 }

@@ -215,4 +215,53 @@ object Similarity {
           struct(sim.as("s"), c.getField("cid").as("cid"))).otherwise(acc)
       }).getField("cid")
   }
+
+  /** Symmetric int8 scalar quantization error audit — the storage-planning
+    * question for a 100 TB embedding store (float32 → int8 is a 4×
+    * shrink; is the reconstruction error acceptable per label/shard?).
+    * Per vector: scale = max|v|/127, q_i = floor(v_i/scale + 0.5),
+    * err_i = v_i − q_i·scale. Per label: vector count, element count, and
+    * Σ err² fixed to integer 1e-12 units BEFORE summing (exact bigint
+    * addition — partitioning/order independent, hash-matches the SQL
+    * twin; see [[centroids]] for the same trick at 1e-6).
+    *
+    * Per-partition kernel, not a HOF chain: interpreted lambdas would pay
+    * per-element expression-eval cost (see Dedup.minHashSignatures) while
+    * this is two tight loops per vector. Pure map + one tiny groupBy(label)
+    * shuffle of pre-aggregated longs. Zero-vectors (scale = 0) are
+    * excluded, mirroring the twin's `WHERE scale > 0`.
+    */
+  def quantizeError(embs: DataFrame): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    embs.select(col("vec_id").cast("long"), col("label").cast("int"),
+        col("embedding"))
+      .as[(Long, Option[Int], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (_, label, emb) =>
+          var mx = 0.0
+          var i = 0
+          while (i < emb.length) {
+            val a = math.abs(emb(i).toDouble); if (a > mx) mx = a; i += 1
+          }
+          val scale = mx / 127.0
+          if (scale > 0.0) {
+            var sum = 0L
+            i = 0
+            while (i < emb.length) {
+              val v = emb(i).toDouble
+              val e = v - math.floor(v / scale + 0.5) * scale
+              sum += math.floor(e * e * 1e12 + 0.5).toLong
+              i += 1
+            }
+            Iterator.single((label, 1L, emb.length.toLong, sum))
+          } else Iterator.empty
+        }
+      }
+      .toDF("label", "one", "n_elems", "err_units")
+      .groupBy(col("label"))
+      .agg(sum(col("one")).as("n_vecs"),
+        sum(col("n_elems")).as("n_elems"),
+        sum(col("err_units")).as("sum_err_units"))
+  }
 }

@@ -39,4 +39,39 @@ object Windows {
       .withColumn(out, col("__offset") + sum(value).over(intra))
       .drop("__bkt", "__offset")
   }
+
+  /** Partition-scoped EXCLUSIVE prefix sum (sum of strictly-preceding
+    * rows) without one-task-per-scope windows.
+    *
+    * `sum().over(Window.partitionBy(scope).orderBy(...))` puts each
+    * scope's ENTIRE data on one task — fatal when a scope is large and
+    * there are few of them (e.g. 5 languages over a 100 TB corpus). Same
+    * two-pass shape as [[distributedRunningSum]], but every stage is
+    * scoped: rows bucket by `(scope, bucket)`; per-bucket sums take their
+    * running offset under a window partitioned by scope over #buckets
+    * rows (never global, never the data); offsets broadcast back and the
+    * intra-bucket exclusive sum runs partitioned by `(scope, bucket)`.
+    * Callers pick `bucket` so one bucket ≈ one task's worth of rows.
+    *
+    * Exact for integral `value` columns (long accumulation end to end).
+    */
+  def partitionedPrefixSum(
+      df: DataFrame, value: Column, partitionCols: Seq[String],
+      bucket: Column, orderCols: Seq[Column], out: String): DataFrame = {
+    val pcols = partitionCols.map(col)
+    val withB = df.withColumn("__bkt", bucket)
+    val offsets = withB.groupBy(pcols :+ col("__bkt"): _*)
+      .agg(sum(value).as("__bsum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(
+          Window.partitionBy(pcols: _*).orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(pcols :+ col("__bkt") :+ col("__offset"): _*)
+    val intra = Window.partitionBy(pcols :+ col("__bkt"): _*)
+      .orderBy(orderCols: _*).rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offsets), partitionCols :+ "__bkt")
+      .withColumn(out,
+        col("__offset") + coalesce(sum(value).over(intra), lit(0L)))
+      .drop("__bkt", "__offset")
+  }
 }

@@ -131,4 +131,39 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => a == 5L || b == 5L },
       "different (lang, source) block must not pair")
   }
+
+  test("chunk dup stats count cross-doc duplicate chunks; null text yields no row") {
+    val d = Seq(
+      (1L, "a b c d e f"), // chunks(3): "a b c" (dup w/ doc 2), "d e f"
+      (2L, "a b c x"),     // chunks: "a b c", "x"
+      (3L, "x y z"),       // one unique chunk ("x y z" != chunk "x")
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(d, chunkTokens = 3)
+      .orderBy("doc_id").as[(Long, Int, Int, Double)].collect().toSeq
+    assert(out == Seq((1L, 2, 1, 0.5), (2L, 2, 1, 0.5), (3L, 1, 0, 0.0)),
+      s"got $out")
+  }
+
+  test("chunk dup stats treat a short last chunk as its own chunk text") {
+    // "x" (doc 2 tail chunk) must NOT match "x y z" (doc 3 full chunk)
+    val d = Seq((2L, "x"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(d, chunkTokens = 3)
+      .orderBy("doc_id").as[(Long, Int, Int, Double)].collect().toSeq
+    assert(out == Seq((2L, 1, 0, 0.0), (3L, 1, 0, 0.0)))
+  }
+
+  test("contamination hits flag only docs sharing a probe gram") {
+    val d = Seq(
+      (0L, "q w e"),       // probe: grams "q w", "w e"
+      (1L, "z z"),         // probe: gram "z z"
+      (5L, "a q w e b"),   // hits "q w" and "w e" once each
+      (6L, "z z z"),       // gram "z z" twice → 1 distinct, 2 hits
+      (7L, "nope nada"),   // no probe gram
+      (8L, "short")        // 1 token < gramLen → no grams at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationHits(d, probeMaxId = 2L, gramLen = 2)
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((5L, 2, 2), (6L, 1, 2)), s"got $out")
+  }
 }

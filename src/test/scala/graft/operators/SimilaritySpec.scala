@@ -118,4 +118,29 @@ class SimilaritySpec extends SparkSpec {
       .collect().toMap
     assert(pairs.forall(p => labels(p._1) == labels(p._2)), "cross-block pair leaked")
   }
+
+  test("int8 quantization error matches a per-element reimplementation; zero vectors drop") {
+    val d = Seq(
+      (1L, 0, Array(1.0f, -2.0f, 0.5f)),
+      (2L, 0, Array(0.25f, 0.125f, -0.5f)),
+      (3L, 1, Array(10.0f, 0.0f, -10.0f)),
+      (4L, 1, Array(0.0f, 0.0f, 0.0f)) // zero vector: scale 0 → excluded
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.quantizeError(d)
+      .orderBy("label").as[(Int, Long, Long, Long)].collect().toSeq
+
+    def units(vs: Array[Float]): Long = {
+      val scale = vs.map(v => math.abs(v.toDouble)).max / 127.0
+      vs.map { f =>
+        val v = f.toDouble
+        val e = v - math.floor(v / scale + 0.5) * scale
+        math.floor(e * e * 1e12 + 0.5).toLong
+      }.sum
+    }
+    val exp0 = units(Array(1.0f, -2.0f, 0.5f)) + units(Array(0.25f, 0.125f, -0.5f))
+    val exp1 = units(Array(10.0f, 0.0f, -10.0f))
+    assert(out == Seq((0, 2L, 6L, exp0), (1, 1L, 3L, exp1)), s"got $out")
+    // error bound: |err_i| <= scale/2, so err_i^2 <= (max|v|/254)^2
+    assert(out.forall(_._4 >= 0L))
+  }
 }

@@ -45,4 +45,35 @@ class WindowsSpec extends SparkSpec {
     val single = "SinglePartition".r.findAllIn(plan).size
     assert(single <= 1, s"expected at most one tiny global exchange, got $single:\n$plan")
   }
+
+  test("partitionedPrefixSum equals the naive per-scope exclusive window") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val dist = Windows.partitionedPrefixSum(docs, col("n_chars"),
+        Seq("lang"), floor(col("doc_id") / 50).cast("long"),
+        Seq(col("doc_id")), "cum")
+      .select(col("doc_id"), col("cum")).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    val naive = docs.withColumn("cum",
+        coalesce(sum(col("n_chars")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("cum")).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(dist.length == naive.length && dist.length > 0)
+    assert(dist.toSeq == naive.toSeq, "exclusive prefix sums must be exact")
+  }
+
+  test("partitionedPrefixSum plan never collapses to a single partition") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val plan = Windows.partitionedPrefixSum(docs, col("n_chars"),
+        Seq("lang"), floor(col("doc_id") / 50).cast("long"),
+        Seq(col("doc_id")), "cum")
+      .queryExecution.executedPlan.toString()
+    // both windows are scope-partitioned: the offsets window by lang, the
+    // intra window by (lang, bucket) — no SinglePartition exchange at all
+    val single = "SinglePartition".r.findAllIn(plan).size
+    assert(single == 0, s"expected no single-partition exchange, got $single:\n$plan")
+  }
 }
