@@ -446,17 +446,22 @@ object Dedup {
       gramLen: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else text.split(" ").iterator.sliding(gramLen).withPartial(false)
-          .map(g => (id, g.mkString(" ")))
-      }
-      .toDF("doc_id", "gram")
-    val probe = grams.filter(col("doc_id") < probeMaxId)
+    // Filter BEFORE the gram kernel on both legs: a mapPartitions kernel is
+    // opaque to Catalyst, so a post-kernel filter would make the probe leg
+    // re-gram the ENTIRE corpus; pre-filtering keeps the doc_id predicate
+    // at the scan (PushedFilters) and the probe leg reads ~nothing.
+    def gramsOf(side: DataFrame): DataFrame =
+      side.select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else text.split(" ").iterator.sliding(gramLen).withPartial(false)
+            .map(g => (id, g.mkString(" ")))
+        }
+        .toDF("doc_id", "gram")
+    val probe = gramsOf(docs.filter(col("doc_id") < probeMaxId))
       .select(col("gram")).distinct()
-    grams.filter(col("doc_id") >= probeMaxId)
+    gramsOf(docs.filter(col("doc_id") >= probeMaxId))
       .join(broadcast(probe), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).cast("int").as("n_hit_grams"),
