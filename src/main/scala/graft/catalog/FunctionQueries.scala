@@ -119,6 +119,53 @@ object FunctionQueries {
                CAST(floor(graft_dot(embedding, embedding) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS self_dot
         FROM graft_emb_native ORDER BY vec_id
       """)
+    }),
+
+    // SQL subqueries through Catalyst decorrelation: a correlated scalar
+    // subquery (per-customer order count) and a correlated EXISTS. Spark
+    // rewrites both into joins at planning time — the scalar subquery
+    // becomes an aggregate + left outer join, the EXISTS a left semi
+    // join — so what executes is the same distributed join plan a
+    // hand-written DataFrame version would produce, never a per-row
+    // nested loop.
+    "fn_sql_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_sq")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_sq")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+               (SELECT CAST(count(*) AS BIGINT) FROM graft_ord_sq o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM graft_cust_sq c
+        WHERE EXISTS (SELECT 1 FROM graft_ord_sq o2
+                       WHERE o2.o_custkey = c.c_custkey
+                         AND o2.o_totalprice > 300000.0)
+        ORDER BY c_custkey
+      """)
+    }),
+
+    // Recursive CTE (Spark 4.x WITH RECURSIVE): the calendar-spine /
+    // gap-filling pattern — a month ladder generated by bounded recursion
+    // (84 iterations over an 84-row spine; the recursion never touches
+    // the fact table), LEFT JOINed to orders so empty months surface as
+    // zero rows instead of vanishing. The spine is tiny → broadcast; the
+    // fact side aggregates normally. 100.0 in SQL TEXT parses as DECIMAL,
+    // hence the explicit DOUBLE cast (same note as fn_native_sql).
+    "fn_sql_recursive" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_rec")
+      s.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1992-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+           WHERE m < DATE '1998-12-01'
+        )
+        SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(coalesce(o_totalprice, 0.0) * 100.0 + 0.5) AS BIGINT))
+                    / 100.0 AS DOUBLE) AS sum_price
+        FROM months LEFT JOIN graft_ord_rec
+          ON CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) = m
+        GROUP BY m ORDER BY m
+      """)
     })
   )
 
@@ -192,6 +239,30 @@ object FunctionQueries {
       """SELECT vec_id,
                 floor(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))
                       * 100.0 + 0.5) / 100.0 AS self_dot
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+
+    "fn_sql_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "fn_sql_recursive" ->
+      """WITH RECURSIVE months(m) AS (
+           SELECT DATE '1992-01-01'
+           UNION ALL
+           SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+            WHERE m < DATE '1998-12-01'
+         )
+         SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+                sum(CAST(floor(coalesce(o_totalprice, 0.0) * 100.0 + 0.5) AS BIGINT))
+                  / 100.0 AS sum_price
+         FROM months LEFT JOIN orders
+           ON CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) = m
+         GROUP BY m ORDER BY m"""
   )
 }
