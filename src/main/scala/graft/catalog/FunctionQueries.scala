@@ -146,10 +146,13 @@ object FunctionQueries {
     // Recursive CTE (Spark 4.x WITH RECURSIVE): the calendar-spine /
     // gap-filling pattern — a month ladder generated by bounded recursion
     // (84 iterations over an 84-row spine; the recursion never touches
-    // the fact table), LEFT JOINed to orders so empty months surface as
-    // zero rows instead of vanishing. The spine is tiny → broadcast; the
-    // fact side aggregates normally. 100.0 in SQL TEXT parses as DECIMAL,
-    // hence the explicit DOUBLE cast (same note as fn_native_sql).
+    // the fact table), LEFT JOINed to the PRE-AGGREGATED fact side so
+    // empty months surface as zeros. Aggregating orders per month BEFORE
+    // the join matters at scale: the join is then 84 × |months|, and the
+    // fact table never crosses a join — joining raw orders to the spine
+    // and aggregating after would broadcast-or-shuffle the whole fact
+    // side. 100.0 in SQL TEXT parses as DECIMAL, hence the explicit
+    // DOUBLE cast (same note as fn_native_sql).
     "fn_sql_recursive" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("graft_ord_rec")
       s.sql("""
@@ -158,13 +161,17 @@ object FunctionQueries {
           UNION ALL
           SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
            WHERE m < DATE '1998-12-01'
+        ),
+        m_agg AS (
+          SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+          FROM graft_ord_rec GROUP BY 1
         )
-        SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-               CAST(sum(CAST(floor(coalesce(o_totalprice, 0.0) * 100.0 + 0.5) AS BIGINT))
-                    / 100.0 AS DOUBLE) AS sum_price
-        FROM months LEFT JOIN graft_ord_rec
-          ON CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) = m
-        GROUP BY m ORDER BY m
+        SELECT m, coalesce(n, CAST(0 AS BIGINT)) AS n_orders,
+               CAST(coalesce(cents, CAST(0 AS BIGINT)) / 100.0 AS DOUBLE) AS sum_price
+        FROM months LEFT JOIN m_agg ON mo = m
+        ORDER BY m
       """)
     })
   )
@@ -257,12 +264,16 @@ object FunctionQueries {
            UNION ALL
            SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
             WHERE m < DATE '1998-12-01'
+         ),
+         m_agg AS (
+           SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+                  CAST(count(*) AS BIGINT) AS n,
+                  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1
          )
-         SELECT m, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-                sum(CAST(floor(coalesce(o_totalprice, 0.0) * 100.0 + 0.5) AS BIGINT))
-                  / 100.0 AS sum_price
-         FROM months LEFT JOIN orders
-           ON CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) = m
-         GROUP BY m ORDER BY m"""
+         SELECT m, coalesce(n, CAST(0 AS BIGINT)) AS n_orders,
+                coalesce(cents, CAST(0 AS BIGINT)) / 100.0 AS sum_price
+         FROM months LEFT JOIN m_agg ON mo = m
+         ORDER BY m"""
   )
 }
