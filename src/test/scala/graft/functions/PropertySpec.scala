@@ -101,4 +101,68 @@ class PropertySpec extends SparkSpec {
       assert(j >= 0.5 && j <= 1.0 + 1e-9, s"jaccard out of range: $j")
     }
   }
+
+  test("prop: chunkDupStats matches a brute-force recount on random corpora") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val docs = (1 to 120).map { i =>
+        val n = 1 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(8)}").mkString(" "))
+      }
+      val expected = {
+        val chunks = docs.flatMap { case (id, text) =>
+          text.split(" ").grouped(4).map(g => (id, g.mkString(" ")))
+        }
+        val mult = chunks.groupBy(_._2).map { case (c, xs) => c -> xs.size }
+        chunks.groupBy(_._1).map { case (id, cs) =>
+          val dup = cs.count(c => mult(c._2) > 1)
+          (id, cs.size, dup,
+            math.floor(dup * 10000.0 / cs.size + 0.5) / 10000.0)
+        }.toSeq.sortBy(_._1)
+      }
+      val got = Dedup.chunkDupStats(docs.toDF("doc_id", "text"), chunkTokens = 4)
+        .orderBy("doc_id").as[(Long, Int, Int, Double)].collect().toSeq
+      assert(got == expected, s"mismatch on generated corpus")
+    }
+  }
+
+  test("prop: partitionedPrefixSum equals a sequential per-scope scan") {
+    val rnd = new scala.util.Random(17)
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 300).map { i =>
+        (i.toLong, s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toLong)
+      }
+      val expected = rows.groupBy(_._2).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(_._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+          case ((id, _, _), cumBefore) => (id, cumBefore)
+        }
+      }.toSeq.sortBy(_._1)
+      val got = graft.operators.Windows.partitionedPrefixSum(
+          rows.toDF("id", "grp", "v"), col("v"), Seq("grp"),
+          floor(col("id") / 37).cast("long"), Seq(col("id")), "cum")
+        .select(col("id"), col("cum")).orderBy("id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got == expected, "prefix sums diverge from the sequential scan")
+    }
+  }
+
+  test("prop: quantization error per element is bounded by (scale/2)^2") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, i % 3, Array.fill(16)((rnd.nextDouble() * 20 - 10).toFloat))
+    }
+    val maxAbs = vecs.map { case (_, _, v) => v.map(x => math.abs(x.toDouble)).max }.max
+    val bound = {
+      val s = maxAbs / 127.0
+      math.floor((s / 2) * (s / 2) * 1e12 + 0.5).toLong
+    }
+    val out = graft.operators.Similarity.quantizeError(
+        vecs.toDF("vec_id", "label", "embedding"))
+      .as[(Int, Long, Long, Long)].collect()
+    out.foreach { case (_, _, nElems, sumUnits) =>
+      assert(sumUnits <= nElems * bound,
+        s"per-element error exceeds the (scale/2)^2 quantization bound")
+    }
+  }
 }
