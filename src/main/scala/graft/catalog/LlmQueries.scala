@@ -362,6 +362,21 @@ object LlmQueries {
         .orderBy(col("lang"), col("bin"))
     }),
 
+    // Content-addressed corpus sharding (training-shard writer planning):
+    // shard = first hex digit of md5(text) — 16 deterministic,
+    // layout-independent shards whose membership survives repartitioning
+    // and re-ingestion (identical md5 hex in both engines — see
+    // llm_sample_per_source). Per-shard balance stats are what a shard
+    // writer needs before committing a layout; the write itself would be
+    // partitionBy(shard). One map-side-combinable groupBy.
+    "llm_doc_shard" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(substring(md5(col("text").cast("binary")), 1, 1).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))),
+
     // Content-hash stratified sample (layout-independent membership —
     // xxhash64-specific, no SQL twin → rows-only; reproducibility and
     // fraction accuracy unit-asserted in SamplingSpec).
@@ -750,6 +765,13 @@ object LlmQueries {
                                          ORDER BY md5(text), doc_id) AS rk
                FROM documents)
          WHERE rk <= 3 ORDER BY source, rk""",
+
+    "llm_doc_shard" ->
+      """SELECT substr(md5(text), 1, 1) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY shard ORDER BY shard""",
 
     "llm_embed_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,

@@ -412,6 +412,24 @@ object RelationalQueries {
             covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"))
         .orderBy(col("l_returnflag"))),
 
+    // Per-group linear regression (trend detection over event streams):
+    // regr_slope/intercept/r2 are single-pass merge-able moment
+    // aggregates — map-side combinable, 100 TB-safe like agg_stats. The
+    // regressor is DAYS since a fixed epoch (2024-01-01): centering keeps
+    // the moments well-conditioned (raw epoch-seconds x would make the
+    // slope ~1e-7 and amplify cross-engine accumulation drift); 4-dp
+    // portable rounding absorbs the ~1e-10 merge-order tails.
+    "agg_regression" -> ((s, d) => {
+      val x = (unix_micros(col("ts")) / 1e6 - lit(1704067200L)) / 86400.0
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.Rounding.roundTo(regr_slope(col("value"), x), 4).as("slope"),
+          graft.functions.Rounding.roundTo(regr_intercept(col("value"), x), 4).as("icept"),
+          graft.functions.Rounding.roundTo(regr_r2(col("value"), x), 4).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     // Fixed-width histogram (the data-profiling staple): bucket =
     // floor(price/10000) — identical IEEE double division + floor in both
     // engines, so no width_bucket dialect drift. One map-side-combinable
@@ -783,6 +801,16 @@ object RelationalQueries {
                 floor(corr(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS corr_qp,
                 floor(covar_samp(l_quantity, l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS covar_qp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_regression" ->
+      """SELECT event_type,
+                floor(regr_slope(value, (epoch_us(ts)/1e6 - 1704067200)/86400.0)
+                      * 10000.0 + 0.5)/10000.0 AS slope,
+                floor(regr_intercept(value, (epoch_us(ts)/1e6 - 1704067200)/86400.0)
+                      * 10000.0 + 0.5)/10000.0 AS icept,
+                floor(regr_r2(value, (epoch_us(ts)/1e6 - 1704067200)/86400.0)
+                      * 10000.0 + 0.5)/10000.0 AS r2
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     "agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
