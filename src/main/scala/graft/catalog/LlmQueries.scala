@@ -77,6 +77,38 @@ object LlmQueries {
   private val QualityTokMin = 10
   private val QualityTokMax = 1000
 
+  /** Mixture resampling weights for `llm_mixture_sample`: target keep
+    * fraction per source (src0..src19 cycle 1.0/0.5/0.25/0.1). Membership
+    * is content-addressed — `substr(md5(text),1,8) < thresholdHex(w)` —
+    * so it is layout-independent (survives repartition/re-ingest) and
+    * identical in both engines via plain ASCII comparison of equal-length
+    * lowercase hex (lexicographic == numeric). The SQL CASE twin is built
+    * from this SAME Seq so the engines cannot diverge.
+    */
+  private val MixtureWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.0, 0.5, 0.25, 0.1)(i % 4))
+
+  /** 8-hex-digit membership threshold for weight w: the first 8 md5 hex
+    * chars are uniform on [0, 16^8), so `hex < threshold(w)` keeps a w
+    * fraction. w >= 1 returns "g", which is > every hex string (ASCII
+    * 'g' > 'f') — keep-all without a 9-digit carry breaking the
+    * equal-length compare.
+    */
+  private[graft] def mixtureThresholdHex(w: Double): String =
+    if (w >= 1.0) "g" else f"${(w * 4294967296L).toLong}%08x"
+
+  /** DuckDB CASE twin of the per-source threshold when-chain. */
+  private val mixtureThrSql: String =
+    MixtureWeights.map { case (src, w) =>
+      s"WHEN source = '$src' THEN '${mixtureThresholdHex(w)}'"
+    }.mkString("CASE ", " ", " ELSE '00000000' END")
+
+  /** Per-doc unigram-LM score below this ⇒ counted "low quality"
+    * (llm_ngram_lm); sf0.01 scores span −3.70..−3.38, median −3.40, so
+    * −3.45 gates a real minority tail in both directions.
+    */
+  private val NgramLmLow = -3.45
+
   /** DuckDB stop-word-hit count, built from the SAME Scala list the Spark
     * expressions use (TextAnalysis.Stop*) — single-sourced across engines.
     */
@@ -376,6 +408,57 @@ object LlmQueries {
           sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard"))),
+
+    // Mixture-weight resampling (training-mixture assembly): each source
+    // is down-sampled to its target weight via content-addressed
+    // membership — substr(md5(text),1,8) < per-source threshold (see
+    // MixtureWeights). Zero shuffle for the membership decision (pure
+    // filter); only the tiny per-source rollup shuffles. At 100 TB this is
+    // THE mixture-reweighting pass: deterministic (no RNG state to
+    // coordinate across executors), layout-independent, and re-runnable —
+    // re-ingesting the corpus reproduces the same sample.
+    "llm_mixture_sample" -> ((s, d) => {
+      val thr = MixtureWeights.foldLeft(lit("00000000")) {
+        case (acc, (src, w)) =>
+          when(col("source") === src, lit(mixtureThresholdHex(w))).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .filter(substring(md5(col("text").cast("binary")), 1, 8) < thr)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("source"))
+    }),
+
+    // Unigram-LM quality scoring (the CCNet-style filter): corpus unigram
+    // distribution → per-doc mean log-probability → per-lang score summary
+    // with a low-quality count. Per-token ln(tf/total) is fixed to integer
+    // 1e-6 units BEFORE the per-doc sum, so the fold is exact bigint
+    // addition — order-independent across partitions and engines. The
+    // token→tf join: tf is vocab-sized (≪ corpus — Heaps' law), so
+    // Catalyst/AQE broadcasts it at any realistic scale; min/max stand in
+    // for cross-doc averages (order-independent doubles).
+    "llm_ngram_lm" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val tot = toks.agg(count(lit(1)).as("total"))
+      val perDoc = toks.join(tf, "token").crossJoin(broadcast(tot))
+        .withColumn("lp", floor(
+          log(col("tf").cast("double") / col("total").cast("double"))
+            * 1000000.0 + lit(0.5)).cast("long"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("lp")).as("units"), count(lit(1)).as("n"))
+        .withColumn("score", graft.functions.Rounding.roundTo(
+          col("units").cast("double") / 1000000.0 / col("n").cast("double"), 4))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_lp"), max(col("score")).as("max_lp"),
+          sum(when(col("score") < NgramLmLow, 1L).otherwise(0L)).as("n_low"))
+        .orderBy(col("lang"))
+    }),
 
     // Content-hash stratified sample (layout-independent membership —
     // xxhash64-specific, no SQL twin → rows-only; reproducibility and
@@ -772,6 +855,40 @@ object LlmQueries {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY shard ORDER BY shard""",
+
+    // CASE threshold chain generated from the same MixtureWeights Seq the
+    // Spark when-chain folds over — single-sourced across engines
+    "llm_mixture_sample" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+                 min(doc_id) AS min_doc
+          FROM documents
+          WHERE substr(md5(text), 1, 8) < ($mixtureThrSql)
+          GROUP BY source ORDER BY source""",
+
+    // per-token ln fixed to 1e-6-unit bigints before the per-doc sum —
+    // exact integer addition, order-independent in both engines
+    "llm_ngram_lm" ->
+      s"""WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ), tf AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1
+          ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS total FROM toks
+          ), pd AS (
+            SELECT doc_id, lang,
+                   floor(CAST(sum(CAST(floor(ln(tf::DOUBLE / total::DOUBLE)
+                                             * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 1000000.0 / CAST(count(*) AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS score
+            FROM toks JOIN tf USING (token) CROSS JOIN tot
+            GROUP BY doc_id, lang
+          )
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 min(score) AS min_lp, max(score) AS max_lp,
+                 CAST(sum(CASE WHEN score < $NgramLmLow THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+          FROM pd GROUP BY lang ORDER BY lang""",
 
     "llm_embed_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,

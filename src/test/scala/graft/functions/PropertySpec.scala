@@ -165,4 +165,28 @@ class PropertySpec extends SparkSpec {
         s"per-element error exceeds the (scale/2)^2 quantization bound")
     }
   }
+
+  test("prop: mixtureThresholdHex is a sound, monotone membership threshold") {
+    import graft.catalog.LlmQueries
+    // threshold shape: 8 lowercase hex digits for w<1, the keep-all
+    // sentinel "g" (> every hex string) for w>=1
+    check(Prop.forAll(Gen.choose(0.0, 1.5)) { w =>
+      val t = LlmQueries.mixtureThresholdHex(w)
+      if (w >= 1.0) t == "g"
+      else t.length == 8 && t.forall(c => c.isDigit || ('a' to 'f').contains(c))
+    }, "mixture-threshold-shape")
+    // monotone: a larger weight never admits fewer members (string order)
+    check(Prop.forAll(Gen.choose(0.0, 1.2), Gen.choose(0.0, 1.2)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      LlmQueries.mixtureThresholdHex(lo) <= LlmQueries.mixtureThresholdHex(hi)
+    }, "mixture-threshold-monotone")
+    // sound: membership over uniform 8-hex strings keeps ~w of them, and
+    // lexicographic compare agrees with the numeric interpretation
+    check(Prop.forAll(Gen.choose(0.05, 0.95), Gen.choose(0L, 4294967295L)) {
+      (w, x) =>
+        val hex = f"$x%08x"
+        val t = LlmQueries.mixtureThresholdHex(w)
+        (hex < t) == (x < (w * 4294967296L).toLong)
+    }, "mixture-threshold-lex-numeric-agree")
+  }
 }
