@@ -83,23 +83,44 @@ object Bench {
     val total = med.values.sum
     val sf = scala.util.Try(sfDir.split('/').last.stripPrefix("sf").toDouble)
       .map(_.toString).getOrElse("\"" + sfDir + "\"")
-    def build(dp: Int, withQueries: Boolean): String = {
+    def build(dp: Int, keep: Int): String = {
+      // keep = how many queries to inline, slowest first (they are the
+      // profile that matters); the dropped tail is summarized so the
+      // line still accounts for the whole total. keep >= |med| → full map.
+      val bySlow = med.toSeq.sortBy { case (k, v) => (-v, k) }
+      val (kept, dropped) = bySlow.splitAt(keep)
       val qs =
-        if (withQueries) med.map { case (k, v) => s"\"" + k + "\":" + fmt(v, dp) }
-          .mkString(""","queries":{""", ",", "}")
-        else ""
+        if (keep <= 0) ""
+        else {
+          val entries = kept.sortBy(_._1)
+            .map { case (k, v) => s"\"" + k + "\":" + fmt(v, dp) }
+            .mkString(""","queries":{""", ",", "}")
+          val omitted =
+            if (dropped.isEmpty) ""
+            else s""","queries_omitted":${dropped.size}""" +
+              s""","queries_omitted_sum":${fmt(dropped.map(_._2).sum, 2)}"""
+          entries + omitted
+        }
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec"$qs,"sf":$sf}"""
     }
     System.err.println("[bench] medians=" +
       med.map { case (k, v) => s"$k=$v" }.mkString(",") +
       " mins=" + times.map { case (k, v) => s"$k=${v.min}" }.mkString(","))
+    // Full-precision artifact for plan audits: the stdout budget below can
+    // force a subset, so the complete median map always lands in
+    // BENCH_full.json at the repo root (the driver runs Bench from there).
+    scala.util.Try(java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full.json"), build(3, med.size) + "\n"))
     // Budget: the driver keeps the last 2000 chars of the sbt output; the
     // line shares that window only with sbt's "[success] Total time..."
     // trailer (~75 chars) now that forked-run stdout passes through
-    // unprefixed (build.sbt outputStrategy).
-    val line = Seq(build(2, true), build(1, true), build(2, false))
+    // unprefixed (build.sbt outputStrategy). Fallback order: full map at
+    // centiseconds, full at deciseconds, slowest-40 with an omitted-tail
+    // summary, total-only.
+    val line = Seq(build(2, med.size), build(1, med.size), build(2, 40),
+        build(2, 0))
       .find(_.length <= 1920)
-      .getOrElse(build(2, false))
+      .getOrElse(build(2, 0))
     println(line)
     spark.stop()
   }

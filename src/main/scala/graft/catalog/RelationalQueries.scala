@@ -196,35 +196,22 @@ object RelationalQueries {
         .orderBy(col("p_brand"))),
 
     // Banded range join, bucketized — the 100 TB scale path for bounded-band
-    // theta joins. join_theta_range's BroadcastNestedLoopJoin is right only
-    // while one side fits in a broadcast; when BOTH sides are fact-sized the
-    // band |l - r| <= W maps to an EQUI-join: left rows get bucket
-    // floor(x/W), right rows are replicated to buckets floor(r/W)-1..+1
-    // (exactly the buckets a within-band left value can land in when the
-    // bucket width equals the band), and the residual band predicate runs
-    // per bucket. Catalyst picks a shuffled hash/sort-merge join — pair work
-    // is O(rows-per-bucket²) per bucket instead of O(|L|·|R|), and the 3×
-    // replication is of the SMALL projected right side. A (l,r) match joins
-    // in exactly one bucket (bucket(l) is unique), so no post-join dedup.
-    // Cent-unit integer price sums keep the avg order-independent. Band 5.0:
-    // part prices span only ~[900, 1000], so a wide band over that narrow
-    // domain degenerates to a handful of giant buckets (±50 measured 8.7 s
-    // at sf0.1 on ~9M true pairs); the band is the bucket-width knob and a
-    // caller sizes it to the match volume they actually want.
+    // theta joins (see Joins.bandedRangeJoin for the bucket-cover proof).
+    // join_theta_range's BroadcastNestedLoopJoin is right only while one
+    // side fits in a broadcast; here pair work is per-bucket, never
+    // O(|L|·|R|). Cent-unit integer price sums keep the avg
+    // order-independent. Band 5.0: part prices span only ~[900, 1000], so a
+    // wide band over that narrow domain degenerates to a handful of giant
+    // buckets (±50 measured 8.7 s at sf0.1 on ~9M true pairs); the band is
+    // the bucket-width knob and a caller sizes it to the match volume they
+    // actually want.
     "join_range_bucketed" -> ((s, d) => {
-      val band = 5.0
       val l = Tables.lineitem(s, d)
         .select(col("l_extendedprice"))
-        .withColumn("bkt", floor(col("l_extendedprice") / band).cast("long"))
         .withColumn("cents",
           floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
-      val p = Tables.part(s, d)
-        .select(col("p_brand"), col("p_retailprice"))
-        .withColumn("off", explode(sequence(lit(-1L), lit(1L))))
-        .withColumn("bkt",
-          floor(col("p_retailprice") / band).cast("long") + col("off"))
-      l.join(p, Seq("bkt"))
-        .filter(abs(col("l_extendedprice") - col("p_retailprice")) <= band)
+      val p = Tables.part(s, d).select(col("p_brand"), col("p_retailprice"))
+      Joins.bandedRangeJoin(l, p, "l_extendedprice", "p_retailprice", 5.0)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"),
           graft.functions.Rounding.roundTo(

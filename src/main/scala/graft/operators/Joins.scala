@@ -102,4 +102,42 @@ object Joins {
           col("__lsalt") === col("__rsalt"))
       .drop("__lsalt", "__rsalt")
   }
+
+  /** Banded range join as an EQUI-join: all (left, right) pairs with
+    * `|leftVal - rightVal| <= band`, without a nested-loop join.
+    *
+    * A broadcast NLJ (what Catalyst picks for a raw theta predicate) is
+    * right only while one side fits in a broadcast; when both sides are
+    * fact-sized the band structure makes the predicate bucketizable:
+    * left rows get bucket `floor(x/W)` with W = band, right rows are
+    * replicated to buckets `floor(r/W) - 1 .. + 1` — exactly the buckets
+    * a within-band left value can land in, since `floor((r ± W)/W)` =
+    * `floor(r/W) ± 1` — and the exact band predicate runs per bucket.
+    * Catalyst plans a shuffled hash / sort-merge join on the bucket key
+    * (or broadcasts the replicated side while it stays small): pair work
+    * is O(rows-per-bucket²) per bucket, never O(|L|·|R|). A matching pair
+    * meets in exactly one bucket (bucket(left) is unique and the right
+    * replication covers it once), so no post-join dedup is needed.
+    *
+    * W is the cost knob: it must equal `band` for the ±1 cover to be
+    * exact, so callers size `band` (or pre-scale the value column) to
+    * keep per-bucket populations bounded — a band much wider than the
+    * value domain degenerates to one giant bucket.
+    *
+    * Output: all left columns + all right columns (bucket plumbing
+    * dropped).
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame,
+      leftVal: String, rightVal: String, band: Double): DataFrame = {
+    require(band > 0.0, s"band must be > 0, got $band")
+    val l = left.withColumn("__bkt", floor(col(leftVal) / band).cast("long"))
+    val r = right
+      .withColumn("__off", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__bkt",
+        floor(col(rightVal) / band).cast("long") + col("__off"))
+      .drop("__off")
+    l.join(r, Seq("__bkt"))
+      .filter(abs(col(leftVal) - col(rightVal)) <= band)
+      .drop("__bkt")
+  }
 }

@@ -166,6 +166,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prop: bandedRangeJoin equals the brute-force band filter") {
+    // Random frames (negative values included so floor-toward-negative
+    // matters; bands chosen to straddle bucket boundaries), real Spark
+    // jobs; pins the ±1 bucket-cover logic — an off-by-one at
+    // floor((r ± band)/band) drops exactly the pairs on a bucket edge.
+    val rnd = new scala.util.Random(13)
+    (1 to 5).foreach { _ =>
+      val band = 0.5 + rnd.nextDouble() * 7.5
+      val ls = Seq.fill(40)(rnd.nextDouble() * 60.0 - 30.0)
+      val rs = Seq.fill(40)(rnd.nextDouble() * 60.0 - 30.0)
+      val l = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
+      val r = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
+      val got = graft.operators.Joins.bandedRangeJoin(l, r, "lv", "rv", band)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (lv, li) <- ls.zipWithIndex
+        (rv, ri) <- rs.zipWithIndex
+        if math.abs(lv - rv) <= band
+      } yield (li.toLong, ri.toLong)).toSet
+      assert(got == want,
+        s"banded join diverged from brute force at band=$band: " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
   test("prop: mixtureThresholdHex is a sound, monotone membership threshold") {
     import graft.catalog.LlmQueries
     // threshold shape: 8 lowercase hex digits for w<1, the keep-all
