@@ -409,6 +409,52 @@ object LlmQueries {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("shard"))),
 
+    // The dedup MANIFEST (what a 100 TB exact-dedup run publishes): one
+    // row per surviving document with its content digest, multiplicity,
+    // and byte size — downstream consumers verify membership against the
+    // digest without rereading corpora. Digests are computed on the
+    // SURVIVOR side after the join (once per distinct text, not per
+    // copy); the survivors frame carries only (keep_id, n_copies), so the
+    // join back to documents is an id-keyed equi-join Catalyst can
+    // broadcast or shuffle as sizes dictate.
+    "llm_dedup_manifest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exact(docs, "text", "doc_id")
+        .join(docs.withColumnRenamed("doc_id", "keep_id"), Seq("keep_id"))
+        .select(col("keep_id"),
+          sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+          col("n_copies"), length(col("text")).cast("long").as("text_chars"),
+          col("lang"), col("source"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // Vocabulary coverage (tokenizer planning): build the deterministic
+    // top-500 corpus vocabulary (tf desc, token asc tie-break) and
+    // measure per-doc out-of-vocabulary rate, rolled up per lang. The
+    // vocab cut is orderBy(...).limit(500) → TakeOrderedAndProject
+    // (distributed heap-select, NOT a single-partition global window);
+    // the membership join broadcasts the 500-row vocab. OOV ratio is
+    // exact integer counts divided once per doc, floor-rounded 4 dp.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("token")).limit(500)
+        .select(col("token"), lit(1).as("in_vocab"))
+      val perDoc = toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov", graft.functions.Rounding.roundTo(
+          col("n_oov").cast("double") / col("n_toks").cast("double"), 4))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("oov")).as("min_oov"), max(col("oov")).as("max_oov"),
+          sum(when(col("oov") > 0.5, 1L).otherwise(0L)).as("n_high_oov"))
+        .orderBy(col("lang"))
+    }),
+
     // Mixture-weight resampling (training-mixture assembly): each source
     // is down-sampled to its target weight via content-addressed
     // membership — substr(md5(text),1,8) < per-source threshold (see
@@ -855,6 +901,36 @@ object LlmQueries {
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY shard ORDER BY shard""",
+
+    "llm_dedup_manifest" ->
+      """WITH g AS (
+           SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+           FROM documents GROUP BY text
+         )
+         SELECT keep_id, sha256(text) AS sha256_hex, n_copies,
+                CAST(length(text) AS BIGINT) AS text_chars, lang, source
+         FROM g JOIN documents ON keep_id = doc_id
+         ORDER BY keep_id""",
+
+    "llm_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+           FROM documents
+         ), vocab AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS tf FROM toks GROUP BY 1
+           ) ORDER BY tf DESC, token LIMIT 500
+         ), pd AS (
+           SELECT t.doc_id, t.lang,
+                  floor(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS oov
+           FROM toks t LEFT JOIN vocab v ON t.token = v.token
+           GROUP BY t.doc_id, t.lang
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                min(oov) AS min_oov, max(oov) AS max_oov,
+                CAST(sum(CASE WHEN oov > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
+         FROM pd GROUP BY lang ORDER BY lang""",
 
     // CASE threshold chain generated from the same MixtureWeights Seq the
     // Spark when-chain folds over — single-sourced across engines
