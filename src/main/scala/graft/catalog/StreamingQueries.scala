@@ -52,6 +52,19 @@ object StreamingQueries {
         .orderBy(col("l_id"), col("r_id"))
     }),
 
+    // batch form of the stream-static broadcast enrichment (join state
+    // O(0) — the static side is a broadcast snapshot per micro-batch);
+    // streaming form golden-tested in EventTimeSpec. Cent-scaled integer
+    // value sums for cross-engine order-independence.
+    "stream_enrich" -> ((s, d) =>
+      EventTime.enrichStatic(Tables.events(s, d), Tables.customer(s, d),
+          "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))),
+
     // foreachBatch keyed upsert: a REAL streaming query (file source,
     // AvailableNow) maintains an external latest-event-per-user table via
     // merge + atomic state swap; the query returns the final state.
@@ -155,6 +168,14 @@ object StreamingQueries {
     "stream_dedup" ->
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 100.0 AS sum_value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c_mktsegment, event_type
+         ORDER BY c_mktsegment, event_type""",
 
     "stream_interval_join" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id,

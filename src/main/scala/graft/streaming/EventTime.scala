@@ -57,6 +57,18 @@ object EventTime {
     events.dropDuplicates("event_id")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
 
+  /** Stream-static enrichment: every event joined (left outer — unmatched
+    * events survive with nulls) to a broadcast static dimension. The
+    * stream-static join shape: no watermark and NO join state — the static
+    * side is a broadcast snapshot re-resolved per micro-batch, so state
+    * stays O(0) regardless of stream volume; the identical plan runs in
+    * batch for the oracle. At 100 TB-of-stream the per-executor cost is a
+    * hash probe per event against the broadcast dim.
+    */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Event-time interval join: pair each left event with the same user's
     * right events in (left.ts, left.ts + `withinMinutes`]. In streaming
     * mode both inputs carry watermarks and the interval condition bounds

@@ -84,6 +84,32 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stream-static enrichment equals the batch join") {
+    // Stream-static left join: the dim is a broadcast snapshot, no join
+    // state; unmatched events (user 3) must survive with a null segment.
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("c_custkey", "c_mktsegment")
+    val withOrphan = batch :+ Ev(9, ts("2024-01-01 13:00:00"), 3, "click", 2.0)
+    val expected = EventTime
+      .enrichStatic(withOrphan.toDF(), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"))
+      .as[(Long, Option[String])].collect().toSeq.sorted
+
+    val mem = MemoryStream[Ev](20, spark, None)
+    mem.addData(withOrphan: _*)
+    val q = EventTime.enrichStatic(mem.toDF(), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName("enrich_golden")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_golden")
+        .as[(Long, Option[String])].collect().toSeq.sorted
+      assert(got == expected)
+      assert(got.exists { case (id, seg) => id == 9L && seg.isEmpty },
+        "orphan event must survive the left join with a null segment")
+    } finally q.stop()
+  }
+
   test("stream_dedup oracle precondition: event_id determines event_type") {
     // The DuckDB twin (count(DISTINCT event_id) per type) equals
     // dropDuplicates-then-count ONLY while event_id → event_type is
