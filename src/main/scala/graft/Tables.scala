@@ -27,12 +27,19 @@ object Tables {
     * with integer `div` (a double division would lose precision above
     * 2^53 ns). No-op when the file has micro/milli timestamps.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val df = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(apply(s, d, "events"))
+
+  /** Nano-epoch long `ts` → µs timestamp (integer `div`, see above);
+    * no-op when `ts` is already a timestamp. Shared by the batch reader
+    * and streaming file sources (stream_upsert) so the normalization
+    * contract lives in ONE place — a drifted copy would break the µs
+    * tie-breaking the DuckDB oracles compare against.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
-  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

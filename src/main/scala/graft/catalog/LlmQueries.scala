@@ -885,13 +885,13 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS first_doc
-         FROM c GROUP BY lang, bin ORDER BY lang, bin""",
+         FROM c GROUP BY lang, bin ORDER BY lang NULLS FIRST, bin""",
 
     "llm_sample_per_source" ->
       """SELECT source, CAST(rk AS INT) AS rk, doc_id, lang
          FROM (SELECT source, doc_id, lang,
                       row_number() OVER (PARTITION BY source
-                                         ORDER BY md5(text), doc_id) AS rk
+                                         ORDER BY md5(text) NULLS FIRST, doc_id) AS rk
                FROM documents)
          WHERE rk <= 3 ORDER BY source, rk""",
 
@@ -900,7 +900,7 @@ object LlmQueries {
                 CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
-         FROM documents GROUP BY shard ORDER BY shard""",
+         FROM documents GROUP BY shard ORDER BY shard NULLS FIRST""",
 
     "llm_dedup_manifest" ->
       """WITH g AS (
@@ -930,7 +930,7 @@ object LlmQueries {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                 min(oov) AS min_oov, max(oov) AS max_oov,
                 CAST(sum(CASE WHEN oov > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
-         FROM pd GROUP BY lang ORDER BY lang""",
+         FROM pd GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     // CASE threshold chain generated from the same MixtureWeights Seq the
     // Spark when-chain folds over — single-sourced across engines
@@ -964,7 +964,7 @@ object LlmQueries {
           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
                  min(score) AS min_lp, max(score) AS max_lp,
                  CAST(sum(CASE WHEN score < $NgramLmLow THEN 1 ELSE 0 END) AS BIGINT) AS n_low
-          FROM pd GROUP BY lang ORDER BY lang""",
+          FROM pd GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_embed_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,

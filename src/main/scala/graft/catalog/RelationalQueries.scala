@@ -236,9 +236,10 @@ object RelationalQueries {
     // on custkey at write time, so the sort-merge join has NO exchange
     // (plan-asserted in BucketingSpec) — the pay-the-shuffle-once layout.
     "join_bucketed" -> ((s, d) => {
-      graft.sources.Bucketing.ensure(s, d)
-      val o = s.table(graft.sources.Bucketing.OrdersTable)
-      val c = s.table(graft.sources.Bucketing.CustomerTable)
+      val s2 = graft.sources.Bucketing.bucketedSession(s)
+      graft.sources.Bucketing.ensure(s2, d)
+      val o = s2.table(graft.sources.Bucketing.OrdersTable)
+      val c = s2.table(graft.sources.Bucketing.CustomerTable)
       o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
@@ -252,8 +253,9 @@ object RelationalQueries {
     // of 8, plan-asserted in BucketingSpec) — at 100 TB a keyed lookup
     // reads 1/n-th of the table's files, no shuffle, no full scan.
     "scan_bucket_prune" -> ((s, d) => {
-      graft.sources.Bucketing.ensure(s, d)
-      s.table(graft.sources.Bucketing.OrdersTable)
+      val s2 = graft.sources.Bucketing.bucketedSession(s)
+      graft.sources.Bucketing.ensure(s2, d)
+      s2.table(graft.sources.Bucketing.OrdersTable)
         .filter(col("o_custkey") === 37L)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))

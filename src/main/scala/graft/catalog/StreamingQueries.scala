@@ -74,13 +74,10 @@ object StreamingQueries {
       val base = graft.util.Scratch.fresh("stream_upsert")
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
       val src = KafkaPipeline.fileStream(s, d, rawSchema, glob = "events.parquet")
-      // normalize nano-epoch longs to µs timestamps (like Tables.events)
-      // BEFORE the merge: DuckDB compares µs-truncated times, and a
-      // sub-µs difference would otherwise tie-break differently
-      val ev = if (src.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else src
+      // normalize nano-epoch longs to µs timestamps BEFORE the merge:
+      // DuckDB compares µs-truncated times, and a sub-µs difference would
+      // otherwise tie-break differently (shared helper with Tables.events)
+      val ev = Tables.normalizeEventTs(src)
       val q = EventTime.upsertLatest(ev, s"$base/state", s"$base/chk")
       q.awaitTermination()
       s.read.parquet(s"$base/state")
@@ -175,7 +172,7 @@ object StreamingQueries {
                   / 100.0 AS sum_value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c_mktsegment, event_type
-         ORDER BY c_mktsegment, event_type""",
+         ORDER BY c_mktsegment NULLS FIRST, event_type""",
 
     "stream_interval_join" ->
       """SELECT l.event_id AS l_id, r.event_id AS r_id,

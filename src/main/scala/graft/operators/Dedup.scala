@@ -408,7 +408,10 @@ object Dedup {
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
-        else text.split(" ").grouped(chunkTokens).map(g => (id, g.mkString(" ")))
+        // split limit -1: keep trailing empty tokens — Java's split(" ")
+        // drops them while the DuckDB twin's string_split keeps them (the
+        // same cross-engine hazard repetitionRatio documents)
+        else text.split(" ", -1).grouped(chunkTokens).map(g => (id, g.mkString(" ")))
       }
       .toDF("doc_id", "chunk")
       .withColumn("__h", xxhash64(col("chunk")))
@@ -455,7 +458,8 @@ object Dedup {
         .as[(Long, String)]
         .flatMap { case (id, text) =>
           if (text == null) Iterator.empty
-          else text.split(" ").iterator.sliding(gramLen).withPartial(false)
+          // split limit -1: match the twin's string_split (trailing empties)
+          else text.split(" ", -1).iterator.sliding(gramLen).withPartial(false)
             .map(g => (id, g.mkString(" ")))
         }
         .toDF("doc_id", "gram")

@@ -35,7 +35,11 @@ object Windows {
       .select(col("__bkt"), col("__offset"))
     val intra = Window.partitionBy(col("__bkt")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB.join(broadcast(offsets), "__bkt")
+    // null-safe join key: a null bucket is its own group under the naive
+    // window, but a plain equi-join would silently DROP those rows
+    withB.alias("l")
+      .join(broadcast(offsets).alias("o"), col("l.__bkt") <=> col("o.__bkt"))
+      .select(col("l.*"), col("o.__offset"))
       .withColumn(out, col("__offset") + sum(value).over(intra))
       .drop("__bkt", "__offset")
   }
@@ -69,7 +73,14 @@ object Windows {
       .select(pcols :+ col("__bkt") :+ col("__offset"): _*)
     val intra = Window.partitionBy(pcols :+ col("__bkt"): _*)
       .orderBy(orderCols: _*).rowsBetween(Window.unboundedPreceding, -1)
-    withB.join(broadcast(offsets), partitionCols :+ "__bkt")
+    // null-safe join keys: a null scope (or bucket) forms its own window
+    // partition under the naive form, but a plain equi-join back to the
+    // offsets would silently DROP those rows from the output
+    val joinCond = (partitionCols :+ "__bkt")
+      .map(c => col(s"l.$c") <=> col(s"o.$c")).reduce(_ && _)
+    withB.alias("l")
+      .join(broadcast(offsets).alias("o"), joinCond)
+      .select(col("l.*"), col("o.__offset"))
       .withColumn(out,
         col("__offset") + coalesce(sum(value).over(intra), lit(0L)))
       .drop("__bkt", "__offset")

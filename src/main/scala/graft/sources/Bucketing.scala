@@ -19,6 +19,27 @@ object Bucketing {
   val OrdersTable = "graft_orders_bkt"
   val CustomerTable = "graft_customer_bkt"
 
+  /** A DEDICATED child session for bucketed-table reads, with
+    * `autoBucketedScan` pinned off: the DisableUnnecessaryBucketedScan
+    * preparation rule silently falls back to an UNBUCKETED scan when no
+    * downstream operator needs the bucket distribution — which also
+    * discards bucket PRUNING, turning the scan_bucket_prune point lookup
+    * into a full-file sweep (caught by Explain: "Bucketed: false
+    * (disabled by query planner)"). Session conf is planning-time state
+    * (same rule as join_bloom_filtered's child session): flipping it on
+    * the SHARED session would make every later bucketed-table plan depend
+    * on whether a bucketed query ran first in the session. The child
+    * shares the catalog (SharedState), so tables `ensure`d here are
+    * visible everywhere.
+    */
+  def bucketedSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.sql.shuffle.partitions"))
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s2
+  }
+
   private var bucketedFor: Option[(String, Int)] = None
 
   /** Idempotently materialize the bucketed twins of orders/customer for
@@ -29,13 +50,6 @@ object Bucketing {
     * would silently reintroduce the exchange).
     */
   def ensure(s: SparkSession, d: String, buckets: Int = 8): Unit = synchronized {
-    // The DisableUnnecessaryBucketedScan preparation rule silently falls
-    // back to an UNBUCKETED scan when no downstream operator needs the
-    // bucket distribution — which also discards bucket PRUNING, turning
-    // the scan_bucket_prune point lookup into a full-file sweep (caught by
-    // Explain: "Bucketed: false (disabled by query planner)"). A session
-    // that materialized this layout wants bucketed scans unconditionally.
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     val fresh = !bucketedFor.contains((d, buckets)) ||
       !s.catalog.tableExists(OrdersTable) || !s.catalog.tableExists(CustomerTable)
     if (fresh) {

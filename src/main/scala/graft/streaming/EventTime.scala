@@ -106,9 +106,10 @@ object EventTime {
     * external state table at `stateDir` always holds each user's LATEST
     * event (by ts, then event_id). Every micro-batch is reduced to its
     * per-user winners, merged against the current state, and the state is
-    * swapped atomically (write tmp → rename), so a reader never sees a
-    * half-written table and a crash between batches leaves the previous
-    * consistent state + the checkpoint to replay from. State size is
+    * swapped via write-tmp → two-rename (state → `_old`, tmp → state, with
+    * crash recovery from `_old` in [[mergeLatest]]), so a reader never
+    * sees a half-written table and a crash at ANY point leaves a complete
+    * prior state + the checkpoint to replay from. State size is
     * O(distinct users), not event volume. At 100 TB the same shape runs
     * against a transactional table format's MERGE INTO; plain parquet +
     * swap keeps the contract visible here.
@@ -129,6 +130,17 @@ object EventTime {
     */
   private[graft] def mergeLatest(batch: DataFrame, stateDir: String): Unit = {
     val s = batch.sparkSession
+    val stateF = new java.io.File(stateDir)
+    val oldF = new java.io.File(stateDir + "_old")
+    // Crash recovery from a previous interrupted swap. Both dirs present:
+    // the swap completed (state is the newer table), the `_old` cleanup
+    // just didn't run — drop it. Only `_old` present: the crash hit
+    // between the two renames — restore it; the checkpoint then replays
+    // the interrupted batch against the restored prior state.
+    if (stateF.exists()) {
+      if (oldF.exists()) graft.util.Scratch.delete(oldF.getPath)
+    } else if (oldF.exists() && !oldF.renameTo(stateF))
+      sys.error(s"state recovery failed: $oldF -> $stateF")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
     def latestOf(df: DataFrame): DataFrame =
@@ -140,9 +152,16 @@ object EventTime {
       else latestOf(batch)
     val tmp = stateDir + "_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    graft.util.Scratch.delete(stateDir)
-    if (!new java.io.File(tmp).renameTo(new java.io.File(stateDir)))
+    // Two-rename swap (state → _old, tmp → state, drop _old): at every
+    // crash point either `state` or `_old` holds a complete prior table,
+    // which the recovery above restores — a plain delete-then-rename has
+    // a window where NO state exists and earlier batches' users are
+    // silently lost.
+    if (stateF.exists() && !stateF.renameTo(oldF))
+      sys.error(s"state swap failed: $stateF -> $oldF")
+    if (!new java.io.File(tmp).renameTo(stateF))
       sys.error(s"state swap failed: $tmp -> $stateDir")
+    graft.util.Scratch.delete(oldF.getPath)
   }
 
   def sessionizeStateful(spark: SparkSession, events: DataFrame,

@@ -8,9 +8,10 @@ import graft.{SparkSpec, Tables}
 class BucketingSpec extends SparkSpec {
 
   test("bucketed equi-join: sort-merge join with NO shuffle exchange, same results") {
-    Bucketing.ensure(spark, sfDir)
-    val o = spark.table(Bucketing.OrdersTable)
-    val c = spark.table(Bucketing.CustomerTable)
+    val s2 = Bucketing.bucketedSession(spark)
+    Bucketing.ensure(s2, sfDir)
+    val o = s2.table(Bucketing.OrdersTable)
+    val c = s2.table(Bucketing.CustomerTable)
     val joined = o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
 
     val plan = joined.queryExecution.sparkPlan
@@ -28,7 +29,7 @@ class BucketingSpec extends SparkSpec {
   test("bucket pruning: point lookup on the bucket column reads ONE bucket") {
     val df = graft.catalog.RelationalQueries.queries("scan_bucket_prune")(spark, sfDir)
     // executedPlan, NOT sparkPlan: the DisableUnnecessaryBucketedScan
-    // preparation rule runs between them and (before Bucketing.ensure
+    // preparation rule runs between them and (before bucketedSession
     // pinned autoBucketedScan off) silently discarded the bucketed scan —
     // and with it the pruning this test exists to pin.
     val prepared = df.queryExecution.executedPlan match {

@@ -206,6 +206,29 @@ class EventTimeSpec extends SparkSpec {
       (3L, 5L, "view"))) // equal ts: higher event_id wins
   }
 
+  test("upsert merge recovers prior state from a crash between the swap renames") {
+    val state = graft.util.Scratch.fresh("upsert_crash_spec")
+    EventTime.mergeLatest(Seq(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:30:00"), 2, "view", 2.0)
+    ).toDF(), state)
+    // simulate a crash between `state -> _old` and `tmp -> state`: the
+    // state dir is gone, only _old holds the complete prior table
+    assert(new java.io.File(state).renameTo(new java.io.File(state + "_old")))
+    // the replayed batch must merge against the RECOVERED state — with a
+    // naive delete-then-rename, users 1 and 2 would silently vanish here
+    EventTime.mergeLatest(Seq(
+      Ev(3, ts("2024-01-01 11:00:00"), 3, "buy", 3.0)
+    ).toDF(), state)
+    val got = spark.read.parquet(state)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"prior users lost across the simulated swap crash: $got")
+    assert(!new java.io.File(state + "_old").exists(),
+      "completed merge must clean up the _old swap dir")
+  }
+
   test("session windows group by 30-minute inactivity gap") {
     val rows = EventTime.sessionStats(Tables.events(spark, sfDir)).collect()
     assert(rows.nonEmpty)
