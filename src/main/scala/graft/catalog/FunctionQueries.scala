@@ -60,16 +60,19 @@ object FunctionQueries {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy(col("event_id"))),
 
+    // try_element_at, not element_at: under ANSI mode element_at THROWS
+    // on an out-of-bounds index while DuckDB's embedding[i] returns NULL —
+    // try_element_at is the cross-engine (and short-vector-safe) form
     "fn_array" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-        round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"),
-        round(element_at(col("embedding"), 1).cast("double") +
-          element_at(col("embedding"), 2).cast("double") +
-          element_at(col("embedding"), 3).cast("double") +
-          element_at(col("embedding"), 4).cast("double"), 4).as("head4_sum"))
+        round(try_element_at(col("embedding"), lit(1)).cast("double"), 4).as("e1"),
+        round(try_element_at(col("embedding"), lit(64)).cast("double"), 4).as("e64"),
+        round(try_element_at(col("embedding"), lit(1)).cast("double") +
+          try_element_at(col("embedding"), lit(2)).cast("double") +
+          try_element_at(col("embedding"), lit(3)).cast("double") +
+          try_element_at(col("embedding"), lit(4)).cast("double"), 4).as("head4_sum"))
         .orderBy(col("vec_id"))),
 
     "fn_udf_scalar" -> ((s, d) =>

@@ -321,7 +321,11 @@ object LlmQueries {
     // cross-engine ordering never hinges on a libm ulp; ties broken by
     // token. Corpus-level idf needs one tiny broadcast aggregate.
     "llm_text_topterms" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      // lang-scoped TF-IDF is defined over docs WITH a language: a token
+      // seen only in null-lang docs has df = 0, and nl/df is then a
+      // divide-by-zero (ANSI throw) vs DuckDB's inf — excluded identically
+      // in the twin
+      val docs = Tables.documents(s, d).filter(col("lang").isNotNull)
       val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
       val tf = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("tf"))
       val dfreq = toks.groupBy(col("token"))
@@ -599,7 +603,7 @@ object LlmQueries {
     // duplicated when its text occurs elsewhere in the corpus
     "llm_dedup_lines" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents WHERE text IS NOT NULL),
+                    FROM documents WHERE text IS NOT NULL AND length(text) > 0),
          c AS (
            SELECT doc_id,
                   array_to_string(toks[(i-1)*10+1 : least(i*10, len(toks))], ' ') AS chunk
@@ -617,7 +621,7 @@ object LlmQueries {
     // shorter than 4 tokens mirrors the kernel's withPartial(false)
     "llm_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-                    FROM documents WHERE text IS NOT NULL),
+                    FROM documents WHERE text IS NOT NULL AND length(text) > 0),
          g AS (
            SELECT doc_id, array_to_string(toks[i : i+3], ' ') AS gram
            FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-3)) AS i) u
@@ -698,7 +702,7 @@ object LlmQueries {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
                 CAST(sum(n_chars) AS BIGINT) AS kept_chars
          FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
-         GROUP BY lang ORDER BY lang""",
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_similarity_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
@@ -794,7 +798,7 @@ object LlmQueries {
                         t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE /
                       len(string_split(text, ' '))::DOUBLE * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
                 floor(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE /
-                      length(text)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+                      nullif(length(text), 0)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
                 floor((least(len(string_split(text, ' '))::DOUBLE / 50.0, 1.0) * 0.5 +
                       (len(list_filter(string_split(text, ' '),
                          t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE /
@@ -809,8 +813,10 @@ object LlmQueries {
 
     "llm_text_fingerprint" ->
       """SELECT doc_id,
-                CAST(list_sum(list_transform(range(1, length(text) + 1),
-                  i -> ascii(text[i]) * ((i - 1) % 64 + 1))) AS BIGINT) AS fingerprint,
+                CASE WHEN text IS NULL THEN NULL
+                     ELSE CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                       i -> ascii(text[i]) * ((i - 1) % 64 + 1))), 0) AS BIGINT)
+                END AS fingerprint,
                 CAST(length(text) AS INT) AS n_chars_obs
          FROM documents ORDER BY doc_id""",
 
@@ -837,7 +843,8 @@ object LlmQueries {
 
     "llm_text_topterms" ->
       """WITH toks AS (
-           SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+           SELECT lang, unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE lang IS NOT NULL
          ), tf AS (
            SELECT lang, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
          ), dfq AS (
@@ -893,7 +900,7 @@ object LlmQueries {
                       row_number() OVER (PARTITION BY source
                                          ORDER BY md5(text) NULLS FIRST, doc_id) AS rk
                FROM documents)
-         WHERE rk <= 3 ORDER BY source, rk""",
+         WHERE rk <= 3 ORDER BY source NULLS FIRST, rk""",
 
     "llm_doc_shard" ->
       """SELECT substr(md5(text), 1, 1) AS shard,
@@ -972,7 +979,7 @@ object LlmQueries {
                       / 1000000.0 / count(*)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS centroid
          FROM embeddings,
               LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
-         GROUP BY label, i ORDER BY label, dim""",
+         GROUP BY label, i ORDER BY label NULLS FIRST, dim""",
 
     // per-vector scale = max|v|/127; err fixed to integer 1e-12 units per
     // element BEFORE summing (order-independent exact bigint addition);
@@ -996,7 +1003,7 @@ object LlmQueries {
          SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
                 CAST(count(*) AS BIGINT) AS n_elems,
                 CAST(sum(err_unit) AS BIGINT) AS sum_err_units
-         FROM q GROUP BY label ORDER BY label""",
+         FROM q GROUP BY label ORDER BY label NULLS FIRST""",
 
     "llm_multimodal_schema" ->
       """SELECT doc_id, lang, n_chars, CAST(len(embedding) AS INT) AS dim,
@@ -1013,7 +1020,7 @@ object LlmQueries {
                   list_reduce(list_prepend(17::BIGINT,
                     list_transform(range(1, length(text) + 1), i -> ascii(text[i])::BIGINT)),
                     (h, b) -> (h * 31 + b) % 1000000007) AS checksum
-           FROM documents
+           FROM documents WHERE text IS NOT NULL
          )
          SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes,
                 CAST(64 + checksum % 640 AS INT) AS width,
@@ -1026,7 +1033,8 @@ object LlmQueries {
     "llm_multimodal_features" ->
       """SELECT doc_id, CAST(ascii(c) // 16 AS INT) AS bin,
                 CAST(count(*) AS BIGINT) AS n
-         FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+         FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+               FROM documents WHERE text IS NOT NULL AND length(text) > 0)
          GROUP BY 1, 2 ORDER BY doc_id, bin""",
 
     "llm_multimodal_frames" ->

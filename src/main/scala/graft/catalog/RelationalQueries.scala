@@ -689,7 +689,8 @@ object RelationalQueries {
     "sink_roundtrip_json" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+         FROM documents GROUP BY lang, source
+         ORDER BY lang NULLS FIRST, source NULLS FIRST""",
 
     "filter_compound" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, round(o_totalprice, 2) AS o_totalprice

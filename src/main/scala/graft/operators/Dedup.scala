@@ -407,7 +407,9 @@ object Dedup {
     val chunks = docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
+        // null AND empty text have no chunks (the twin filters
+        // length(text) > 0; a bare "" would otherwise chunk to [""])
+        if (text == null || text.isEmpty) Iterator.empty
         // split limit -1: keep trailing empty tokens — Java's split(" ")
         // drops them while the DuckDB twin's string_split keeps them (the
         // same cross-engine hazard repetitionRatio documents)

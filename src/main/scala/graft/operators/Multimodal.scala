@@ -36,7 +36,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition init would go here (decoder handles, buffers, ...)
-      rows.map { r =>
+      // null media (e.g. a null-text doc) has no metadata row — the SQL
+      // twins filter the same rows with WHERE text IS NOT NULL
+      rows.filter(_.media != null).map { r =>
         val bytes = r.media
         // modular rolling hash (no i64 wraparound → portable to the oracle)
         val checksum = bytes.foldLeft(17L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
@@ -57,7 +59,7 @@ object Multimodal {
   def byteHistogram(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.flatMap { r =>
+      rows.filter(_.media != null).flatMap { r =>
         val counts = new Array[Long](16)
         var i = 0
         while (i < r.media.length) {

@@ -107,7 +107,9 @@ object Similarity {
         emb.withColumn("cid", nearestCid(col("embedding"), cents))
           .groupBy(col("cid"))
           .agg(array((0 until dim).map(i =>
-            avg(element_at(col("embedding"), i + 1).cast("double"))): _*).as("cv")))
+            // try_element_at: a shorter-than-dim vector reads NULL past
+            // its end (avg skips nulls) instead of ANSI-throwing
+            avg(try_element_at(col("embedding"), lit(i + 1)).cast("double"))): _*).as("cv")))
     }
     import spark.implicits._
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }

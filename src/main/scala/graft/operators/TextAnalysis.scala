@@ -51,7 +51,10 @@ object TextAnalysis {
       nTok.cast("int").as("n_tokens"),
       roundTo(alphaLen.cast("double") / nTok.cast("double"), 2).as("avg_tok_len"),
       roundTo(stop.cast("double") / nTok.cast("double"), 4).as("stop_ratio"),
-      roundTo(alphaLen.cast("double") / length(col("text")).cast("double"), 4).as("alpha_ratio"),
+      // nullif: an EMPTY text has length 0, and x/0 throws under ANSI
+      // while DuckDB emits NaN — both engines agree on NULL instead
+      roundTo(alphaLen.cast("double") /
+        nullif(length(col("text")), lit(0)).cast("double"), 4).as("alpha_ratio"),
       roundTo(least(nTok.cast("double") / 50.0, lit(1.0)) * 0.5 +
         (stop.cast("double") / nTok.cast("double")) * 0.5, 4).as("quality"))
   }
@@ -155,14 +158,19 @@ object TextAnalysis {
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val t = if (text == null) "" else text
-          var sum = 0L
-          var i = 0
-          while (i < t.length) {
-            sum += t.charAt(i).toLong * ((i % 64) + 1)
-            i += 1
+          // null text -> null fingerprint (not the 0 an empty text hashes
+          // to): the SQL twin's fold over NULL is NULL, and a conflated
+          // null/empty would collide distinct documents in a manifest
+          if (text == null) (id, None: Option[Long], None: Option[Int])
+          else {
+            var sum = 0L
+            var i = 0
+            while (i < text.length) {
+              sum += text.charAt(i).toLong * ((i % 64) + 1)
+              i += 1
+            }
+            (id, Some(sum), Some(text.length))
           }
-          (id, sum, t.length)
         }
       }
       .toDF("doc_id", "fingerprint", "n_chars_obs")

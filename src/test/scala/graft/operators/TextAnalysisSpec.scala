@@ -55,14 +55,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === Set(2L, 4L))
   }
 
-  test("fingerprint: null text fingerprints as empty") {
+  test("fingerprint: null text is NULL, empty text fingerprints to 0") {
+    // null ≠ empty: a null payload has NO fingerprint (the SQL twin's
+    // fold over NULL is NULL); an empty one legitimately hashes to 0.
+    // Conflating them would collide distinct documents in a manifest.
     val out = TextAnalysis
-      .fingerprint(docs(1L -> null, 2L -> "ab"))
+      .fingerprint(docs(1L -> null, 2L -> "ab", 3L -> ""))
       .orderBy("doc_id")
       .collect()
-    assert(out(0).getLong(1) === 0L)
-    assert(out(0).getInt(2) === 0)
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
     // 'a'*1 + 'b'*2 = 97 + 196
     assert(out(1).getLong(1) === 293L)
+    assert(out(2).getLong(1) === 0L)
+    assert(out(2).getInt(2) === 0)
   }
 }

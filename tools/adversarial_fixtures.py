@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Build an ADVERSARIAL fixture dir for cross-engine parity testing.
+
+Copies the sf0.001 tables and injects the edge rows the generator never
+emits — null/empty/trailing-space/multi-space text, null lang/source,
+duplicate texts, events whose user has no customer row, null event
+values, embeddings with a null label / short vector — then the normal
+Verify + check_oracle flow turns every LATENT Spark-vs-DuckDB divergence
+(null sort order, split semantics, null-key joins) into a visible
+mismatch:
+
+    python3 tools/adversarial_fixtures.py /tmp/advfix
+    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /tmp/advfix /tmp/adv_out"
+    python3 tools/check_oracle.py /tmp/adv_out /tmp/advfix
+
+Expectation: every oracled query still matches. A mismatch here is a
+portability bug of the same class as the ones fixed in the round-7
+self-review (NULLS FIRST, split(" ", -1), null-safe joins).
+"""
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(out):
+    import os
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out}/{t}.parquet")
+
+    # ---- documents: the text-pipeline edge rows -------------------------
+    docs = pq.read_table(f"{out}/documents.parquet")
+    base = docs.to_pylist()
+    dup_text = base[0]["text"]  # exact duplicate of an existing doc
+    extra = [
+        dict(doc_id=90001, text=None, lang="en", source="src0", n_chars=0),
+        dict(doc_id=90002, text="", lang="es", source="src1", n_chars=0),
+        dict(doc_id=90003, text="trailing space ", lang="de", source="src2",
+             n_chars=15),
+        dict(doc_id=90004, text="double  space inside", lang=None,
+             source="src3", n_chars=20),
+        dict(doc_id=90005, text="null source row", lang="fr", source=None,
+             n_chars=15),
+        dict(doc_id=90006, text=dup_text, lang="en", source="src4",
+             n_chars=len(dup_text)),
+        dict(doc_id=90007, text=" leading space", lang="en", source="src5",
+             n_chars=14),
+    ]
+    merged = pa.Table.from_pylist(base + extra, schema=docs.schema)
+    pq.write_table(merged, f"{out}/documents.parquet")
+
+    # ---- events: stream-side edge rows ----------------------------------
+    ev = pq.read_table(f"{out}/events.parquet")
+    evrows = ev.to_pylist()
+    t0 = evrows[0]["ts"]
+    extra_ev = [
+        # user with NO customer row (left-join null path)
+        dict(event_id=90001, ts=t0, user_id=99999, event_type="click",
+             value=1.5, props='{"k": 1}'),
+        # null value (sum/avg null handling)
+        dict(event_id=90002, ts=t0, user_id=1, event_type="view",
+             value=None, props='{"k": 2}'),
+        # null props (json extraction null path)
+        dict(event_id=90003, ts=t0, user_id=2, event_type="error",
+             value=2.5, props=None),
+    ]
+    merged_ev = pa.Table.from_pylist(evrows + extra_ev, schema=ev.schema)
+    pq.write_table(merged_ev, f"{out}/events.parquet")
+
+    # ---- embeddings: null label + short vector --------------------------
+    emb = pq.read_table(f"{out}/embeddings.parquet")
+    erows = emb.to_pylist()
+    extra_emb = [
+        dict(vec_id=90001, embedding=erows[0]["embedding"], label=None),
+        dict(vec_id=90002, embedding=[1.0, -2.0, 3.0], label=0),
+    ]
+    merged_emb = pa.Table.from_pylist(erows + extra_emb, schema=emb.schema)
+    pq.write_table(merged_emb, f"{out}/embeddings.parquet")
+
+    print(f"adversarial fixtures written to {out}: "
+          f"documents +{len(extra)}, events +{len(extra_ev)}, "
+          f"embeddings +{len(extra_emb)}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
