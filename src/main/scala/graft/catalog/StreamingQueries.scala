@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
 import graft.pipeline.{KafkaPipeline, PipelineConfig}
-import graft.streaming.EventTime
+import graft.streaming.{CorpusIngest, EventTime}
 
 /** SURVEY §2.B streaming block. The windowed aggregations run here in
   * batch form over the same builders the streaming tests drive through
@@ -84,6 +84,32 @@ object StreamingQueries {
         .select(col("user_id"), col("event_id"),
           col("event_type").as("last_type"), col("value").as("last_value"))
         .orderBy(col("user_id"))
+    }),
+
+    // Incremental corpus ingestion against a persistent dedup manifest —
+    // the daily-ingest pattern: the manifest is seeded with "yesterday's
+    // corpus" (doc_id % 5 == 0), then "today's delivery" (the rest)
+    // streams through CorpusIngest.dedupIngest; only documents whose
+    // digest the manifest has never seen survive. Result = today's NEW
+    // docs per lang. Multi-batch growth + idempotent replay are
+    // unit-tested in CorpusIngestSpec; the oracle checks the composed
+    // seed-suppression + within-delivery dedup semantics.
+    "llm_dedup_incremental" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("dedup_incr")
+      val docs = Tables.documents(s, d)
+      CorpusIngest.ingestBatch(
+        docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .write.parquet(s"$base/today")
+      val src = KafkaPipeline.fileStream(s, s"$base/today",
+        docs.schema, glob = "*.parquet")
+      val q = CorpusIngest.dedupIngest(src, s"$base/manifest", s"$base/chk")
+      q.awaitTermination()
+      CorpusIngest.manifest(s, s"$base/manifest")
+        .filter(col("batch") >= 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
+        .orderBy(col("lang"))
     }),
 
     // R1→R4 end-to-end (SURVEY §2.A): stream the events table through the
@@ -165,6 +191,25 @@ object StreamingQueries {
     "stream_dedup" ->
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // seed suppression uses IS NOT DISTINCT FROM (the <=> twin) so a
+    // null-text seed suppresses later null-text docs in both engines
+    "llm_dedup_incremental" ->
+      """WITH seedd AS (
+           SELECT text FROM documents WHERE doc_id % 5 = 0
+         ), today AS (
+           SELECT * FROM documents WHERE doc_id % 5 <> 0
+         ), k AS (
+           SELECT min(doc_id) AS keep_id
+           FROM today t
+           WHERE NOT EXISTS (SELECT 1 FROM seedd sd
+                             WHERE sd.text IS NOT DISTINCT FROM t.text)
+           GROUP BY t.text
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+                min(doc_id) AS min_new
+         FROM today JOIN k ON doc_id = keep_id
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,
