@@ -876,7 +876,8 @@ object LlmQueries {
          FROM f
          WHERE quality >= $QualityMin AND predicted_lang = lang
            AND n_tokens BETWEEN $QualityTokMin AND $QualityTokMax
-         GROUP BY lang, source ORDER BY lang, source""",
+         GROUP BY lang, source
+         ORDER BY lang NULLS FIRST, source NULLS FIRST""",
 
     "llm_pack_sequences" ->
       """WITH t AS (

@@ -105,8 +105,17 @@ object StreamingQueries {
         docs.schema, glob = "*.parquet")
       val q = CorpusIngest.dedupIngest(src, s"$base/manifest", s"$base/chk")
       q.awaitTermination()
-      CorpusIngest.manifest(s, s"$base/manifest")
-        .filter(col("batch") >= 0)
+      val m = CorpusIngest.manifest(s, s"$base/manifest")
+      // Oracle parity tripwire: the twin computes a GLOBAL min(doc_id)
+      // per text over today's delivery, which equals the manifest's
+      // first-batch-wins semantics only while the whole delivery lands in
+      // ONE micro-batch (fileStream sets no maxFilesPerTrigger, so
+      // AvailableNow reads every file in batch 0). If that ever changes,
+      // fail loudly instead of hash-drifting.
+      val maxBatch = m.agg(max(col("batch"))).head().getInt(0)
+      require(maxBatch == 0,
+        s"llm_dedup_incremental expects a single ingest micro-batch, saw batch=$maxBatch")
+      m.filter(col("batch") >= 0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
         .orderBy(col("lang"))

@@ -52,8 +52,13 @@ object CorpusIngest {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .select(col("doc_id"), col("lang"), col("__h"), col("__len"))
+    // existence probe through the path's Hadoop filesystem, NOT
+    // java.io.File: on hdfs://-s3a:// manifest dirs a driver-local check
+    // is always false and would silently skip dedup on every batch
+    val mPath = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val survivors =
-      if (new java.io.File(manifestDir).exists()) {
+      if (fs.exists(mPath)) {
         val seen = s.read.parquet(manifestDir)
           .filter(col("batch") =!= batchId)
           .select(col("__h"), col("__len"))
