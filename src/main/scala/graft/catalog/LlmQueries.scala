@@ -109,6 +109,11 @@ object LlmQueries {
     */
   private val NgramLmLow = -3.45
 
+  /** Columns profiled by `llm_data_profile` — the SQL twin is generated
+    * from this same Seq, so the engines profile identical columns.
+    */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
   /** DuckDB stop-word-hit count, built from the SAME Scala list the Spark
     * expressions use (TextAnalysis.Stop*) — single-sourced across engines.
     */
@@ -457,6 +462,26 @@ object LlmQueries {
           min(col("oov")).as("min_oov"), max(col("oov")).as("max_oov"),
           sum(when(col("oov") > 0.5, 1L).otherwise(0L)).as("n_high_oov"))
         .orderBy(col("lang"))
+    }),
+
+    // Data-health profiling (the first query a pipeline runs on a new
+    // corpus drop): per-column row/null/distinct counts in ONE pass —
+    // a single aggregate computes every column's stats (Catalyst expands
+    // the multi-countDistinct into one Expand+aggregate pipeline, still
+    // one scan), then a stack() generator unpivots the 1-row result to
+    // one row per column. Exact distincts keep the oracle exact; the
+    // 100 TB path swaps approx_count_distinct per column.
+    "llm_data_profile" -> ((s, d) => {
+      val aggs = count(lit(1)).as("n_rows") +:
+        ProfileCols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val one = Tables.documents(s, d).agg(aggs.head, aggs.tail: _*)
+      val stackExpr = s"stack(${ProfileCols.size}, " +
+        ProfileCols.map(c => s"'$c', n_rows - nn_$c, nd_$c").mkString(", ") +
+        ") as (col_name, n_null, n_distinct)"
+      one.selectExpr("n_rows", stackExpr)
+        .select(col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"))
+        .orderBy(col("col_name"))
     }),
 
     // Mixture-weight resampling (training-mixture assembly): each source
@@ -939,6 +964,19 @@ object LlmQueries {
                 min(oov) AS min_oov, max(oov) AS max_oov,
                 CAST(sum(CASE WHEN oov > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_oov
          FROM pd GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // generated from the same ProfileCols Seq as the Spark side
+    "llm_data_profile" -> {
+      val aggsSql = ProfileCols.map(c =>
+        s"count($c) AS nn_$c, count(DISTINCT $c) AS nd_$c").mkString(", ")
+      val rowsSql = ProfileCols.map(c =>
+        s"SELECT '$c' AS col_name, n_rows, n_rows - nn_$c AS n_null, " +
+          s"CAST(nd_$c AS BIGINT) AS n_distinct FROM a").mkString(" UNION ALL ")
+      s"""WITH a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_rows, $aggsSql FROM documents
+          )
+          $rowsSql ORDER BY col_name"""
+    },
 
     // CASE threshold chain generated from the same MixtureWeights Seq the
     // Spark when-chain folds over — single-sourced across engines

@@ -408,6 +408,28 @@ object RelationalQueries {
     // percentile buffers each group's values — fine for bounded group
     // counts; the unbounded-cardinality scale path is approx_percentile
     // (t-digest sketch, mergeable map-side).
+    // Join-key skew profile — the diagnostic a pipeline runs BEFORE
+    // choosing a salt factor or trusting AQE's skew threshold: per-key
+    // row counts reduced to distributional stats in two grouped passes
+    // (key counts = one map-side-combinable shuffle on the key; the
+    // 1-row summary aggregates the tiny counts frame). skew = max/avg in
+    // exact integer counts, floor-rounded once.
+    "agg_skew_profile" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      counts.agg(
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_rows"),
+          graft.functions.Rounding.roundTo(expr("percentile(c, 0.5)"), 2)
+            .as("p50_rows"),
+          graft.functions.Rounding.roundTo(expr("percentile(c, 0.99)"), 2)
+            .as("p99_rows"),
+          graft.functions.Rounding.roundTo(
+            max(col("c")).cast("double") * count(lit(1)).cast("double") /
+              sum(col("c")).cast("double"), 4).as("skew_ratio"))
+        .orderBy(col("n_keys"))
+    }),
+
     "agg_median" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -947,6 +969,19 @@ object RelationalQueries {
                 sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
          FROM lineitem WHERE l_quantity >= 45
          GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "agg_skew_profile" ->
+      """WITH counts AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY l_orderkey
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                max(c) AS max_rows,
+                floor(quantile_cont(c, 0.5) * 100.0 + 0.5) / 100.0 AS p50_rows,
+                floor(quantile_cont(c, 0.99) * 100.0 + 0.5) / 100.0 AS p99_rows,
+                floor(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                      / CAST(sum(c) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS skew_ratio
+         FROM counts ORDER BY n_keys""",
 
     "agg_median" ->
       """SELECT l_returnflag,
