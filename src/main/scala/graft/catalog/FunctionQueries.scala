@@ -117,10 +117,16 @@ object FunctionQueries {
       // API), which would make self_dot DECIMAL(27,6); CAST back to DOUBLE so
       // the serialized type matches the DuckDB twin (values were already
       // identical — round-4 judge-verified).
+      // non-finite guard mirrors Rounding.roundTo: SQL floor returns LONG
+      // in Spark, which would silently zero a NaN self-dot
       s.sql("""
+        WITH e AS (SELECT vec_id, graft_dot(embedding, embedding) AS d
+                   FROM graft_emb_native)
         SELECT vec_id,
-               CAST(floor(graft_dot(embedding, embedding) * 100.0 + 0.5) / 100.0 AS DOUBLE) AS self_dot
-        FROM graft_emb_native ORDER BY vec_id
+               CAST(CASE WHEN isnan(d) OR abs(d) = CAST('Infinity' AS DOUBLE)
+                         THEN d
+                         ELSE floor(d * 100.0 + 0.5) / 100.0 END AS DOUBLE) AS self_dot
+        FROM e ORDER BY vec_id
       """)
     }),
 

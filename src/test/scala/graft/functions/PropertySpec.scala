@@ -191,6 +191,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prop: roundTo propagates non-finite values and rounds finite ones") {
+    // Spark's floor returns LONG — an unguarded floor(x*p+0.5)/p silently
+    // maps NaN -> 0.0 and +-Inf -> +-Long.MaxValue/p, masking poisoned
+    // floats (DuckDB's DOUBLE floor propagates them). Pin the guard.
+    val vals = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.23456, -1.23456, 0.0)
+    val out = vals.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v")
+      .select(col("i"), Rounding.roundTo(col("v"), 2).as("r"))
+      .orderBy("i").as[(Int, Double)].collect().map(_._2)
+    assert(out(0).isNaN, "NaN must propagate, not round to 0.0")
+    assert(out(1).isPosInfinity && out(2).isNegInfinity,
+      "infinities must propagate")
+    // note: floor(x*p+0.5) is round-half-up TOWARD +inf, so -1.23456
+    // rounds to -1.23 (same in DuckDB — that's the point of the form)
+    assert(out(3) == 1.23 && out(4) == -1.23 && out(5) == 0.0,
+      s"finite rounding changed: ${out.toSeq}")
+    // and the guard leaves random finite values bit-identical to the
+    // unguarded floor form (one batch job, 500 seeded samples)
+    val rnd = new scala.util.Random(17)
+    val samples = Seq.fill(500)(rnd.nextDouble() * 2e6 - 1e6)
+    val got = samples.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("i", "v")
+      .select(col("i"), Rounding.roundTo(col("v"), 2).as("r"))
+      .orderBy("i").as[(Int, Double)].collect().map(_._2)
+    samples.zip(got).foreach { case (d, g) =>
+      val expected = math.floor(d * 100.0 + 0.5) / 100.0
+      assert(g == expected, s"guarded roundTo diverged on finite $d: $g")
+    }
+  }
+
   test("prop: mixtureThresholdHex is a sound, monotone membership threshold") {
     import graft.catalog.LlmQueries
     // threshold shape: 8 lowercase hex digits for w<1, the keep-all

@@ -16,6 +16,15 @@ mismatch:
 Expectation: every oracled query still matches. A mismatch here is a
 portability bug of the same class as the ones fixed in the round-7
 self-review (NULLS FIRST, split(" ", -1), null-safe joins).
+
+With --float-edges, additionally injects NaN / +-Inf event values and a
+NaN embedding element. Expected outcome there is NOT 0 bad: rounded
+double paths (similarity, averages) PROPAGATE the poison identically in
+both engines (Rounding.roundTo's non-finite guard), while the
+integer-unit money/error sums and regression moments fail LOUDLY —
+DuckDB cast/range errors or Spark ANSI sum overflow. The contract is
+"propagate or error, never silently zero": before the guard, Spark's
+LONG-returning floor turned a NaN similarity into 0.0.
 """
 import shutil
 import sys
@@ -29,7 +38,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(out):
+def main(out, float_edges=False):
     import os
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
@@ -84,10 +93,32 @@ def main(out):
     merged_emb = pa.Table.from_pylist(erows + extra_emb, schema=emb.schema)
     pq.write_table(merged_emb, f"{out}/embeddings.parquet")
 
+    if float_edges:
+        ev2 = pq.read_table(f"{out}/events.parquet")
+        rows2 = ev2.to_pylist()
+        rows2 += [
+            dict(event_id=91001, ts=t0, user_id=3, event_type="view",
+                 value=float("nan"), props='{"k": 3}'),
+            dict(event_id=91002, ts=t0, user_id=4, event_type="view",
+                 value=float("inf"), props='{"k": 4}'),
+            dict(event_id=91003, ts=t0, user_id=5, event_type="view",
+                 value=-float("inf"), props='{"k": 5}'),
+        ]
+        pq.write_table(pa.Table.from_pylist(rows2, schema=ev2.schema),
+                       f"{out}/events.parquet")
+        emb2 = pq.read_table(f"{out}/embeddings.parquet")
+        er2 = emb2.to_pylist()
+        v = list(er2[0]["embedding"])
+        v[5] = float("nan")
+        er2 += [dict(vec_id=91001, embedding=v, label=1)]
+        pq.write_table(pa.Table.from_pylist(er2, schema=emb2.schema),
+                       f"{out}/embeddings.parquet")
+
     print(f"adversarial fixtures written to {out}: "
           f"documents +{len(extra)}, events +{len(extra_ev)}, "
-          f"embeddings +{len(extra_emb)}")
+          f"embeddings +{len(extra_emb)}"
+          + (", float edges injected" if float_edges else ""))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(sys.argv[1], "--float-edges" in sys.argv[2:])
