@@ -88,33 +88,48 @@ object StreamingQueries {
 
     // Incremental corpus ingestion against a persistent dedup manifest —
     // the daily-ingest pattern: the manifest is seeded with "yesterday's
-    // corpus" (doc_id % 5 == 0), then "today's delivery" (the rest)
-    // streams through CorpusIngest.dedupIngest; only documents whose
-    // digest the manifest has never seen survive. Result = today's NEW
-    // docs per lang. Multi-batch growth + idempotent replay are
-    // unit-tested in CorpusIngestSpec; the oracle checks the composed
-    // seed-suppression + within-delivery dedup semantics.
+    // corpus" (doc_id % 5 == 0), then TWO delivery days (doc_id % 5 in
+    // (1,2), then (3,4)) stream through CorpusIngest.dedupIngest as TWO
+    // real micro-batches (maxFilesPerTrigger=1, one file per day,
+    // staggered mtimes so the file source's modification-time order is
+    // deterministic); only documents whose digest the manifest has never
+    // seen — in the seed OR an earlier delivery — survive. Result = new
+    // docs per lang across both deliveries. The oracle twin replays the
+    // same batch-ordered first-wins semantics in SQL; idempotent replay
+    // is unit-tested in CorpusIngestSpec.
     "llm_dedup_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("dedup_incr")
       val docs = Tables.documents(s, d)
       CorpusIngest.ingestBatch(
         docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
-      docs.filter(col("doc_id") % 5 =!= 0)
-        .write.parquet(s"$base/today")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/today"))
+      Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
+        val tmp = s"$base/tmp$i"
+        docs.filter((col("doc_id") % 5).isin(residues: _*))
+          .coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dst = new java.io.File(s"$base/today/delivery_$i.parquet")
+        if (!part.renameTo(dst)) sys.error(s"move failed: $part -> $dst")
+        // modification-time order IS the micro-batch order under
+        // maxFilesPerTrigger; 60 s apart beats any FS mtime granularity
+        if (!dst.setLastModified(1600000000000L + i * 60000L))
+          sys.error(s"setLastModified failed: $dst")
+      }
       val src = KafkaPipeline.fileStream(s, s"$base/today",
-        docs.schema, glob = "*.parquet")
+        docs.schema, glob = "*.parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
       val q = CorpusIngest.dedupIngest(src, s"$base/manifest", s"$base/chk")
       q.awaitTermination()
       val m = CorpusIngest.manifest(s, s"$base/manifest")
-      // Oracle parity tripwire: the twin computes a GLOBAL min(doc_id)
-      // per text over today's delivery, which equals the manifest's
-      // first-batch-wins semantics only while the whole delivery lands in
-      // ONE micro-batch (fileStream sets no maxFilesPerTrigger, so
-      // AvailableNow reads every file in batch 0). If that ever changes,
-      // fail loudly instead of hash-drifting.
+      // The multi-batch semantics are the point: fail loudly if the two
+      // deliveries collapsed into one micro-batch (oracle would still
+      // match on this data, but the query would no longer test what it
+      // claims to test).
       val maxBatch = m.agg(max(col("batch"))).head().getInt(0)
-      require(maxBatch == 0,
-        s"llm_dedup_incremental expects a single ingest micro-batch, saw batch=$maxBatch")
+      require(maxBatch == 1,
+        s"llm_dedup_incremental expects two ingest micro-batches, saw max batch=$maxBatch")
       m.filter(col("batch") >= 0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
@@ -201,18 +216,25 @@ object StreamingQueries {
       """SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
 
-    // seed suppression uses IS NOT DISTINCT FROM (the <=> twin) so a
-    // null-text seed suppresses later null-text docs in both engines
+    // Batch-ordered first-wins twin of the two-micro-batch ingest: b is
+    // the delivery (micro-batch) each doc rides in; a text's survivor is
+    // the min doc_id WITHIN the earliest delivery containing it, and only
+    // if no seed doc shares the text. IS NOT DISTINCT FROM (the <=> twin)
+    // everywhere so a null-text seed/early-batch doc suppresses later
+    // null-text docs in both engines.
     "llm_dedup_incremental" ->
       """WITH seedd AS (
            SELECT text FROM documents WHERE doc_id % 5 = 0
          ), today AS (
-           SELECT * FROM documents WHERE doc_id % 5 <> 0
+           SELECT *, CASE WHEN doc_id % 5 IN (1, 2) THEN 0 ELSE 1 END AS b
+           FROM documents WHERE doc_id % 5 <> 0
          ), k AS (
-           SELECT min(doc_id) AS keep_id
+           SELECT min(t.doc_id) AS keep_id
            FROM today t
            WHERE NOT EXISTS (SELECT 1 FROM seedd sd
                              WHERE sd.text IS NOT DISTINCT FROM t.text)
+             AND t.b = (SELECT min(e.b) FROM today e
+                        WHERE e.text IS NOT DISTINCT FROM t.text)
            GROUP BY t.text
          )
          SELECT lang, CAST(count(*) AS BIGINT) AS n_new,

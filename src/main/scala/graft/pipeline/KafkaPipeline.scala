@@ -55,9 +55,11 @@ object KafkaPipeline {
     */
   def fileStream(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
-      glob: String = "*"): DataFrame =
+      glob: String = "*",
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
+      .options(options)
       .parquet(dir)
 
   /** R2: payload bytes → UTF-8 string; null or invalid UTF-8 → "" (exactly

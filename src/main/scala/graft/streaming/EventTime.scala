@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -130,38 +129,47 @@ object EventTime {
     */
   private[graft] def mergeLatest(batch: DataFrame, stateDir: String): Unit = {
     val s = batch.sparkSession
-    val stateF = new java.io.File(stateDir)
-    val oldF = new java.io.File(stateDir + "_old")
+    // All existence/rename/delete goes through the path's Hadoop
+    // filesystem, NOT java.io.File: on an hdfs://-s3a:// state dir a
+    // driver-local check is always false, so the recovery branch would
+    // never trigger and the swap would sys.error instead of recovering.
+    // (Same rationale as CorpusIngest.ingestBatch. Note s3a rename is
+    // copy+delete, not atomic — at 100 TB the same shape runs against a
+    // transactional table format's MERGE INTO, per the scaladoc above.)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stateP = new org.apache.hadoop.fs.Path(stateDir)
+    val oldP = new org.apache.hadoop.fs.Path(stateDir + "_old")
     // Crash recovery from a previous interrupted swap. Both dirs present:
     // the swap completed (state is the newer table), the `_old` cleanup
     // just didn't run — drop it. Only `_old` present: the crash hit
     // between the two renames — restore it; the checkpoint then replays
     // the interrupted batch against the restored prior state.
-    if (stateF.exists()) {
-      if (oldF.exists()) graft.util.Scratch.delete(oldF.getPath)
-    } else if (oldF.exists() && !oldF.renameTo(stateF))
-      sys.error(s"state recovery failed: $oldF -> $stateF")
+    if (fs.exists(stateP)) {
+      if (fs.exists(oldP)) fs.delete(oldP, true)
+    } else if (fs.exists(oldP) && !fs.rename(oldP, stateP))
+      sys.error(s"state recovery failed: $oldP -> $stateP")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
     def latestOf(df: DataFrame): DataFrame =
       df.select(UpsertCols.map(col): _*)
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val merged =
-      if (Files.exists(Paths.get(stateDir)))
+      if (fs.exists(stateP))
         latestOf(s.read.parquet(stateDir).unionByName(latestOf(batch)))
       else latestOf(batch)
-    val tmp = stateDir + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + "_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
     // Two-rename swap (state → _old, tmp → state, drop _old): at every
     // crash point either `state` or `_old` holds a complete prior table,
     // which the recovery above restores — a plain delete-then-rename has
     // a window where NO state exists and earlier batches' users are
     // silently lost.
-    if (stateF.exists() && !stateF.renameTo(oldF))
-      sys.error(s"state swap failed: $stateF -> $oldF")
-    if (!new java.io.File(tmp).renameTo(stateF))
+    if (fs.exists(stateP) && !fs.rename(stateP, oldP))
+      sys.error(s"state swap failed: $stateP -> $oldP")
+    if (!fs.rename(tmp, stateP))
       sys.error(s"state swap failed: $tmp -> $stateDir")
-    graft.util.Scratch.delete(oldF.getPath)
+    fs.delete(oldP, true)
   }
 
   def sessionizeStateful(spark: SparkSession, events: DataFrame,
