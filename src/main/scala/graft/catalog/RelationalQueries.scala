@@ -220,6 +220,25 @@ object RelationalQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // Two-level skew salting driven by the skew profile: ONLY keys at/above
+    // the hot threshold are salted (broadcast hot-key probe, no extra
+    // shuffle); cold keys join plain. Right-side inflation is
+    // |hot-key right rows|×(factor−1), not join_salted's |right|×factor —
+    // the form that survives a fact-sized right side at 100 TB. Same
+    // result set as the plain join, verified by the oracle; the inflation
+    // contract is unit-asserted in JoinsSpec.
+    "join_salted_hotkey" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val hot = Joins.profileHotKeys(ev, "user_id", minCount = 60L)
+      Joins.hotKeySaltedJoin(ev, Tables.customer(s, d),
+          "user_id", "c_custkey", saltFactor = 8, hotKeys = hot)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100.0 + 0.5).cast("long")) / 100.0)
+            .as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // The explicit skew-salting path (AQE handles SMJ skew at runtime;
     // this is the ahead-of-time form) — same result set as the plain join,
     // verified by the oracle.
@@ -903,6 +922,14 @@ object RelationalQueries {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // hot-key-only salting is semantics-preserving: the oracle is the
+    // plain inner join
+    "join_salted_hotkey" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "join_bucketed" ->

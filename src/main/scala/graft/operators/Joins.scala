@@ -103,38 +103,119 @@ object Joins {
       .drop("__lsalt", "__rsalt")
   }
 
+  /** Left-side key histogram restricted to keys at/above `minCount` —
+    * the skew profile that feeds [[hotKeySaltedJoin]]. One partial-agg
+    * shuffle over the key column only; by definition of skew the result
+    * is a handful of keys, safe to broadcast.
+    */
+  def profileHotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col(key))
+
+  /** Two-level skew join: salt ONLY the hot keys, join the cold keys
+    * plain. [[saltedEquiJoin]] replicates the ENTIRE right side
+    * ×saltFactor — fine for a smallish right side, fatal when the right
+    * side is fact-sized; here right-side inflation is limited to the hot
+    * keys' rows: |right| + |hot-key right rows|×(saltFactor-1).
+    *
+    * `hotKeys` is a one-column DataFrame of the key values to salt —
+    * typically [[profileHotKeys]] on the skewed side (the same scan the
+    * `agg_skew_profile` diagnostic runs), or a known-hot list. It is
+    * broadcast: both sides tag rows hot/cold with a broadcast probe (no
+    * shuffle), hot left rows get a deterministic row-hash salt in
+    * [0, saltFactor), hot right rows replicate once per salt, and cold
+    * rows on both sides carry salt 0. One equi-join on (key, salt) —
+    * a single shuffle whose hottest reducer now holds 1/saltFactor of the
+    * hottest key.
+    */
+  def hotKeySaltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, saltFactor: Int,
+      hotKeys: DataFrame): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
+    require(hotKeys.columns.length == 1,
+      s"hotKeys must be a single key column, got ${hotKeys.columns.mkString(",")}")
+    val hk = broadcast(
+      hotKeys.select(col(hotKeys.columns.head).as("__hot")).distinct())
+    // same row-discriminator salt as saltedEquiJoin: rows SHARING the hot
+    // key must spread, so the hash covers every hashable non-key column
+    val discrim = left.schema.fields
+      .filterNot(f => f.name == leftKey ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    val l = left.join(hk, col(leftKey) === col("__hot"), "left")
+      .withColumn("__lsalt",
+        when(col("__hot").isNotNull,
+          pmod(hash((col(leftKey) +: discrim): _*), lit(saltFactor)))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val r = replicateHotRight(right, rightKey, saltFactor, hk)
+    l.join(r,
+        l(leftKey) === r(rightKey) && col("__lsalt") === col("__rsalt"))
+      .drop("__lsalt", "__rsalt")
+  }
+
+  /** The right leg of [[hotKeySaltedJoin]], exposed so tests can assert
+    * the inflation contract: output rows = |right| + |hot-key right
+    * rows|×(saltFactor-1). `hk` is a broadcast one-column frame named
+    * `__hot`.
+    */
+  private[graft] def replicateHotRight(right: DataFrame, rightKey: String,
+      saltFactor: Int, hk: DataFrame): DataFrame =
+    right.join(hk, col(rightKey) === col("__hot"), "left")
+      .withColumn("__rsalt",
+        explode(when(col("__hot").isNotNull,
+          sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(sequence(lit(0), lit(0)))))
+      .drop("__hot")
+
   /** Banded range join as an EQUI-join: all (left, right) pairs with
     * `|leftVal - rightVal| <= band`, without a nested-loop join.
     *
     * A broadcast NLJ (what Catalyst picks for a raw theta predicate) is
     * right only while one side fits in a broadcast; when both sides are
     * fact-sized the band structure makes the predicate bucketizable:
-    * left rows get bucket `floor(x/W)` with W = band, right rows are
-    * replicated to buckets `floor(r/W) - 1 .. + 1` — exactly the buckets
-    * a within-band left value can land in, since `floor((r ± W)/W)` =
-    * `floor(r/W) ± 1` — and the exact band predicate runs per bucket.
+    * left rows get bucket `floor(x/W)`, right rows are replicated to
+    * buckets `floor(r/W) - m-1 .. + m+1` with `m = ceil(band/W)` — in
+    * real arithmetic the buckets a within-band left value can land in are
+    * `floor(r/W) ± m` (x ∈ [r-band, r+band] ⇒ x/W ∈ [r/W - m, r/W + m]
+    * ⇒ floor ∈ [floor(r/W)-m, floor(r/W)+m]) — and the exact band
+    * predicate runs per bucket. The extra ±1 absorbs floating-point
+    * rounding: `floor(x/W)` computes in double ulps, so near an integer
+    * boundary a value passing the exact band filter can land one bucket
+    * away from its real-arithmetic bucket; one guard bucket per side
+    * covers any single-rounding error, at ~2/(2m+1) extra replication.
     * Catalyst plans a shuffled hash / sort-merge join on the bucket key
     * (or broadcasts the replicated side while it stays small): pair work
     * is O(rows-per-bucket²) per bucket, never O(|L|·|R|). A matching pair
     * meets in exactly one bucket (bucket(left) is unique and the right
-    * replication covers it once), so no post-join dedup is needed.
+    * replication offsets are distinct), so no post-join dedup is needed.
     *
-    * W is the cost knob: it must equal `band` for the ±1 cover to be
-    * exact, so callers size `band` (or pre-scale the value column) to
-    * keep per-bucket populations bounded — a band much wider than the
-    * value domain degenerates to one giant bucket.
+    * `bucketWidth` (default = band) is the cost knob, now independent of
+    * the band: replication factor is `2*ceil(band/W) + 3`, per-bucket
+    * population shrinks with W — size W so buckets stay balanced without
+    * bending the band semantics. A band much wider than the value domain
+    * still degenerates to one giant bucket; shrink W below band to split
+    * it (at the replication cost above).
     *
     * Output: all left columns + all right columns (bucket plumbing
     * dropped).
     */
   def bandedRangeJoin(left: DataFrame, right: DataFrame,
-      leftVal: String, rightVal: String, band: Double): DataFrame = {
+      leftVal: String, rightVal: String, band: Double,
+      bucketWidth: Double = Double.NaN): DataFrame = {
     require(band > 0.0, s"band must be > 0, got $band")
-    val l = left.withColumn("__bkt", floor(col(leftVal) / band).cast("long"))
+    val w = if (bucketWidth.isNaN) band else bucketWidth
+    require(w > 0.0, s"bucketWidth must be > 0, got $w")
+    val m = math.ceil(band / w).toLong
+    require(2 * m + 3 <= 1001,
+      s"bucketWidth=$w replicates the right side ${2 * m + 3}x for band=$band; " +
+        "widen bucketWidth (replication factor = 2*ceil(band/bucketWidth)+3)")
+    val l = left.withColumn("__bkt", floor(col(leftVal) / w).cast("long"))
     val r = right
-      .withColumn("__off", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__off", explode(sequence(lit(-m - 1L), lit(m + 1L))))
       .withColumn("__bkt",
-        floor(col(rightVal) / band).cast("long") + col("__off"))
+        floor(col(rightVal) / w).cast("long") + col("__off"))
       .drop("__off")
     l.join(r, Seq("__bkt"))
       .filter(abs(col(leftVal) - col(rightVal)) <= band)

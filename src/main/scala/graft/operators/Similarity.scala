@@ -156,16 +156,32 @@ object Similarity {
     * row-group pruning), not an index scan.
     *
     * Staleness contract: the cache key is the analyzed plan's
-    * `semanticHash`, which does NOT see file contents — rewriting the
-    * source parquet mid-session serves the index built from the OLD data;
-    * restart the session (or use a fresh `Scratch` dir) after rewriting
-    * the corpus.
+    * `semanticHash` PLUS a source-file fingerprint (count, total bytes,
+    * max modification time from the plan's input files), so rewriting the
+    * source parquet mid-session rebuilds the index instead of serving the
+    * old data (VERDICT r7 item 5; unit-pinned in SimilaritySpec). The
+    * stat calls are driver-side planning metadata — the same listing the
+    * scan itself performs. A same-second in-place rewrite with identical
+    * size on an mtime-coarse FS is the residual blind spot.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
+    val srcFiles = emb.inputFiles
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fingerprint =
+      if (srcFiles.isEmpty) "nofiles"
+      else {
+        var maxM = 0L; var sz = 0L
+        srcFiles.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(hconf).getFileStatus(p)
+          maxM = math.max(maxM, st.getModificationTime); sz += st.getLen
+        }
+        s"${srcFiles.length}_${sz}_$maxM"
+      }
     val key = "ivf_" +
       Integer.toHexString(emb.queryExecution.analyzed.semanticHash()) +
-      s"_${nCentroids}_$iters"
+      s"_${fingerprint}_${nCentroids}_$iters"
     val (dir, _) = graft.util.Scratch.reuse(key)
     synchronized {
       if (!builtIndexes.contains(dir)) {

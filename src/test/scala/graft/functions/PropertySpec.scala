@@ -172,22 +172,36 @@ class PropertySpec extends SparkSpec {
     // jobs; pins the ±1 bucket-cover logic — an off-by-one at
     // floor((r ± band)/band) drops exactly the pairs on a bucket edge.
     val rnd = new scala.util.Random(13)
-    (1 to 5).foreach { _ =>
+    (1 to 7).foreach { trial =>
       val band = 0.5 + rnd.nextDouble() * 7.5
+      // W independent of band (VERDICT r7 item 7): narrower (splits hot
+      // buckets, higher replication), equal, and wider than the band —
+      // incl. W > band where m = ceil(band/W) = 1 must still cover
+      val bucketWidth = trial match {
+        case 1 => band                            // the classic W = band
+        case 2 => band / (1 + rnd.nextInt(4) + rnd.nextDouble())  // W < band
+        case _ => band * (0.2 + rnd.nextDouble() * 2.8)           // around band
+      }
       val ls = Seq.fill(40)(rnd.nextDouble() * 60.0 - 30.0)
       val rs = Seq.fill(40)(rnd.nextDouble() * 60.0 - 30.0)
       val l = ls.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("lid", "lv")
       val r = rs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("rid", "rv")
-      val got = graft.operators.Joins.bandedRangeJoin(l, r, "lv", "rv", band)
-        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val got = graft.operators.Joins
+        .bandedRangeJoin(l, r, "lv", "rv", band, bucketWidth)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
       val want = (for {
         (lv, li) <- ls.zipWithIndex
         (rv, ri) <- rs.zipWithIndex
         if math.abs(lv - rv) <= band
       } yield (li.toLong, ri.toLong)).toSet
-      assert(got == want,
-        s"banded join diverged from brute force at band=$band: " +
-          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      // Seq-vs-Set double check: a duplicate pair (double-covered bucket)
+      // would pass a Set compare — the no-dedup-needed claim is part of
+      // the contract
+      assert(got.size == got.toSet.size,
+        s"banded join emitted duplicate pairs at band=$band W=$bucketWidth")
+      assert(got.toSet == want,
+        s"banded join diverged from brute force at band=$band W=$bucketWidth: " +
+          s"missing=${(want -- got).take(3)} extra=${(got.toSet -- want).take(3)}")
     }
   }
 

@@ -70,6 +70,41 @@ class JoinsSpec extends SparkSpec {
     assert(salted.count(_._1 == 1L) == 500)
   }
 
+  test("hot-key salted join equals the plain join; cold-only inflation") {
+    // keys 1 and 2 are hot (300/200 rows), keys 3..7 cold
+    val left = ((1 to 300).map(i => (1L, i.toLong)) ++
+      (1 to 200).map(i => (2L, i.toLong)) ++
+      (1 to 25).map(i => ((i % 5 + 3).toLong, i.toLong))).toDF("k", "lv")
+    val right = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "unmatched"),
+      (1L, "a2")).toDF("rk", "rv")
+    val hot = Joins.profileHotKeys(left, "k", minCount = 100L)
+    assert(hot.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val plain = left.join(right, $"k" === $"rk").select("k", "lv", "rv")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = Joins.hotKeySaltedJoin(left, right, "k", "rk",
+        saltFactor = 8, hotKeys = hot)
+      .select("k", "lv", "rv")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_._1 == 1L) == 600) // 300 left rows × 2 right rows
+  }
+
+  test("hot-key salting inflates ONLY hot right rows: |right| + hot×(factor-1)") {
+    val right = Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "c"), (9L, "u"))
+      .toDF("rk", "rv")
+    val hk = org.apache.spark.sql.functions.broadcast(
+      Seq(1L, 2L).toDF("__hot"))
+    val replicated = Joins.replicateHotRight(right, "rk", 8, hk)
+    // 3 hot right rows (two k=1, one k=2) × 8 salts + 2 cold rows × 1
+    assert(replicated.count() == 5 + 3 * (8 - 1))
+    // cold rows carry exactly salt 0; hot rows all 8 salts
+    import org.apache.spark.sql.functions.col
+    assert(replicated.filter(col("rk") === 3L || col("rk") === 9L)
+      .select("__rsalt").as[Int].collect().toSeq == Seq(0, 0))
+    assert(replicated.filter(col("rk") === 2L)
+      .select("__rsalt").as[Int].collect().sorted.toSeq == (0 to 7))
+  }
+
   test("asof join equals per-row brute force on random data (with ts ties)") {
     val rnd = new scala.util.Random(11)
     val base = ts("2024-01-01 00:00:00").getTime

@@ -54,6 +54,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.contains("cid"), s"probe scan not pruned on cid: PartitionFilters=$pf")
   }
 
+  test("IVF index rebuilds when the source corpus is rewritten mid-session") {
+    def corpus(seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      Seq.tabulate(40)(i => (i.toLong, Seq.fill(64)(rnd.nextFloat())))
+        .toDF("vec_id", "embedding")
+    }
+    val dir = graft.util.Scratch.fresh("ivf_stale")
+    corpus(1).write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+    // nProbe == nCentroids → exhaustive probe, so a correct (fresh) index
+    // must reproduce brute force on whatever corpus it was built from
+    val first = Similarity.ivfTopK(spark, read(), 0L, 5,
+      nCentroids = 4, nProbe = 4).as[(Long, Double)].collect().toSeq
+    corpus(2).write.mode("overwrite").parquet(dir)
+    // bump mtimes past any coarse FS granularity — the rewrite itself is
+    // what production sees; the bump just de-flakes same-second writes
+    new java.io.File(dir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() + 60000L))
+    val second = Similarity.ivfTopK(spark, read(), 0L, 5,
+      nCentroids = 4, nProbe = 4).as[(Long, Double)].collect().toSeq
+    val expect = Similarity.bruteForceTopK(read(), 0L, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(second == expect, "served a STALE index after the corpus rewrite")
+    assert(first != second, "distinct corpora produced identical top-k")
+  }
+
   test("labelCentroids: exact known means, layout-independent") {
     val in = Seq(
       (1L, Array(1.0f, -2.0f), 7),
