@@ -347,6 +347,65 @@ object LlmQueries {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // Gopher-style per-rule drop-rate diagnostic: every rule's pass flag
+    // computed in one projection, then ONE aggregate + stack() unpivot to
+    // a (rule, n_pass, n_fail) report — the table a curation run reads
+    // before committing to a filter. One scan, one 1-row shuffle.
+    "llm_gopher_rules" -> ((s, d) => {
+      val f = TextAnalysis.gopherFlags(Tables.documents(s, d))
+      def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L))
+      f.agg(count(lit(1)).as("n"),
+          cnt("ok_word_count").as("wc"),
+          cnt("ok_mean_word_len").as("mwl"),
+          cnt("ok_stop_hits").as("stop"),
+          sum(when(col("ok_word_count") && col("ok_mean_word_len") &&
+            col("ok_stop_hits"), 1L).otherwise(0L)).as("all_ok"))
+        .select(expr(
+          """stack(4,
+               'word_count', wc, n - wc,
+               'mean_word_len', mwl, n - mwl,
+               'stop_hits', stop, n - stop,
+               'all_rules', all_ok, n - all_ok) AS (rule, n_pass, n_fail)"""))
+        .orderBy(col("rule"))
+    }),
+
+    // PII scrub audit: per lang, docs touched + per-class redaction
+    // counts + total characters removed. The real corpus is PII-free by
+    // construction, so the adversarial fixture generator plants
+    // emails/IPs/phones (tools/adversarial_fixtures.py) — the sweep is
+    // where the regex parity actually bites; planted-fixture units in
+    // TextAnalysisSpec pin the redaction itself.
+    "llm_pii_scrub" -> ((s, d) => {
+      TextAnalysis.piiScrub(Tables.documents(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0, 1L)
+            .otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("n_emails")).cast("bigint").as("emails"),
+          sum(col("n_ips")).cast("bigint").as("ips"),
+          sum(col("n_phones")).cast("bigint").as("phones"),
+          sum(col("chars_removed")).cast("bigint").as("chars_removed"))
+        .orderBy(col("lang"))
+    }),
+
+    // Overlapping token-window chunking (len 32, stride 24 → 8-token
+    // overlap): per lang, chunk volume + full-vs-tail split + avg chunk
+    // size. Fan-out is ceil(n/stride) rows/doc — bounded; one aggregate
+    // shuffle on lang.
+    "llm_chunk_stride" -> ((s, d) => {
+      val c = TextAnalysis.chunkWindows(Tables.documents(s, d),
+        chunkLen = 32, stride = 24)
+      c.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("chunk_tokens") === 32, 1L).otherwise(0L))
+            .as("n_full"),
+          sum(col("chunk_tokens").cast("long")).as("sum_tokens"),
+          graft.functions.Rounding.roundTo(
+            sum(col("chunk_tokens").cast("long")).cast("double") /
+              count(lit(1)).cast("double"), 2).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // The shipped curation gate: quality score + language agreement +
     // token band computed in ONE pass over the corpus (no join of
     // per-signal scans), survivors counted per (lang, source). min/max of
@@ -903,6 +962,81 @@ object LlmQueries {
            AND n_tokens BETWEEN $QualityTokMin AND $QualityTokMax
          GROUP BY lang, source
          ORDER BY lang NULLS FIRST, source NULLS FIRST""",
+
+    // Gopher-rule flags single-sourced from TextAnalysis's thresholds and
+    // stop list; coalesce(..., FALSE) mirrors the Spark side's null-text
+    // handling (NULL comparisons fail every rule in both engines).
+    "llm_gopher_rules" ->
+      s"""WITH f AS (
+           SELECT coalesce(len(string_split(text, ' '))
+                    BETWEEN ${TextAnalysis.GopherMinTokens}
+                        AND ${TextAnalysis.GopherMaxTokens}, FALSE) AS okw,
+                  coalesce(length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+                           / len(string_split(text, ' '))::DOUBLE
+                    BETWEEN ${TextAnalysis.GopherMinMeanLen}
+                        AND ${TextAnalysis.GopherMaxMeanLen}, FALSE) AS okm,
+                  coalesce(${hitsSql(TextAnalysis.StopEn)} >=
+                    ${TextAnalysis.GopherMinStopHits}, FALSE) AS oks
+           FROM documents
+         ), a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN okw THEN 1 ELSE 0 END) AS BIGINT) AS wc,
+                  CAST(sum(CASE WHEN okm THEN 1 ELSE 0 END) AS BIGINT) AS mwl,
+                  CAST(sum(CASE WHEN oks THEN 1 ELSE 0 END) AS BIGINT) AS stop,
+                  CAST(sum(CASE WHEN okw AND okm AND oks THEN 1 ELSE 0 END)
+                    AS BIGINT) AS all_ok
+           FROM f
+         )
+         SELECT 'all_rules' AS rule, all_ok AS n_pass, n - all_ok AS n_fail FROM a
+         UNION ALL SELECT 'mean_word_len', mwl, n - mwl FROM a
+         UNION ALL SELECT 'stop_hits', stop, n - stop FROM a
+         UNION ALL SELECT 'word_count', wc, n - wc FROM a
+         ORDER BY rule""",
+
+    // PII patterns interpolated from the SAME Scala constants the Spark
+    // expressions compile (TextAnalysis.Pii*) — RE2/Java-regex-portable
+    // syntax only, so the engines cannot drift. 'g' flags: DuckDB
+    // regexp_replace is first-match-only by default, Spark's is global.
+    "llm_pii_scrub" ->
+      s"""WITH p AS (
+           SELECT lang,
+                  len(regexp_extract_all(text, '${TextAnalysis.PiiEmail}')) AS ne,
+                  len(regexp_extract_all(text, '${TextAnalysis.PiiIpv4}')) AS ni,
+                  len(regexp_extract_all(text, '${TextAnalysis.PiiPhone}')) AS np,
+                  length(text) - length(regexp_replace(regexp_replace(regexp_replace(
+                    text,
+                    '${TextAnalysis.PiiIpv4}', '<IP>', 'g'),
+                    '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g'),
+                    '${TextAnalysis.PiiPhone}', '<PHONE>', 'g')) AS removed
+           FROM documents
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_docs_with_pii,
+                CAST(sum(ne) AS BIGINT) AS emails,
+                CAST(sum(ni) AS BIGINT) AS ips,
+                CAST(sum(np) AS BIGINT) AS phones,
+                CAST(sum(removed) AS BIGINT) AS chars_removed
+         FROM p GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // chunk starts: range(0, n, stride) == Spark's sequence(0, n-1, stride)
+    "llm_chunk_stride" ->
+      """WITH t AS (
+           SELECT lang, len(string_split(text, ' ')) AS n
+           FROM documents WHERE text IS NOT NULL
+         ), c AS (
+           SELECT lang, n, unnest(range(0, n, 24)) AS s FROM t
+         ), ct AS (
+           SELECT lang, least(32, n - s) AS chunk_tokens FROM c
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_chunks,
+                CAST(sum(CASE WHEN chunk_tokens = 32 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_full,
+                CAST(sum(chunk_tokens) AS BIGINT) AS sum_tokens,
+                floor(CAST(sum(chunk_tokens) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0
+                  AS avg_tokens
+         FROM ct GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_pack_sequences" ->
       """WITH t AS (

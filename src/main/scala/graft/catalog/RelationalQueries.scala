@@ -251,6 +251,45 @@ object RelationalQueries {
             .as("sum_price"))
         .orderBy(col("c_mktsegment"))),
 
+    // Null-safe equi-join (<=>): NULL keys pair with NULL keys instead of
+    // silently dropping — nullif('de') manufactures NULLs on BOTH sides so
+    // the query is non-trivially different from a plain join. <=> is a
+    // first-class equi-join key for Catalyst (SMJ/SHJ, no nested loop);
+    // both sides pre-aggregate to |distinct langs| rows before joining.
+    "join_null_safe" -> ((s, d) => {
+      def keyed(c: org.apache.spark.sql.Column) =
+        when(c === "de", lit(null).cast("string")).otherwise(c)
+      val l = Tables.documents(s, d)
+        .groupBy(keyed(col("lang")).as("lk"))
+        .agg(count(lit(1)).as("n_docs"))
+      val r = Tables.documents(s, d)
+        .groupBy(keyed(col("lang")).as("rk"))
+        .agg(min(col("doc_id")).as("min_doc"))
+      l.join(r, col("lk") <=> col("rk"))
+        .select(col("lk").as("lang_key"), col("n_docs"), col("min_doc"))
+        .orderBy(col("lang_key"))
+    }),
+
+    // Time-series gap fill: per event_type, an hourly spine spanning the
+    // type's observed range (explode(sequence)) left-joined to the hourly
+    // counts, missing hours zero-filled. The spine is |types × hours| —
+    // tiny next to the fact aggregate, so it broadcasts; the only
+    // fact-sized shuffle is the hourly count itself.
+    "time_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hr"))
+      val counts = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = ev.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), lit(3600L))).as("hr"))
+      spine.join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("cnt"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Co-located join over bucketed tables: both sides pre-hash-partitioned
     // on custkey at write time, so the sort-merge join has NO exchange
     // (plan-asserted in BucketingSpec) — the pay-the-shuffle-once layout.
@@ -449,6 +488,34 @@ object RelationalQueries {
         .orderBy(col("n_keys"))
     }),
 
+    // Deterministic per-group mode (most frequent value, ties broken by
+    // min value): two-level shape — the groupBy first shrinks the data to
+    // |groups × distinct values| rows, so the row_number window runs over
+    // a tiny aggregate, never the fact table. The 100 TB form of "mode".
+    "agg_mode" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("n"), col("o_orderstatus"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderpriority"),
+          col("o_orderstatus").as("mode_status"), col("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Ordered distinct string aggregation (LISTAGG/string_agg): the
+    // sorted-distinct form is order-independent, so the result is
+    // identical however Spark partitions the input — the only listagg
+    // variant that is safely comparable across engines.
+    "agg_string_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+        .orderBy(col("o_orderpriority"))),
+
     "agg_median" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -567,6 +634,23 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    // Relative-position window functions: percent_rank + cume_dist over a
+    // fully-deterministic ORDER BY (unique (qty, orderkey, linenumber)
+    // tiebreak, so the fractions are reproducible run-to-run). Exact
+    // rationals in IEEE doubles; floor-rounded to 6 dp for the oracle.
+    "window_percent_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          graft.functions.Rounding.roundTo(percent_rank().over(w), 6).as("pr"),
+          graft.functions.Rounding.roundTo(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("l_returnflag"), col("pr"), col("l_orderkey"),
+          col("l_linenumber"))
     }),
 
     "window_lag_lead" -> ((s, d) => {
@@ -1029,6 +1113,61 @@ object RelationalQueries {
                                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders)
          WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""",
+
+    "window_percent_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                floor(percent_rank() OVER win * 1000000.0 + 0.5) / 1000000.0 AS pr,
+                floor(cume_dist() OVER win * 1000000.0 + 0.5) / 1000000.0 AS cd
+         FROM lineitem WHERE l_orderkey <= 2000
+         WINDOW win AS (PARTITION BY l_returnflag
+                        ORDER BY l_quantity, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, pr, l_orderkey, l_linenumber""",
+
+    "agg_mode" ->
+      """SELECT o_orderpriority, o_orderstatus AS mode_status, n
+         FROM (SELECT o_orderpriority, o_orderstatus,
+                      CAST(count(*) AS BIGINT) AS n,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY count(*) DESC, o_orderstatus) AS rn
+               FROM orders GROUP BY o_orderpriority, o_orderstatus)
+         WHERE rn = 1 ORDER BY o_orderpriority""",
+
+    "agg_string_agg" ->
+      """SELECT o_orderpriority,
+                string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+                  AS statuses,
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "join_null_safe" ->
+      """WITH l AS (
+           SELECT nullif(lang, 'de') AS lk, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1
+         ), r AS (
+           SELECT nullif(lang, 'de') AS rk, min(doc_id) AS min_doc
+           FROM documents GROUP BY 1
+         )
+         SELECT l.lk AS lang_key, n_docs, min_doc
+         FROM l JOIN r ON l.lk IS NOT DISTINCT FROM r.rk
+         ORDER BY lang_key NULLS FIRST""",
+
+    // spine: range(h0, h1+1, 3600) == Spark's inclusive sequence(h0, h1)
+    "time_gapfill" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr
+           FROM events
+         ), c AS (
+           SELECT event_type, hr, CAST(count(*) AS BIGINT) AS cnt
+           FROM e GROUP BY event_type, hr
+         ), sp AS (
+           SELECT event_type, unnest(range(min(hr), max(hr) + 1, 3600)) AS hr
+           FROM e GROUP BY event_type
+         )
+         SELECT sp.event_type, CAST(sp.hr AS BIGINT) AS hr,
+                coalesce(cnt, 0) AS n
+         FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hr = c.hr
+         ORDER BY sp.event_type, sp.hr""",
 
     "window_lag_lead" ->
       """SELECT event_id, user_id, round(value, 2) AS value,

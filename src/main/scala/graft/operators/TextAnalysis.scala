@@ -93,6 +93,84 @@ object TextAnalysis {
         col("n_tokens").between(minTok, maxTok))
   }
 
+  // Gopher-style rule thresholds, shared with the SQL twin via LlmQueries
+  // (Rae et al. 2021 §A1.1 shape, bands adapted to the synthetic corpus).
+  private[graft] val GopherMinTokens = 50
+  private[graft] val GopherMaxTokens = 100000
+  private[graft] val GopherMinMeanLen = 3.0
+  private[graft] val GopherMaxMeanLen = 10.0
+  private[graft] val GopherMinStopHits = 2
+
+  /** Gopher-style per-rule quality flags: one boolean per rule per doc —
+    * word-count band, mean-word-length band, minimum stop-word hits, and
+    * a max duplicate-2-gram fraction is covered by [[repetitionRatio]]
+    * (kept separate: it is a measured kernel, these are pure codegen
+    * columns). Null text fails every rule. Downstream aggregates the
+    * flags into per-rule drop rates — the diagnostic a curation run
+    * reports before committing to a filter.
+    */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val meanLen = length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / nTok.cast("double")
+    val stop = countIn(toks, StopEn)
+    def flag(c: Column) = coalesce(c, lit(false))
+    docs.select(col("doc_id"), col("lang"),
+      flag(nTok.between(GopherMinTokens, GopherMaxTokens)).as("ok_word_count"),
+      flag(meanLen.between(GopherMinMeanLen, GopherMaxMeanLen)).as("ok_mean_word_len"),
+      flag(stop >= GopherMinStopHits).as("ok_stop_hits"))
+  }
+
+  // PII patterns, shared with the SQL twin. Restricted to syntax that
+  // Java regex and RE2 (DuckDB) interpret identically: character classes,
+  // bounded repetition, no backrefs/lookaround.
+  private[graft] val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9-]+\\.[a-z]{2,}"
+  private[graft] val PiiIpv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[graft] val PiiPhone = "\\+[0-9]{7,12}"
+
+  /** PII scrub: count and redact emails, IPv4s, and international phone
+    * numbers. IP redaction runs FIRST so an IP is never half-eaten by the
+    * email pattern's domain tail; each class gets a typed placeholder.
+    * Counts are taken on the original text, per class, before any
+    * replacement. Pure map — codegen regex per row, no shuffle; at 100 TB
+    * this is the same single-pass-over-bytes any scrubber pays.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), PiiIpv4, "<IP>"),
+        PiiEmail, "<EMAIL>"),
+      PiiPhone, "<PHONE>")
+    docs.select(col("doc_id"), col("lang"),
+      regexp_count(col("text"), lit(PiiEmail)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(PiiIpv4)).cast("int").as("n_ips"),
+      regexp_count(col("text"), lit(PiiPhone)).cast("int").as("n_phones"),
+      (length(col("text")) - length(scrubbed)).cast("int").as("chars_removed"),
+      scrubbed.as("scrubbed"))
+  }
+
+  /** Overlapping token-window chunking: split each doc into windows of
+    * `chunkLen` whitespace tokens starting every `stride` tokens (the
+    * training-data chunk-with-overlap shape; stride < chunkLen overlaps
+    * adjacent chunks by chunkLen - stride tokens). Emits one row per
+    * chunk with its token count (the tail chunk is short, never dropped).
+    * Pure map + explode: no shuffle, output fan-out is ceil(n/stride)
+    * rows per doc — bounded, not quadratic.
+    */
+  def chunkWindows(docs: DataFrame, chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1,
+      s"chunkLen/stride must be >= 1, got $chunkLen/$stride")
+    val nTok = size(split(col("text"), " "))
+    docs.filter(col("text").isNotNull)
+      .withColumn("__n", nTok)
+      .withColumn("start",
+        explode(sequence(lit(0), col("__n") - 1, lit(stride))))
+      .select(col("doc_id"), col("lang"), col("start"),
+        least(lit(chunkLen), col("__n") - col("start")).cast("int")
+          .as("chunk_tokens"))
+  }
+
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * (letter runs | digit runs | single punctuation), the standard
     * pre-tokenizer shape.

@@ -55,6 +55,66 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === Set(2L, 4L))
   }
 
+  test("piiScrub: planted PII is counted and redacted, near-misses survive") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "en", "mail bob.smith+x@example-mail.com today"),
+      (2L, "en", "hosts 10.0.255.7 and 192.168.1.1 up"),
+      (3L, "de", "call +4915123456789 or +123456789 now"),
+      (4L, "es", "a@b.co near 1.2.3.4 twice a@b.co end"),
+      // near-misses: no-TLD email, 3-octet ip, unprefixed digits
+      (5L, "en", "not user@localhost nor 1.2.3 nor 123456789"),
+      (6L, "en", null)
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.piiScrub(rows).orderBy("doc_id").collect()
+    def r(i: Int) = (out(i).getInt(2), out(i).getInt(3), out(i).getInt(4),
+      out(i).getString(6))
+    assert(r(0) == ((1, 0, 0, "mail <EMAIL> today")))
+    assert(r(1) == ((0, 2, 0, "hosts <IP> and <IP> up")))
+    // greedy 12-digit cap: +4915123456789 loses 12 digits, the 13th stays
+    assert(r(2) == ((0, 0, 2, "call <PHONE>9 or <PHONE> now")))
+    assert(r(3) == ((2, 1, 0, "<EMAIL> near <IP> twice <EMAIL> end")))
+    assert(r(4) == ((0, 0, 0, "not user@localhost nor 1.2.3 nor 123456789")))
+    assert(out(5).isNullAt(2) && out(5).isNullAt(6),
+      "null text must stay null, not count as zero PII")
+    // chars_removed = length delta, spot-checked on the email row
+    assert(out(0).getInt(5) ==
+      "mail bob.smith+x@example-mail.com today".length -
+        "mail <EMAIL> today".length)
+  }
+
+  test("gopherFlags: each rule flips independently; null text fails all") {
+    import spark.implicits._
+    val wc50 = Seq.fill(50)("the").mkString(" ") // 50 tokens, all stopwords
+    val rows = Seq(
+      (1L, "en", wc50),                          // wc ok, stop ok, mean len 3.0
+      (2L, "en", "short text only"),             // wc fail (3 tokens)
+      (3L, "en", Seq.fill(60)("zz").mkString(" ")), // mean len 2 -> mwl fail
+      (4L, "en", null)
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.gopherFlags(rows).orderBy("doc_id").collect()
+    def f(i: Int) = (out(i).getBoolean(2), out(i).getBoolean(3),
+      out(i).getBoolean(4))
+    assert(f(0) == ((true, true, true)))   // "the"*50: mean len exactly 3.0
+    assert(f(1) == ((false, true, false))) // 3 toks; 13 alpha / 3 = 4.3 ok
+    assert(f(2) == ((true, false, false)))
+    assert(f(3) == ((false, false, false)), "null text must fail every rule")
+  }
+
+  test("chunkWindows: stride overlap, short tail kept, null text dropped") {
+    import spark.implicits._
+    val text70 = (1 to 70).map(i => "w" + i).mkString(" ")
+    val rows = Seq((1L, "en", text70), (2L, "en", "one two"),
+      (3L, "en", null)).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.chunkWindows(rows, chunkLen = 32, stride = 24)
+      .orderBy("doc_id", "start").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    // doc 1: starts 0,24,48 -> sizes 32,32,22 (tail kept, not dropped)
+    // doc 2: start 0 -> size 2; doc 3: filtered out entirely
+    assert(out.toSeq == Seq((1L, 0, 32), (1L, 24, 32), (1L, 48, 22),
+      (2L, 0, 2)))
+  }
+
   test("fingerprint: null text is NULL, empty text fingerprints to 0") {
     // null ≠ empty: a null payload has NO fingerprint (the SQL twin's
     // fold over NULL is NULL); an empty one legitimately hashes to 0.

@@ -61,6 +61,21 @@ def main(out, float_edges=False):
              n_chars=len(dup_text)),
         dict(doc_id=90007, text=" leading space", lang="en", source="src5",
              n_chars=14),
+        # planted PII: the real corpus is digit-free word soup, so these
+        # rows are what makes llm_pii_scrub's regex parity (Java regex vs
+        # RE2) actually bite in the sweep — email, ipv4, phone, an
+        # email-next-to-ip adjacency, and a near-miss (@ with no TLD dot)
+        dict(doc_id=90008,
+             text="contact bob.smith+x@example-mail.com for details",
+             lang="en", source="src0", n_chars=48),
+        dict(doc_id=90009, text="server at 10.0.255.7 and 192.168.1.1 up",
+             lang="en", source="src1", n_chars=39),
+        dict(doc_id=90010, text="call +4915123456789 or +123456789 now",
+             lang="de", source="src2", n_chars=37),
+        dict(doc_id=90011, text="a@b.co near 1.2.3.4 twice a@b.co end",
+             lang="es", source="src3", n_chars=36),
+        dict(doc_id=90012, text="not-pii user@localhost and 1.2.3 only",
+             lang="en", source="src4", n_chars=37),
     ]
     merged = pa.Table.from_pylist(base + extra, schema=docs.schema)
     pq.write_table(merged, f"{out}/documents.parquet")
