@@ -106,6 +106,28 @@ object FunctionQueries {
         sha2(col("text").cast("binary"), 256).as("sha256_hex"))
         .orderBy(col("doc_id"))),
 
+    // Struct-typed columns as first-class values: per-group argmax/argmin
+    // via max/min over a (price, key) struct — lexicographic struct
+    // comparison answers "key of the row with the max price" in ONE
+    // map-side-combinable aggregate: no window, no self-join, and the
+    // deterministic tiebreak (orderkey) rides inside the struct. At 100 TB
+    // this is the shape that replaces a per-group sort: partials merge as
+    // plain max, so only |groups| structs cross the wire.
+    "fn_struct" -> ((s, d) => {
+      def pk = struct(col("o_totalprice"), col("o_orderkey"))
+      def r2(c: org.apache.spark.sql.Column) =
+        graft.functions.Rounding.roundTo(c, 2)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(pk).as("mx"), min(pk).as("mn"))
+        .select(col("o_orderpriority"),
+          r2(col("mx.o_totalprice")).as("max_price"),
+          col("mx.o_orderkey").as("max_key"),
+          r2(col("mn.o_totalprice")).as("min_price"),
+          col("mn.o_orderkey").as("min_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // The native codegen expression resolved from SQL TEXT — exercises the
     // registration surface (GraftExtensions via spark.sql.extensions on a
     // cluster; GraftFunctions.register for an already-built session, used
@@ -250,6 +272,21 @@ object FunctionQueries {
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
          FROM documents ORDER BY doc_id""",
+
+    // struct_pack field order (p, k) mirrors the Spark struct
+    // (o_totalprice, o_orderkey): both engines compare structs
+    // lexicographically by field position.
+    "fn_struct" ->
+      """WITH s AS (
+           SELECT o_orderpriority,
+                  max(struct_pack(p := o_totalprice, k := o_orderkey)) AS mx,
+                  min(struct_pack(p := o_totalprice, k := o_orderkey)) AS mn
+           FROM orders GROUP BY o_orderpriority
+         )
+         SELECT o_orderpriority,
+                floor(mx.p * 100.0 + 0.5) / 100.0 AS max_price, mx.k AS max_key,
+                floor(mn.p * 100.0 + 0.5) / 100.0 AS min_price, mn.k AS min_key
+         FROM s ORDER BY o_orderpriority""",
 
     "fn_native_sql" ->
       """SELECT vec_id,

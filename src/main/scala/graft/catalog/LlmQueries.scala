@@ -406,6 +406,27 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // First BPE merge step over the corpus: count adjacent whitespace-token
+    // pairs and rank the merge candidates (the tokenizer-training
+    // primitive). Pair build is a pure map (transform over an index
+    // sequence) + explode; the only shuffles are the map-side-combinable
+    // pair-count aggregate and the global top-20, which compiles to
+    // TakeOrderedAndProject (distributed heap-select, no full sort).
+    // size >= 2 guard: sequence(0, n-2) on a 1-token doc would DESCEND
+    // (Spark infers step -1 when start > stop) and fabricate pairs.
+    "llm_bpe_pairs" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("__t", split(col("text"), " "))
+        .filter(size(col("__t")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(__t) - 2),
+               i -> concat(element_at(__t, i + 1), ' ', element_at(__t, i + 2)))"""))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("pair")).limit(20)
+    }),
+
     // The shipped curation gate: quality score + language agreement +
     // token band computed in ONE pass over the corpus (no join of
     // per-signal scans), survivors counted per (lang, source). min/max of
@@ -1037,6 +1058,20 @@ object LlmQueries {
                       / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0
                   AS avg_tokens
          FROM ct GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // range(1, len) is empty for len < 2 — the same no-pair semantics as
+    // the Spark side's size >= 2 guard; tk[] is 1-based in DuckDB.
+    "llm_bpe_pairs" ->
+      """WITH t AS (
+           SELECT string_split(text, ' ') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), p AS (
+           SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])
+             AS pair
+           FROM t
+         )
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
 
     "llm_pack_sequences" ->
       """WITH t AS (

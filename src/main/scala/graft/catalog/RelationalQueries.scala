@@ -290,6 +290,33 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // OHLC-style time-series downsampling: per (event_type, hour) the
+    // open/close/min/max value + row count. Open/close are argmin/argmax
+    // by the fully-deterministic (ts, event_id) order, expressed as two
+    // row_number windows SHARING one (event_type, hour) exchange (they
+    // differ only in sort direction), collapsed by a same-key aggregate —
+    // the resample-before-ship step of a metrics pipeline, one data
+    // shuffle end to end.
+    "time_downsample" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hr"),
+        col("value"), col("ts"), col("event_id"))
+      val byHr = Window.partitionBy(col("event_type"), col("hr"))
+      val asc = byHr.orderBy(col("ts"), col("event_id"))
+      val dsc = byHr.orderBy(col("ts").desc, col("event_id").desc)
+      def r2(c: org.apache.spark.sql.Column) =
+        graft.functions.Rounding.roundTo(c, 2)
+      ev.withColumn("rn1", row_number().over(asc))
+        .withColumn("rn2", row_number().over(dsc))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(r2(min(when(col("rn1") === 1, col("value")))).as("open"),
+          r2(min(when(col("rn2") === 1, col("value")))).as("close"),
+          r2(min(col("value"))).as("lo"),
+          r2(max(col("value"))).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     // Co-located join over bucketed tables: both sides pre-hash-partitioned
     // on custkey at write time, so the sort-merge join has NO exchange
     // (plan-asserted in BucketingSpec) — the pay-the-shuffle-once layout.
@@ -1168,6 +1195,29 @@ object RelationalQueries {
                 coalesce(cnt, 0) AS n
          FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hr = c.hr
          ORDER BY sp.event_type, sp.hr""",
+
+    "time_downsample" ->
+      """WITH e AS (
+           SELECT event_type,
+                  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hr,
+                  value,
+                  row_number() OVER (PARTITION BY event_type,
+                                       date_trunc('hour', ts)
+                                     ORDER BY ts, event_id) AS rn1,
+                  row_number() OVER (PARTITION BY event_type,
+                                       date_trunc('hour', ts)
+                                     ORDER BY ts DESC, event_id DESC) AS rn2
+           FROM events
+         )
+         SELECT event_type, hr,
+                floor(min(CASE WHEN rn1 = 1 THEN value END) * 100.0 + 0.5)
+                  / 100.0 AS open,
+                floor(min(CASE WHEN rn2 = 1 THEN value END) * 100.0 + 0.5)
+                  / 100.0 AS close,
+                floor(min(value) * 100.0 + 0.5) / 100.0 AS lo,
+                floor(max(value) * 100.0 + 0.5) / 100.0 AS hi,
+                CAST(count(*) AS BIGINT) AS n
+         FROM e GROUP BY event_type, hr ORDER BY event_type, hr""",
 
     "window_lag_lead" ->
       """SELECT event_id, user_id, round(value, 2) AS value,
