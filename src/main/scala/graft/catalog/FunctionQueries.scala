@@ -204,6 +204,28 @@ object FunctionQueries {
         FROM months LEFT JOIN m_agg ON mo = m
         ORDER BY m
       """)
+    }),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT — the SQL-text
+    // top-n-per-group idiom. Catalyst decorrelates the per-row LIMIT into
+    // a window (rank <= 2 over a partitioned join), so what executes is
+    // the same distributed plan as a hand-written row_number query —
+    // never a per-customer nested loop. The c_custkey <= 300 predicate
+    // pushes to the customer scan.
+    "fn_sql_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_cust_lat")
+      Tables.orders(s, d).createOrReplaceTempView("graft_ord_lat")
+      s.sql("""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) / 100.0 AS DOUBLE)
+                 AS price
+        FROM graft_cust_lat c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey <= 300
+        ORDER BY c_custkey, price DESC, o_orderkey
+      """)
     })
   )
 
@@ -320,6 +342,16 @@ object FunctionQueries {
          SELECT m, coalesce(n, CAST(0 AS BIGINT)) AS n_orders,
                 coalesce(cents, CAST(0 AS BIGINT)) / 100.0 AS sum_price
          FROM months LEFT JOIN m_agg ON mo = m
-         ORDER BY m"""
+         ORDER BY m""",
+
+    "fn_sql_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+                floor(o.o_totalprice * 100.0 + 0.5) / 100.0 AS price
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey <= 300
+         ORDER BY c_custkey, price DESC, o_orderkey"""
   )
 }

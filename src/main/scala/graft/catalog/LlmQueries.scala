@@ -406,6 +406,43 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // Winnowing fingerprints (the MOSS scheme): token-3-gram md5 digests,
+    // a sliding window of 4 over the gram stream keeps each window's MIN
+    // digest, per-doc distinct mins are the doc's fingerprints. The
+    // guarantee: any shared run of >= 6 tokens yields a shared
+    // fingerprint, with fingerprint density ~2/(w+1) instead of
+    // every-gram — the sub-linear near-dup index you can afford to build
+    // at 100 TB. md5 hex (not xxhash64) because BOTH engines order the
+    // same strings identically — min selection stays cross-engine exact.
+    // Pure map per doc (no shuffle until the per-lang rollup).
+    "llm_winnow_fingerprint" -> ((s, d) => {
+      // size >= 6 gates semantics (grams need n-2 >= 4 for one window),
+      // but the expressions must ALSO be total on shorter rows:
+      // InferFiltersFromGenerate copies the whole chain into the
+      // pushed-down Filter as `size(fps) > 0`, and codegen's common-
+      // subexpression elimination evaluates that chain EAGERLY on
+      // unfiltered rows — an element_at there throws on a 1-token doc
+      // before the size conjunct can short-circuit. Hence slice-based
+      // grams (never out of bounds) and greatest()-clamped sequence
+      // ends (never descending); short-doc garbage values are cheap and
+      // discarded by the explicit filter.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("__t", split(col("text"), " "))
+        .filter(size(col("__t")) >= 6)
+        .withColumn("__g", expr(
+          """transform(sequence(1, greatest(size(__t) - 2, 1)),
+               i -> md5(concat_ws(' ', slice(__t, i, 3))))"""))
+        .withColumn("fps", array_distinct(expr(
+          """transform(sequence(1, greatest(size(__g) - 3, 1)),
+               j -> array_min(slice(__g, j, 4)))""")))
+      docs.select(col("lang"), explode(col("fps")).as("fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_fp"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .orderBy(col("lang"))
+    }),
+
     // First BPE merge step over the corpus: count adjacent whitespace-token
     // pairs and rank the merge candidates (the tokenizer-training
     // primitive). Pair build is a pure map (transform over an index
@@ -1072,6 +1109,30 @@ object LlmQueries {
          )
          SELECT pair, CAST(count(*) AS BIGINT) AS n
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    // list slicing grams[j : j+3] is 1-based INCLUSIVE (4-gram window);
+    // range(1, len-2) is empty below 1 window — same n >= 6 token floor
+    // as the Spark side's explicit filter.
+    "llm_winnow_fingerprint" ->
+      """WITH t AS (
+           SELECT lang, string_split(text, ' ') AS tk
+           FROM documents WHERE text IS NOT NULL
+         ), g AS (
+           SELECT lang,
+                  [md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                   FOR i IN range(1, len(tk) - 1)] AS grams
+           FROM t
+         ), w AS (
+           SELECT lang,
+                  list_distinct([list_min(grams[j : j+3])
+                                 FOR j IN range(1, len(grams) - 2)]) AS fps
+           FROM g
+         ), f AS (
+           SELECT lang, unnest(fps) AS fp FROM w
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_fp,
+                CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+         FROM f GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_pack_sequences" ->
       """WITH t AS (
