@@ -97,6 +97,21 @@ object FunctionQueries {
         shiftright(col("o_orderkey"), 3).as("shr3"))
         .orderBy(col("o_orderkey"))),
 
+    // Regex family over part names. Patterns restricted to syntax Java
+    // regex and RE2 (DuckDB) interpret identically — character classes
+    // and bounded repetition, no backrefs/lookaround (the llm_pii_scrub
+    // portability rule). Spark regexp_replace is global by default;
+    // DuckDB needs the explicit 'g' flag. Both engines return '' (not
+    // NULL) for a no-match extract.
+    "fn_regexp" -> ((s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        regexp_extract(col("p_name"), "[a-z]+o[a-z]+", 0).as("first_o_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+        size(expr("regexp_extract_all(p_name, '[a-z]{5,}', 0)")).cast("int")
+          .as("n_long"))
+        .orderBy(col("p_partkey"))),
+
     // Content digests (dedup manifests, integrity checks): identical hex
     // output across engines by definition of the hash.
     "fn_hash" -> ((s, d) =>
@@ -294,6 +309,15 @@ object FunctionQueries {
     "fn_hash" ->
       """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
          FROM documents ORDER BY doc_id""",
+
+    "fn_regexp" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '[a-z]+o[a-z]+') AS first_o_word,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+                regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+                CAST(len(regexp_extract_all(p_name, '[a-z]{5,}')) AS INT)
+                  AS n_long
+         FROM part ORDER BY p_partkey""",
 
     // struct_pack field order (p, k) mirrors the Spark struct
     // (o_totalprice, o_orderkey): both engines compare structs

@@ -406,6 +406,61 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // Per-doc unigram entropy (the information-density quality signal —
+    // word-soup spam scores low, natural text ~log(vocab)): for each
+    // distinct token, (c/n)·ln(n/c), fixed to 1e-6-unit bigints per term
+    // (the llm_ngram_lm convention) and folded SEQUENTIALLY inside the
+    // row's HOF — term order is array order in both engines and the fold
+    // never crosses rows, so the result is partitioning-independent.
+    // O(distinct × n) compares per doc, pure map; only per-lang bigint
+    // partials shuffle.
+    "llm_token_entropy" -> ((s, d) => {
+      val ent = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("__t", split(col("text"), " "))
+        .withColumn("ent_units", expr(
+          """aggregate(
+               transform(array_distinct(__t),
+                 t -> CAST(floor(
+                   CAST(size(filter(__t, x -> x = t)) AS DOUBLE) / size(__t)
+                   * ln(CAST(size(__t) AS DOUBLE)
+                        / size(filter(__t, x -> x = t)))
+                   * 1000000.0 + 0.5) AS BIGINT)),
+               0L, (a, x) -> a + x)"""))
+      ent.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ent_units")).as("sum_units"),
+          graft.functions.Rounding.roundTo(
+            sum(col("ent_units")).cast("double") /
+              count(lit(1)).cast("double") / 1000000.0, 4).as("avg_entropy"))
+        .orderBy(col("lang"))
+    }),
+
+    // Zipf rank-frequency fit over the top-100 vocabulary: regr_slope of
+    // ln(tf) on ln(rank) — natural language sits near slope −1; word
+    // soup is flatter (the corpus-level twin of the per-doc entropy
+    // signal). The vocab cut is TakeOrderedAndProject (distributed
+    // heap-select); the row_number window then runs over ≤100 rows —
+    // bounded by construction, not by data size.
+    "llm_zipf_fit" -> ((s, d) => {
+      val c = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), col("token")).limit(100)
+      val ranked = c.withColumn("rnk",
+        row_number().over(Window.orderBy(desc("tf"), col("token"))))
+      def r4(x: org.apache.spark.sql.Column) =
+        graft.functions.Rounding.roundTo(x, 4)
+      ranked.agg(count(lit(1)).as("n"),
+        r4(regr_slope(log(col("tf").cast("double")),
+          log(col("rnk").cast("double")))).as("slope"),
+        r4(regr_intercept(log(col("tf").cast("double")),
+          log(col("rnk").cast("double")))).as("icept"),
+        r4(regr_r2(log(col("tf").cast("double")),
+          log(col("rnk").cast("double")))).as("r2"))
+    }),
+
     // Winnowing fingerprints (the MOSS scheme): token-3-gram md5 digests,
     // a sliding window of 4 over the gram stream keeps each window's MIN
     // digest, per-doc distinct mins are the doc's fingerprints. The
@@ -436,7 +491,15 @@ object LlmQueries {
         .withColumn("fps", array_distinct(expr(
           """transform(sequence(1, greatest(size(__g) - 3, 1)),
                j -> array_min(slice(__g, j, 4)))""")))
-      docs.select(col("lang"), explode(col("fps")).as("fp"))
+      // explode_OUTER, then drop the null rows it fabricates: a plain
+      // explode makes InferFiltersFromGenerate push `size(fps) > 0` down,
+      // INLINING the whole gram chain into the scan filter — where HOFs
+      // run interpreted (CodegenFallback) and nested lambdas re-evaluate
+      // their inlined inputs per element: O(n^2) md5 calls per row,
+      // measured 98 s for this query alone at sf0.1. outer + post-filter
+      // keeps the chain evaluated ONCE per row (0.5 s).
+      docs.select(col("lang"), explode_outer(col("fps")).as("fp"))
+        .filter(col("fp").isNotNull)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_fp"),
           countDistinct(col("fp")).as("n_distinct_fp"))
@@ -1109,6 +1172,48 @@ object LlmQueries {
          )
          SELECT pair, CAST(count(*) AS BIGINT) AS n
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+
+    // per-term 1e-6-unit bigints (ngram_lm convention); the list
+    // comprehension folds in array order, same as Spark's aggregate HOF.
+    "llm_token_entropy" ->
+      """WITH t AS (
+           SELECT lang, string_split(text, ' ') AS tk,
+                  len(string_split(text, ' ')) AS n
+           FROM documents WHERE text IS NOT NULL
+         ), e AS (
+           SELECT lang,
+                  list_sum([CAST(floor(
+                      len(list_filter(tk, x -> x = t))::DOUBLE / n
+                      * ln(n::DOUBLE / len(list_filter(tk, x -> x = t)))
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    FOR t IN list_distinct(tk)]) AS ent_units
+           FROM t
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ent_units) AS BIGINT) AS sum_units,
+                floor(CAST(sum(ent_units) AS DOUBLE) / count(*) / 1000000.0
+                      * 10000.0 + 0.5) / 10000.0 AS avg_entropy
+         FROM e GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    "llm_zipf_fit" ->
+      """WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE text IS NOT NULL
+         ), c AS (
+           SELECT token, count(*) AS tf FROM tok GROUP BY token
+           ORDER BY tf DESC, token LIMIT 100
+         ), r AS (
+           SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rnk
+           FROM c
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                floor(regr_slope(ln(tf::DOUBLE), ln(rnk::DOUBLE))
+                      * 10000.0 + 0.5) / 10000.0 AS slope,
+                floor(regr_intercept(ln(tf::DOUBLE), ln(rnk::DOUBLE))
+                      * 10000.0 + 0.5) / 10000.0 AS icept,
+                floor(regr_r2(ln(tf::DOUBLE), ln(rnk::DOUBLE))
+                      * 10000.0 + 0.5) / 10000.0 AS r2
+         FROM r""",
 
     // list slicing grams[j : j+3] is 1-based INCLUSIVE (4-gram window);
     // range(1, len-2) is empty below 1 window — same n >= 6 token floor
