@@ -531,6 +531,26 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Conditional aggregation via the SQL FILTER clause — one grouped
+    // pass computing differently-predicated aggregates side by side (the
+    // report-query staple that otherwise becomes N scans or N CASE
+    // expressions). Catalyst folds each FILTER into its aggregate's
+    // update path: still one scan, one map-side-combinable shuffle.
+    // Money sums in exact cent bigints; the P-status avg is NULL for
+    // groups with no such rows in both engines.
+    "agg_filter_clause" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count(*) FILTER (WHERE o_orderstatus = 'F')").as("n_f"),
+          expr("""sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  FILTER (WHERE o_orderstatus = 'O')""").as("cents_o"),
+          graft.functions.Rounding.roundTo(
+            expr("avg(o_totalprice) FILTER (WHERE o_orderstatus = 'P')"), 2)
+            .as("avg_p"))
+        .orderBy(col("o_orderpriority"))),
+
     // Ordered distinct string aggregation (LISTAGG/string_agg): the
     // sorted-distinct form is order-independent, so the result is
     // identical however Spark partitions the input — the only listagg
@@ -661,6 +681,28 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    // Forward-fill (LOCF — last observation carried forward): nulls
+    // replaced by the latest non-null value in event order via
+    // last(..., ignoreNulls) over an unbounded-preceding frame — the
+    // gap-repair pass of any sensor/metrics pipeline. Nulls are
+    // manufactured deterministically (event_id % 7) since the generator
+    // emits none; leading nulls (no prior observation) surface as the
+    // -1 sentinel so the hash compare covers them too. One window
+    // exchange on user_id, nothing else.
+    "window_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v", when(col("event_id") % 7 === 0, lit(null))
+          .otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          graft.functions.Rounding.roundTo(
+            coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0)), 2)
+            .as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
     }),
 
     // Relative-position window functions: percent_rank + cume_dist over a
@@ -1165,6 +1207,31 @@ object RelationalQueries {
                   AS statuses,
                 CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "agg_filter_clause" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                  AS n_f,
+                CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                     FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS cents_o,
+                floor(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'P')
+                      * 100.0 + 0.5) / 100.0 AS avg_p
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "window_fill_forward" ->
+      """WITH e AS (
+           SELECT event_id, user_id, ts,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+           FROM events
+         )
+         SELECT event_id, user_id,
+                floor(coalesce(last_value(v IGNORE NULLS) OVER w, -1.0)
+                      * 100.0 + 0.5) / 100.0 AS filled
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
 
     "join_null_safe" ->
       """WITH l AS (
