@@ -50,6 +50,27 @@ object RelationalQueries {
 
     // CSV round-trip: schema-on-read with an explicit StructType (CSV has
     // no embedded types); kept to exactly-representable columns.
+    // Text-format roundtrip (.text = the raw-corpus interchange format:
+    // one string per line). Null texts are excluded BEFORE the write — a
+    // line file cannot represent NULL, and a read-back would resurrect
+    // it as something else; excluding (not masking) is the honest
+    // contract. Read-back aggregates by first character so the hash
+    // covers the full byte content (sum of lengths) and the empty-line
+    // case (empty string groups under '').
+    "sink_roundtrip_text" -> ((s, d) => {
+      val tmp = graft.util.Scratch.fresh("sink_roundtrip_text")
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("text"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(length(col("value")).as("len"),
+          substring(col("value"), 1, 1).as("c1"))
+        .groupBy(col("c1"))
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("sum_len"))
+        .orderBy(col("c1"))
+    }),
+
     "sink_roundtrip_csv" -> ((s, d) => {
       val tmp = graft.util.Scratch.fresh("sink_roundtrip_csv")
       Tables.orders(s, d)
@@ -531,6 +552,28 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // grouping()/grouping-id disambiguation over CUBE: a NULL in a cube
+    // output row is ambiguous — is it the subtotal row, or a group whose
+    // KEY is genuinely NULL? grouping(col) answers authoritatively (1 =
+    // this row aggregates over that column). Any pipeline that feeds
+    // cube/rollup output downstream needs this; the '<total>' labels are
+    // display-only, the g_* flags are the contract. Same one-Expand
+    // aggregate plan as agg_cube.
+    "agg_grouping_id" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"),
+          sum(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"))
+            .as("cents"))
+        .select(col("g_rf"), col("g_ls"),
+          (col("g_rf") * 2 + col("g_ls")).as("gid"),
+          coalesce(col("l_returnflag"), lit("<total>")).as("rf"),
+          coalesce(col("l_linestatus"), lit("<total>")).as("ls"),
+          col("n"), col("cents"))
+        .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))),
+
     // Conditional aggregation via the SQL FILTER clause — one grouped
     // pass computing differently-predicated aggregates side by side (the
     // report-query staple that otherwise becomes N scans or N CASE
@@ -880,6 +923,12 @@ object RelationalQueries {
          FROM orders GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
 
+    "sink_roundtrip_text" ->
+      """SELECT substring(text, 1, 1) AS c1, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(length(text)) AS BIGINT) AS sum_len
+         FROM documents WHERE text IS NOT NULL
+         GROUP BY 1 ORDER BY c1""",
+
     "sink_roundtrip_json" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1016,6 +1065,19 @@ object RelationalQueries {
                 CAST(GROUPING(l_linestatus) AS INT) AS g_ls
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_grouping_id" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                  AS INT) AS gid,
+                coalesce(l_returnflag, '<total>') AS rf,
+                coalesce(l_linestatus, '<total>') AS ls,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, rf, ls""",
 
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
