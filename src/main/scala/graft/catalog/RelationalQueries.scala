@@ -48,19 +48,18 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // CSV round-trip: schema-on-read with an explicit StructType (CSV has
-    // no embedded types); kept to exactly-representable columns.
     // Text-format roundtrip (.text = the raw-corpus interchange format:
-    // one string per line). Null texts are excluded BEFORE the write — a
-    // line file cannot represent NULL, and a read-back would resurrect
-    // it as something else; excluding (not masking) is the honest
-    // contract. Read-back aggregates by first character so the hash
-    // covers the full byte content (sum of lengths) and the empty-line
-    // case (empty string groups under '').
+    // one string per line). A line file can represent neither NULL nor a
+    // string containing a line separator (the write would split one
+    // document into several lines and silently corrupt the roundtrip),
+    // so BOTH are excluded before the write — excluding (not masking) is
+    // the honest contract, mirrored in the oracle. Read-back aggregates
+    // by first character so the hash covers the full byte content (sum
+    // of lengths) and the empty-line case (empty string groups under '').
     "sink_roundtrip_text" -> ((s, d) => {
       val tmp = graft.util.Scratch.fresh("sink_roundtrip_text")
       Tables.documents(s, d)
-        .filter(col("text").isNotNull)
+        .filter(col("text").isNotNull && !col("text").rlike("[\\r\\n]"))
         .select(col("text"))
         .write.mode("overwrite").text(tmp)
       s.read.text(tmp)
@@ -71,6 +70,8 @@ object RelationalQueries {
         .orderBy(col("c1"))
     }),
 
+    // CSV round-trip: schema-on-read with an explicit StructType (CSV has
+    // no embedded types); kept to exactly-representable columns.
     "sink_roundtrip_csv" -> ((s, d) => {
       val tmp = graft.util.Scratch.fresh("sink_roundtrip_csv")
       Tables.orders(s, d)
@@ -926,7 +927,8 @@ object RelationalQueries {
     "sink_roundtrip_text" ->
       """SELECT substring(text, 1, 1) AS c1, CAST(count(*) AS BIGINT) AS n,
                 CAST(sum(length(text)) AS BIGINT) AS sum_len
-         FROM documents WHERE text IS NOT NULL
+         FROM documents
+         WHERE text IS NOT NULL AND NOT regexp_matches(text, '[\r\n]')
          GROUP BY 1 ORDER BY c1""",
 
     "sink_roundtrip_json" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,17 +80,8 @@ object Joins {
   def saltedEquiJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
-    // Salt = hash of the key plus every hashable non-key column as a row
-    // discriminator: rows sharing a hot key must spread across salts (a
-    // key-only hash is constant per key and spreads nothing). MapType is
-    // unhashable in Spark, so map columns are excluded rather than failing
-    // the whole join.
-    val discrim = left.schema.fields
-      .filterNot(f => f.name == leftKey ||
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(f => col(f.name)).toIndexedSeq
     val lSalted = left.withColumn("__lsalt",
-      pmod(hash((col(leftKey) +: discrim): _*), lit(saltFactor)))
+      pmod(hash(rowDiscriminators(left, leftKey): _*), lit(saltFactor)))
     val rSalted = right.withColumn("__rsalt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     // Keys resolved against their own frames: with the common same-name
@@ -102,6 +93,18 @@ object Joins {
           col("__lsalt") === col("__rsalt"))
       .drop("__lsalt", "__rsalt")
   }
+
+  /** Salt-hash input shared by both salting paths: the key plus every
+    * hashable non-key column as a row discriminator — rows sharing a hot
+    * key must spread across salts (a key-only hash is constant per key
+    * and spreads nothing). MapType is unhashable in Spark, so map columns
+    * are excluded rather than failing the whole join.
+    */
+  private def rowDiscriminators(df: DataFrame, key: String): Seq[Column] =
+    col(key) +: df.schema.fields
+      .filterNot(f => f.name == key ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
 
   /** Left-side key histogram restricted to keys at/above `minCount` —
     * the skew profile that feeds [[hotKeySaltedJoin]]. One partial-agg
@@ -137,16 +140,10 @@ object Joins {
       s"hotKeys must be a single key column, got ${hotKeys.columns.mkString(",")}")
     val hk = broadcast(
       hotKeys.select(col(hotKeys.columns.head).as("__hot")).distinct())
-    // same row-discriminator salt as saltedEquiJoin: rows SHARING the hot
-    // key must spread, so the hash covers every hashable non-key column
-    val discrim = left.schema.fields
-      .filterNot(f => f.name == leftKey ||
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(f => col(f.name)).toIndexedSeq
     val l = left.join(hk, col(leftKey) === col("__hot"), "left")
       .withColumn("__lsalt",
         when(col("__hot").isNotNull,
-          pmod(hash((col(leftKey) +: discrim): _*), lit(saltFactor)))
+          pmod(hash(rowDiscriminators(left, leftKey): _*), lit(saltFactor)))
           .otherwise(lit(0)))
       .drop("__hot")
     val r = replicateHotRight(right, rightKey, saltFactor, hk)
@@ -176,15 +173,17 @@ object Joins {
     * right only while one side fits in a broadcast; when both sides are
     * fact-sized the band structure makes the predicate bucketizable:
     * left rows get bucket `floor(x/W)`, right rows are replicated to
-    * buckets `floor(r/W) - m-1 .. + m+1` with `m = ceil(band/W)` — in
+    * buckets `floor(r/W) - m-2 .. + m+2` with `m = ceil(band/W)` — in
     * real arithmetic the buckets a within-band left value can land in are
     * `floor(r/W) ± m` (x ∈ [r-band, r+band] ⇒ x/W ∈ [r/W - m, r/W + m]
     * ⇒ floor ∈ [floor(r/W)-m, floor(r/W)+m]) — and the exact band
-    * predicate runs per bucket. The extra ±1 absorbs floating-point
+    * predicate runs per bucket. The extra ±2 absorbs floating-point
     * rounding: `floor(x/W)` computes in double ulps, so near an integer
     * boundary a value passing the exact band filter can land one bucket
-    * away from its real-arithmetic bucket; one guard bucket per side
-    * covers any single-rounding error, at ~2/(2m+1) extra replication.
+    * away from its real-arithmetic bucket — and the LEFT and RIGHT
+    * floors can each round once, in OPPOSITE directions, compounding to
+    * two buckets of drift; two guard buckets per side cover one rounding
+    * error on each floor, at ~4/(2m+1) extra replication.
     * Catalyst plans a shuffled hash / sort-merge join on the bucket key
     * (or broadcasts the replicated side while it stays small): pair work
     * is O(rows-per-bucket²) per bucket, never O(|L|·|R|). A matching pair
@@ -192,7 +191,7 @@ object Joins {
     * replication offsets are distinct), so no post-join dedup is needed.
     *
     * `bucketWidth` (default = band) is the cost knob, now independent of
-    * the band: replication factor is `2*ceil(band/W) + 3`, per-bucket
+    * the band: replication factor is `2*ceil(band/W) + 5`, per-bucket
     * population shrinks with W — size W so buckets stay balanced without
     * bending the band semantics. A band much wider than the value domain
     * still degenerates to one giant bucket; shrink W below band to split
@@ -208,12 +207,12 @@ object Joins {
     val w = if (bucketWidth.isNaN) band else bucketWidth
     require(w > 0.0, s"bucketWidth must be > 0, got $w")
     val m = math.ceil(band / w).toLong
-    require(2 * m + 3 <= 1001,
-      s"bucketWidth=$w replicates the right side ${2 * m + 3}x for band=$band; " +
-        "widen bucketWidth (replication factor = 2*ceil(band/bucketWidth)+3)")
+    require(2 * m + 5 <= 1001,
+      s"bucketWidth=$w replicates the right side ${2 * m + 5}x for band=$band; " +
+        "widen bucketWidth (replication factor = 2*ceil(band/bucketWidth)+5)")
     val l = left.withColumn("__bkt", floor(col(leftVal) / w).cast("long"))
     val r = right
-      .withColumn("__off", explode(sequence(lit(-m - 1L), lit(m + 1L))))
+      .withColumn("__off", explode(sequence(lit(-m - 2L), lit(m + 2L))))
       .withColumn("__bkt",
         floor(col(rightVal) / w).cast("long") + col("__off"))
       .drop("__off")

@@ -150,6 +150,12 @@ object Similarity {
   /** Indexes already built this JVM, keyed by scratch dir. */
   private val builtIndexes = scala.collection.mutable.HashSet.empty[String]
 
+  /** Latest index dir per (plan, params), so a corpus rewrite frees the
+    * superseded index instead of stranding it for the JVM's lifetime.
+    */
+  private val latestIndexDir =
+    scala.collection.mutable.HashMap.empty[String, String]
+
   /** Convenience: build-once-per-session index for `emb` (keyed by its
     * canonicalized logical plan), then a pruned [[ivfQuery]] probe. The
     * query-vector lookup is a point filter on the source table (min/max
@@ -171,22 +177,38 @@ object Similarity {
     val fingerprint =
       if (srcFiles.isEmpty) "nofiles"
       else {
-        var maxM = 0L; var sz = 0L
-        srcFiles.foreach { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(hconf).getFileStatus(p)
-          maxM = math.max(maxM, st.getModificationTime); sz += st.getLen
-        }
-        s"${srcFiles.length}_${sz}_$maxM"
+        // one listStatus per parent DIRECTORY, not one getFileStatus RPC
+        // per file — object stores batch directory listings, so this is
+        // |dirs| round-trips instead of |files|. Name-matching within the
+        // parent; a file that vanished between planning and listing just
+        // changes the count, which changes the fingerprint — the safe
+        // direction (rebuild).
+        var maxM = 0L; var sz = 0L; var n = 0L
+        srcFiles.map(new org.apache.hadoop.fs.Path(_)).groupBy(_.getParent)
+          .foreach { case (parent, files) =>
+            val names = files.map(_.getName).toSet
+            parent.getFileSystem(hconf).listStatus(parent).foreach { st =>
+              if (names.contains(st.getPath.getName)) {
+                maxM = math.max(maxM, st.getModificationTime)
+                sz += st.getLen; n += 1
+              }
+            }
+          }
+        s"${n}_${sz}_$maxM"
       }
-    val key = "ivf_" +
+    val planKey =
       Integer.toHexString(emb.queryExecution.analyzed.semanticHash()) +
-      s"_${fingerprint}_${nCentroids}_$iters"
+        s"_${nCentroids}_$iters"
+    val key = s"ivf_${planKey}_$fingerprint"
     val (dir, _) = graft.util.Scratch.reuse(key)
     synchronized {
       if (!builtIndexes.contains(dir)) {
+        latestIndexDir.get(planKey).filter(_ != dir).foreach { old =>
+          graft.util.Scratch.delete(old); builtIndexes -= old
+        }
         buildIvfIndex(spark, emb, dir, nCentroids, iters)
         builtIndexes += dir
+        latestIndexDir(planKey) = dir
       }
     }
     val qv: Array[Double] = emb.filter(col("vec_id") === queryId)
