@@ -166,6 +166,17 @@ object LlmQueries {
         threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Containment near-dup pairs (|A∩B| / min(|A|,|B|) over word
+    // 2-grams): the asymmetric measure that catches a doc (nearly)
+    // embedded in a larger one — Jaccard structurally misses those, and
+    // the length-bucket blocking of llm_dedup_ngram would veto exactly
+    // these pairs, so blocking here is (lang, source) only — see
+    // Dedup.containmentPairs for the 100 TB candidate-generation story
+    // (winnowing-fingerprint inverted index).
+    "llm_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), n = 2, threshold = 0.2)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // C4-style chunk-level dedup stats: per-doc duplicated-chunk fraction
     // over consecutive 10-token chunks; multiplicity via ONE window
     // shuffle on (xxhash64, length) — see Dedup.chunkDupStats.
@@ -802,6 +813,27 @@ object LlmQueries {
           AND a.doc_id < b.doc_id
          WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
                len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.2
+         ORDER BY a_id, b_id""",
+
+    // gram strings here vs FNV-hashed grams in the kernel: only the
+    // COUNTS |A∩B|, |A|, |B| are compared, identical absent a 64-bit
+    // collision (same contract as llm_dedup_ngram's oracle)
+    "llm_dedup_containment" ->
+      """WITH g AS (
+           SELECT doc_id, lang, source,
+                  list_distinct([array_to_string(toks[i:i+1], ' ')
+                                 for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS grams
+           FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+                 FROM documents)
+         )
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                floor(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                      least(len(a.grams), len(b.grams))::DOUBLE
+                      * 10000.0 + 0.5) / 10000.0 AS containment
+         FROM g a JOIN g b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+               least(len(a.grams), len(b.grams))::DOUBLE >= 0.2
          ORDER BY a_id, b_id""",
 
     // chunk = consecutive 10-token window (last chunk short); a chunk is

@@ -332,15 +332,68 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, charBucket: Int,
       threshold: Double): DataFrame = {
+    val blocked = gramSets(docs, n, charBucket)
+    val a = blocked.as("a"); val b = blocked.as("b")
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+    a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+        col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("common", common)
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Containment near-dup pairs: `|A∩B| / min(|A|, |B|)` over word
+    * `n`-gram sets — the ASYMMETRIC overlap measure that catches a
+    * document (nearly) embedded inside a larger one, which Jaccard
+    * structurally misses (a 50-gram doc fully contained in a 500-gram
+    * doc has Jaccard ≤ 0.1 but containment 1.0). The quote/boilerplate/
+    * subset-duplication detector of a curation pipeline.
+    *
+    * Blocking is (lang, source) WITHOUT the length bucket
+    * [[ngramJaccardPairs]] uses — containment pairs have dissimilar
+    * lengths BY DESIGN, so a length block would veto exactly the pairs
+    * this operator exists to find. Per-pair work is the same codegen'd
+    * sorted-merge intersect over once-hashed gram arrays. At 100 TB the
+    * (lang, source) block alone is too coarse for all-pairs; the scale
+    * path is candidate generation via a winnowing-fingerprint inverted
+    * index (`llm_winnow_fingerprint` — any shared ≥6-token run shares a
+    * fingerprint) with this pairwise verify running only on candidates.
+    */
+  def containmentPairs(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val g = gramSets(docs, n, charBucket = 1)
+    val a = g.as("a"); val b = g.as("b")
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("common", common)
+      .withColumn("containment", col("common").cast("double") /
+        least(size(col("a.grams")), size(col("b.grams"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        graft.functions.Rounding.roundTo(col("containment"), 4)
+          .as("containment"))
+  }
+
+  /** Gram-set extraction shared by [[ngramJaccardPairs]] and
+    * [[containmentPairs]], as a per-partition kernel (same rationale as
+    * minhashSignatures): the declarative form re-evaluates split(text)
+    * inside the transform lambda — interpreted, one array alloc per gram
+    * — while this loop splits once and writes straight into a long[].
+    * FNV-1a 64 over the shingle chars stands in for the gram string
+    * (collisions ~|grams|²/2⁶⁴, deterministic). Output: one row per doc
+    * with its sorted DISTINCT gram hashes and the `n_chars/charBucket`
+    * length-bucket blocking key (pass charBucket = 1 to make the bucket
+    * a passthrough the caller ignores).
+    */
+  private def gramSets(docs: DataFrame, n: Int, charBucket: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // Gram-set extraction as a per-partition kernel (same rationale as
-    // minhashSignatures): the declarative form re-evaluates split(text)
-    // inside the transform lambda — interpreted, one array alloc per gram
-    // — while this loop splits once and writes straight into a long[].
-    // FNV-1a 64 over the shingle chars stands in for the gram string
-    // (collisions ~|grams|²/2⁶⁴, deterministic).
-    val blocked = docs.select(col("doc_id").cast("long"), col("lang"),
+    docs.select(col("doc_id").cast("long"), col("lang"),
         col("source"), col("n_chars").cast("long"), col("text"))
       .as[(Long, String, String, Long, String)]
       .mapPartitions { it =>
@@ -373,16 +426,6 @@ object Dedup {
         }
       }
       .toDF("doc_id", "lang", "source", "len_bkt", "grams")
-    val a = blocked.as("a"); val b = blocked.as("b")
-    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
-    a.join(b, col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-        col("a.len_bkt") === col("b.len_bkt") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("common", common)
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Chunk-level (C4/RefinedWeb-style "line dedup") duplicate statistics:

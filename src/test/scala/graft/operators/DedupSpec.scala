@@ -132,6 +132,28 @@ class DedupSpec extends SparkSpec {
       "different (lang, source) block must not pair")
   }
 
+  test("containment catches a doc embedded in a larger one that jaccard misses") {
+    import spark.implicits._
+    val big = ((1 to 40).map(i => "w" + i) ++ Seq("a", "b", "c", "d")).mkString(" ")
+    val d = Seq(
+      (1L, big, "en", "s0", big.length.toLong),
+      (2L, "a b c d", "en", "s0", 7L),        // fully inside doc 1's tail
+      (3L, "a b c d", "en", "s1", 7L),        // same text, different block
+      (4L, "q r s t", "en", "s0", 7L)         // same block, no overlap
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.containmentPairs(d, n = 2, threshold = 0.9)
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"doc 2's 2-grams {a b, b c, c d} all occur in doc 1 -> containment " +
+        s"1.0; doc 3 is blocked apart, doc 4 shares nothing: got ${pairs.toSeq}")
+    // the same pair under jaccard: 3 shared grams / 44 union ≈ 0.07 — the
+    // asymmetric measure is the only one that sees it
+    val jac = Dedup.ngramJaccardPairs(d, n = 2, charBucket = 100000,
+      threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(!jac.contains((1L, 2L)), "jaccard must structurally miss the pair")
+  }
+
   test("chunk dup stats count cross-doc duplicate chunks; null text yields no row") {
     val d = Seq(
       (1L, "a b c d e f"), // chunks(3): "a b c" (dup w/ doc 2), "d e f"
