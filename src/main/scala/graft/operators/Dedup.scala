@@ -364,7 +364,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
-    val g = gramSets(docs, n, charBucket = 1)
+    val g = gramSets(docs, n, charBucket = 1).drop("len_bkt")
     val a = g.as("a"); val b = g.as("b")
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     a.join(b, col("a.lang") === col("b.lang") &&
@@ -389,16 +389,26 @@ object Dedup {
     * with its sorted DISTINCT gram hashes and the `n_chars/charBucket`
     * length-bucket blocking key (pass charBucket = 1 to make the bucket
     * a passthrough the caller ignores).
+    *
+    * Tokenization parity with the DuckDB twins: `split(" ", -1)` keeps
+    * trailing empty tokens exactly like `string_split` (a bare
+    * `split(' ')` drops them, silently changing gram COUNTS for
+    * trailing-space texts), and null-text docs are dropped entirely —
+    * `string_split(NULL)` makes the twin's gram list NULL, which every
+    * downstream predicate rejects; emitting a sentinel gram here instead
+    * would pair two degenerate docs at containment 1.0 that the oracle
+    * never sees.
     */
   private def gramSets(docs: DataFrame, n: Int, charBucket: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("lang"),
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("lang"),
         col("source"), col("n_chars").cast("long"), col("text"))
       .as[(Long, String, String, Long, String)]
       .mapPartitions { it =>
         it.map { case (id, lang, source, nChars, text) =>
-          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          val toks = text.split(" ", -1)
           val nSh = math.max(toks.length - n + 1, 1)
           val hs = new Array[Long](nSh)
           var i = 0

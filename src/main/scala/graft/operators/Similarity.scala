@@ -203,11 +203,19 @@ object Similarity {
     val (dir, _) = graft.util.Scratch.reuse(key)
     synchronized {
       if (!builtIndexes.contains(dir)) {
+        // Build the NEW index first, then drop the superseded one — a
+        // failed build leaves the previous index intact. Deleting it at
+        // all means DataFrames returned by earlier ivfTopK calls are
+        // valid only until the next call that observes a CHANGED corpus
+        // (they are lazy plans over the old directory and will fail
+        // loudly, not silently, if collected after) — the same refresh
+        // semantics Spark itself gives a DataFrame whose source files
+        // were rewritten underneath it.
+        buildIvfIndex(spark, emb, dir, nCentroids, iters)
+        builtIndexes += dir
         latestIndexDir.get(planKey).filter(_ != dir).foreach { old =>
           graft.util.Scratch.delete(old); builtIndexes -= old
         }
-        buildIvfIndex(spark, emb, dir, nCentroids, iters)
-        builtIndexes += dir
         latestIndexDir(planKey) = dir
       }
     }

@@ -76,6 +76,22 @@ def main(out, float_edges=False):
              lang="es", source="src3", n_chars=36),
         dict(doc_id=90012, text="not-pii user@localhost and 1.2.3 only",
              lang="en", source="src4", n_chars=37),
+        # degenerate-doc co-location: a null-text and an empty-text doc in
+        # the SAME (lang, source) block as each other (and as 90001).
+        # A gram kernel that gives null/empty text the same sentinel gram
+        # would pair them at containment 1.0 while string_split(NULL)
+        # drops the null row in DuckDB — these rows make that divergence
+        # visible instead of masked by block sparsity.
+        dict(doc_id=90013, text="", lang="en", source="src0", n_chars=0),
+        # trailing-space doc sharing a real gram with a same-block mate:
+        # split(' ') (drops trailing empties) vs string_split (keeps them)
+        # changes |grams| and therefore containment's min(|A|,|B|)
+        # denominator — exercised only when the pair actually clears the
+        # threshold, hence the deliberate overlap.
+        dict(doc_id=90014, text="shared tail gram ", lang="de", source="src2",
+             n_chars=17),
+        dict(doc_id=90015, text="shared tail gram plus more words here",
+             lang="de", source="src2", n_chars=37),
     ]
     merged = pa.Table.from_pylist(base + extra, schema=docs.schema)
     pq.write_table(merged, f"{out}/documents.parquet")
