@@ -441,6 +441,27 @@ object RelationalQueries {
           round(col("asof_o_totalprice"), 2).as("o_totalprice"))
         .orderBy(col("event_id"))),
 
+    // Forward as-of: each order matched to the EARLIEST event of the
+    // same user at-or-after the order date (merge_asof
+    // direction='forward') — same single-shuffle union+window shape as
+    // join_asof, descending time order. Payload columns are the
+    // never-null (event_id, epoch-seconds) pair: the union+window form
+    // matches payloads independently under ignoreNulls, so a NULLABLE
+    // payload could pair one event's id with another's value — picking
+    // null-free payloads is part of the operator's contract.
+    "join_asof_forward" -> ((s, d) =>
+      Joins.asofForward(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+        "o_custkey", "o_orderdate",
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"), unix_timestamp(col("ts")).as("ets")),
+        "user_id", "ts", "event_id")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_event_id").as("next_event_id"),
+          col("asof_ets").as("next_event_epoch"))
+        .orderBy(col("o_orderkey"))),
+
     "join_multiway" -> ((s, d) =>
       Tables.region(s, d)
         .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey"))
@@ -1020,6 +1041,32 @@ object RelationalQueries {
          )
          SELECT event_id, k AS user_id, mk AS o_orderkey, round(mp, 2) AS o_totalprice
          FROM m WHERE is_l = 1 ORDER BY event_id""",
+
+    // forward mirror: DESCENDING time, rights still before lefts at an
+    // equal timestamp, smallest tiebreak last (wins)
+    "join_asof_forward" ->
+      """WITH u AS (
+           SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, 0 AS is_l,
+                  event_id AS tb, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ets,
+                  NULL::BIGINT AS o_orderkey, NULL::BIGINT AS o_custkey
+           FROM events
+           UNION ALL
+           SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP), 1, NULL, NULL,
+                  NULL, o_orderkey, o_custkey
+           FROM orders
+         ), m AS (
+           SELECT *,
+                  last_value(event_id IGNORE NULLS) OVER win AS me,
+                  last_value(ets IGNORE NULLS) OVER win AS mets
+           FROM u
+           WINDOW win AS (PARTITION BY k ORDER BY t DESC, is_l,
+                            tb DESC NULLS LAST
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )
+         SELECT o_orderkey, o_custkey, me AS next_event_id,
+                mets AS next_event_epoch
+         FROM m WHERE is_l = 1 ORDER BY o_orderkey""",
 
     "join_multiway" ->
       """SELECT r_name, n_name,

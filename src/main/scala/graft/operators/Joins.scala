@@ -36,7 +36,32 @@ object Joins {
   def asof(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
-      rightTiebreak: String): DataFrame = {
+      rightTiebreak: String): DataFrame =
+    asofImpl(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightTiebreak, forward = false)
+
+  /** Forward point-in-time join (`merge_asof direction='forward'`): for
+    * every left row, attach the payload of the EARLIEST right row with
+    * the same key whose time is >= the left time — "the next reading
+    * after the request", the mirror of [[asof]]'s "latest state before".
+    * Same single-shuffle union+window shape; the window simply runs in
+    * descending time order, so the running `last(payload, ignoreNulls)`
+    * at a left row is the smallest right time at-or-after it.
+    * Tie-breaking mirrors [[asof]]: an equal-timestamp right row IS
+    * matched, and among equal-timestamp right rows the SMALLEST
+    * `rightTiebreak` wins (the natural "first next" reading).
+    */
+  def asofForward(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTiebreak: String): DataFrame =
+    asofImpl(left, leftKey, leftTime, right, rightKey, rightTime,
+      rightTiebreak, forward = true)
+
+  private def asofImpl(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String,
+      rightTiebreak: String, forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(_ == rightKey)
     val rSchema = right.schema
@@ -54,8 +79,14 @@ object Joins {
         leftCols.map(c => lit(null).cast(lSchema(c).dataType).as(c)) ++
         rightPayload.map(c => col(c).as(s"__r_$c"))): _*)
 
+    // Backward: ascending time, rights before lefts at equal t, greatest
+    // tiebreak last (wins). Forward: DESCENDING time — the running last()
+    // then holds the smallest right time at-or-after the left row —
+    // rights still first at equal t, smallest tiebreak last (wins).
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__is_l"), col("__tb"))
+      .orderBy(
+        (if (forward) Seq(col("__t").desc, col("__is_l"), col("__tb").desc)
+         else Seq(col("__t"), col("__is_l"), col("__tb"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = rightPayload.foldLeft(l2.unionByName(r2)) { (df, c) =>

@@ -130,6 +130,31 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("forward asof equals per-row brute force (earliest at-or-after, min-id tie)") {
+    val rnd = new scala.util.Random(13)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def t(n: Int) = new Timestamp(base + n * 60000L)
+    for (trial <- 1 to 2) {
+      val left = Seq.tabulate(60)(i =>
+        (i.toLong, rnd.nextInt(6).toLong, t(rnd.nextInt(40))))
+      val right = Seq.tabulate(40)(j =>
+        (rnd.nextInt(6).toLong, t(rnd.nextInt(40)), j.toLong, rnd.nextInt(1000) / 10.0))
+      val got = Joins.asofForward(
+        left.toDF("event_id", "user_id", "ts"), "user_id", "ts",
+        right.toDF("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        "o_custkey", "o_orderdate", "o_orderkey")
+        .select("event_id", "asof_o_orderkey")
+        .as[(Long, Option[Long])].collect().toMap
+      // earliest right at-or-after the left time; at an equal earliest
+      // timestamp the SMALLEST orderkey wins
+      val expected = left.map { case (id, k, lt) =>
+        id -> right.filter(r => r._1 == k && !r._2.before(lt))
+          .sortBy(r => (r._2.getTime, r._3)).headOption.map(_._3)
+      }.toMap
+      assert(got == expected, s"trial $trial diverged from brute force")
+    }
+  }
+
   test("asof join breaks equal-timestamp right-row ties by greatest tiebreak") {
     val left = Seq((1L, 9L, ts("2024-01-01 10:00:00"))).toDF("event_id", "k", "ts")
     val right = Seq(
