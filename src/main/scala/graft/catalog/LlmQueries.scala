@@ -222,6 +222,29 @@ object LlmQueries {
         .orderBy(col("id"))
     }),
 
+    // The dedup REPORT a curation run publishes before committing: the
+    // cluster-size histogram — clusters per size, docs affected, docs
+    // droppable ((size-1) per cluster) — including the size-1 row for
+    // singletons (corpus minus clustered; a 1-row × 1-row scalar cross,
+    // the degenerate-broadcast form PlanSweepSpec whitelists). All
+    // aggregates run over the tiny CC output, never the corpus.
+    "llm_cluster_stats" -> ((s, d) => {
+      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
+      val cc = Dedup.connectedComponents(pairs)
+      val bySize = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val singles = Tables.embeddings(s, d).agg(count(lit(1)).as("n_total"))
+        .crossJoin(cc.agg(count(lit(1)).as("n_clustered")))
+        .select(lit(1L).as("cluster_size"),
+          (col("n_total") - col("n_clustered")).as("n_clusters"))
+      bySize.unionByName(singles)
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          ((col("cluster_size") - 1) * col("n_clusters")).as("n_dropped"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // The materialized dedup output: documents surviving cluster dedup
     // (drop every clustered doc except its cluster's min id) — the
     // training-set-side composition of pairs → clusters → keep set.
@@ -913,6 +936,42 @@ object LlmQueries {
          )
          SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id
          FROM reach GROUP BY id ORDER BY id""",
+
+    "llm_cluster_stats" ->
+      s"""WITH RECURSIVE e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+                  $dedupBlkSql AS blk
+           FROM embeddings
+         ), p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM e a JOIN e b ON a.blk = b.blk AND a.vec_id < b.vec_id
+           WHERE list_sum(list_transform(range(1, 65),
+                   i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                 (a.nrm * b.nrm) >= $DedupThreshold
+         ), edges AS (
+           SELECT a_id AS a, b_id AS b FROM p
+           UNION SELECT b_id, a_id FROM p
+         ), reach AS (
+           SELECT a AS id, a AS lab FROM edges
+           UNION
+           SELECT eg.a, r.lab FROM edges eg JOIN reach r ON r.id = eg.b
+         ), cc AS (
+           SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+         ), bs AS (
+           SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cc
+           GROUP BY cluster_id
+         ), hist AS (
+           SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+           FROM bs GROUP BY sz
+           UNION ALL
+           SELECT CAST(1 AS BIGINT),
+                  (SELECT count(*) FROM embeddings) - (SELECT count(*) FROM cc)
+         )
+         SELECT cluster_size, n_clusters,
+                cluster_size * n_clusters AS n_docs,
+                (cluster_size - 1) * n_clusters AS n_dropped
+         FROM hist ORDER BY cluster_size""",
 
     "llm_dedup_keep" ->
       s"""WITH RECURSIVE e AS (
