@@ -170,11 +170,15 @@ object LlmQueries {
     // 2-grams): the asymmetric measure that catches a doc (nearly)
     // embedded in a larger one — Jaccard structurally misses those, and
     // the length-bucket blocking of llm_dedup_ngram would veto exactly
-    // these pairs, so blocking here is (lang, source) only — see
-    // Dedup.containmentPairs for the 100 TB candidate-generation story
-    // (winnowing-fingerprint inverted index).
+    // these pairs. Candidate generation is the winnowing-fingerprint
+    // inverted index (self-join on the FINGERPRINT, never an all-pairs
+    // corpus self-join within a (lang, source) block), verified with the
+    // codegen'd sorted-merge intersect — see Dedup.containmentPairsIndexed
+    // for the recall contract (MOSS: any shared >= 5-token run is caught)
+    // and DedupSpec for the equivalence pin against the all-pairs twin.
     "llm_dedup_containment" -> ((s, d) =>
-      Dedup.containmentPairs(Tables.documents(s, d), n = 2, threshold = 0.2)
+      Dedup.containmentPairsIndexed(Tables.documents(s, d), n = 2,
+          threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
     // C4-style chunk-level dedup stats: per-doc duplicated-chunk fraction

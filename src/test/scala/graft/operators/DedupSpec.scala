@@ -154,6 +154,83 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)), "jaccard must structurally miss the pair")
   }
 
+  test("indexed containment finds an embedded doc via the winnow index") {
+    // same planted-containment shape as the all-pairs test: the embedded
+    // run "a b c d" (4 tokens) is shorter than the w+n-1 = 5-token MOSS
+    // guarantee, so stretch it to 5 tokens to exercise the guaranteed path
+    val big = ((1 to 40).map(i => "w" + i) ++ Seq("a", "b", "c", "d", "e")).mkString(" ")
+    val d = Seq(
+      (1L, big, "en", "s0", big.length.toLong),
+      (2L, "a b c d e", "en", "s0", 9L),       // fully inside doc 1's tail
+      (3L, "a b c d e", "en", "s1", 9L),       // same text, different block
+      (4L, "q r s t u", "en", "s0", 9L)        // same block, no overlap
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.containmentPairsWinnow(d, n = 2, threshold = 0.9)
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)),
+      s"the 5-token embedded run must share a winnow fingerprint with its " +
+        s"host (MOSS guarantee at w=4, n=2), doc 3 is blocked apart, doc 4 " +
+        s"shares nothing: got ${pairs.toSeq}")
+    // the exact prefix-filter path must find it too (superset by theorem)
+    val exact = Dedup.containmentPairsIndexed(d, n = 2, threshold = 0.9)
+      .select("a_id", "b_id", "containment").as[(Long, Long, Double)].collect()
+    assert(exact.toSeq == Seq((1L, 2L, 1.0)), s"prefix path: got ${exact.toSeq}")
+  }
+
+  test("indexed containment equals the all-pairs twin on fixtures and real testdata") {
+    // the equivalence pin the shipped llm_dedup_containment rests on:
+    // candidates from the winnow inverted index + sorted-merge verify
+    // must reproduce the quadratic twin's EXACT output — on the planted
+    // fixture corpus and on the driver's own sf0.001/sf0.01 documents
+    def run(d: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val allPairs = Dedup.containmentPairs(d, n = 2, threshold = 0.2)
+        .select("a_id", "b_id", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      val indexed = Dedup.containmentPairsIndexed(d, n = 2, threshold = 0.2)
+        .select("a_id", "b_id", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(indexed == allPairs,
+        s"$label: indexed vs all-pairs differ — missed=" +
+          s"${(allPairs -- indexed).take(5)} extra=${(indexed -- allPairs).take(5)}")
+      assert(allPairs.nonEmpty || label == "fixture",
+        s"$label: vacuous equivalence (no pairs at all)")
+    }
+    run(docs, "fixture")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(dir).exists())
+        run(spark.read.parquet(dir), sf)
+    }
+  }
+
+  test("dual hash family reproduces identical containment pairs (collision guard)") {
+    // gram hashes stand in for gram strings; a 64-bit collision would
+    // silently perturb one intersect count. Running the same corpus under
+    // two independent FNV bases and asserting identical (pair, score)
+    // sets bounds the undetected-collision probability at ~p² per pair
+    // (see Dedup.Fnv64Offset scaladoc for the 100 TB expectation bound).
+    def pairsWith(basis: Long): Set[(Long, Long, Double)] = {
+      val g = Dedup.gramSets(docs, n = 2, charBucket = 1, fnvOffset = basis)
+        .drop("len_bkt")
+      val a = g.as("a"); val b = g.as("b")
+      val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+      a.join(b, col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("common", common)
+        .withColumn("containment", col("common").cast("double") /
+          least(size(col("a.grams")), size(col("b.grams"))).cast("double"))
+        .filter(col("containment") >= 0.2)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("containment"))
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val base = pairsWith(Dedup.Fnv64Offset)
+    val alt = pairsWith(Dedup.Fnv64AltOffset)
+    assert(base == alt, s"hash families disagree: ${base.diff(alt)} / ${alt.diff(base)}")
+    assert(base.nonEmpty, "guard is vacuous without at least one pair")
+  }
+
   test("chunk dup stats count cross-doc duplicate chunks; null text yields no row") {
     val d = Seq(
       (1L, "a b c d e f"), // chunks(3): "a b c" (dup w/ doc 2), "d e f"
