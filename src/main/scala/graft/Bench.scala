@@ -88,6 +88,12 @@ object Bench {
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val totalMin = mins.values.sum
     val totalMedian = med.values.sum
+    // median/min ratio (VERDICT r8 item 8): one number that shows how much
+    // of a round-over-round headline move is the machine-variance band
+    // rather than code — a ratio jump with a flat min means contention
+    // moved the median, not the plans. (The min-of-N headline itself was
+    // the r7→r8 metric cutover; see BASELINE.md "Bench metric".)
+    val medMinRatio = if (totalMin > 0) totalMedian / totalMin else 1.0
     val sf = scala.util.Try(sfDir.split('/').last.stripPrefix("sf").toDouble)
       .map(_.toString).getOrElse("\"" + sfDir + "\"")
     def build(dp: Int, keep: Int): String = {
@@ -110,7 +116,8 @@ object Bench {
           entries + omitted
         }
       s"""{"metric":"total","value":${fmt(totalMin, 2)},"unit":"sec"""" +
-        s""","runs":$runs,"total_median":${fmt(totalMedian, 2)}$qs,"sf":$sf}"""
+        s""","runs":$runs,"total_median":${fmt(totalMedian, 2)}""" +
+        s""","med_min_ratio":${fmt(medMinRatio, 2)}$qs,"sf":$sf}"""
     }
     System.err.println("[bench] medians=" +
       med.map { case (k, v) => s"$k=$v" }.mkString(",") +
@@ -125,6 +132,7 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${fmt(totalMin, 3)},"unit":"sec"""" +
         s""","runs":$runs,"total_median":${fmt(totalMedian, 3)}""" +
+        s""","med_min_ratio":${fmt(medMinRatio, 3)}""" +
         s""","queries":${fullMap(mins)},"queries_median":${fullMap(med)}""" +
         s""","sf":$sf}"""
     scala.util.Try(java.nio.file.Files.writeString(

@@ -47,6 +47,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Approx-family tolerance oracles (VERDICT r8 item 7): exact SQL +
+    // relative band for the sketch-valued queries oracle_sql.json cannot
+    // hash-match. tools/check_oracle.py consumes this; a driver that
+    // adopts it gains TOLOK rows for agg_approx_* instead of rows-only.
+    val tolJson = SparkEntry.toleranceOracle
+      .map { case (k, (sql, tol)) =>
+        s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("tolerance")}: $tol}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/tolerance_oracle.json"), tolJson)
     spark.stop()
   }
 }

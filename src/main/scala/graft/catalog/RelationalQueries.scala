@@ -496,11 +496,17 @@ object RelationalQueries {
           countDistinct(col("l_suppkey")).as("n_supps"))
         .orderBy(col("l_returnflag"))),
 
-    // approx: asserted vs exact ±5% in the unit suite; no oracle (HLL).
+    // approx: HLL++ at rsd 0.02 — the DEFAULT rsd (0.05) measured 8.6%
+    // off exact on one sf0.01 group, outside the declared ±5% band the
+    // tolerance oracle + AggregatesSpec enforce; 2% target keeps real
+    // error well inside it for ~4x sketch memory (still KB-scale,
+    // mergeable map-side). Sketch-valued → tolerance_oracle.json, not
+    // oracle_sql.json.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"))
         .orderBy(col("l_returnflag"))),
 
     "agg_rollup" -> ((s, d) =>

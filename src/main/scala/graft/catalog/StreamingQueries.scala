@@ -107,6 +107,12 @@ object StreamingQueries {
         val tmp = s"$base/tmp$i"
         docs.filter((col("doc_id") % 5).isin(residues: _*))
           .coalesce(1).write.parquet(tmp)
+        // java.io.File staging is deliberate here (ADVICE r8): Scratch is
+        // a DRIVER-LOCAL temp root by contract (graft.util.Scratch), so
+        // listFiles/renameTo/setLastModified always see a local FS. Code
+        // that may face hdfs://-s3a:// paths must use the Hadoop
+        // FileSystem API instead (as EventTime.mergeLatest does) — these
+        // calls silently return false/null on non-local paths.
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file in $tmp"))

@@ -130,6 +130,16 @@ object Joins {
     * key must spread across salts (a key-only hash is constant per key
     * and spreads nothing). MapType is unhashable in Spark, so map columns
     * are excluded rather than failing the whole join.
+    *
+    * Caveat (ADVICE r8): rows that are EXACT duplicates across every
+    * hashable column hash identically, so a hot key whose rows are all
+    * copies of one row still lands on a single salt — deliberate, because
+    * the alternative (a rand()/monotonic-id salt component) makes the
+    * join nondeterministic under retries and replays (a re-executed task
+    * re-salts its rows differently, breaking exactly-once sinks and
+    * hash-compared results). A corpus whose hot keys are pure duplicate
+    * rows should dedup-then-join (the copies carry no information the
+    * join can use) rather than trade away determinism.
     */
   private def rowDiscriminators(df: DataFrame, key: String): Seq[Column] =
     col(key) +: df.schema.fields

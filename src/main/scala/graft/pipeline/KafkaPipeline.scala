@@ -164,6 +164,16 @@ object KafkaPipeline {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Test-only failpoint: when set, [[writeFidelityBatch]] throws AFTER
+    * the rename pass has moved a micro-batch's files to their final
+    * `partition_{p}_batch_{b}` names but BEFORE the batch-state write —
+    * the crash window the replay contract above covers (files landed,
+    * naming not committed, checkpoint not committed). KafkaPipelineSpec
+    * drives a real checkpointed stream into this window and restarts it
+    * to pin "no duplicate, no missing file" recovery.
+    */
+  @volatile private[pipeline] var failAfterRename: Boolean = false
+
   private def writeFidelityBatch(batch: DataFrame, cfg: PipelineConfig): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bases = readBatchBases(cfg.outputDir)
@@ -230,6 +240,9 @@ object KafkaPipeline {
           }
       }
     graft.util.Scratch.delete(tmp.toString)
+    if (failAfterRename)
+      throw new IllegalStateException(
+        "failpoint: crash between rename pass and batch-state write")
     if (moved.nonEmpty)
       writeBatchBases(cfg.outputDir, bases ++ moved.groupBy(_._1).map {
         case (p, bs) => p -> (bs.map(_._2).max + 1)

@@ -22,6 +22,22 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("approx_count_distinct at rsd 0.02 tracks exact distinct within 5% per group") {
+    // the band the tolerance oracle declares (SparkEntry.toleranceOracle);
+    // the DEFAULT rsd 0.05 sketch measured 8.6% off on one sf0.01 group,
+    // which is why the query pins rsd = 0.02
+    val rows = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a"),
+        countDistinct(col("l_orderkey")).as("e"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, a, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.05,
+        s"$flag: approx $a vs exact $e")
+    }
+  }
+
   // The oracled agg_collect_set query serializes to STRING (the driver's
   // comparator can't hash list cells); this keeps the ARRAY-typed form itself
   // under test: numeric sort order, distinctness, and agreement with the

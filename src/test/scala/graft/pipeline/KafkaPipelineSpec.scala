@@ -79,6 +79,69 @@ class KafkaPipelineSpec extends SparkSpec {
       "no duplicates, no losses across restart")
   }
 
+  test("R5 crash recovery: kill between rename pass and state write, restart clean") {
+    // VERDICT r8 item 5: the exactly-once claim for the fidelity sink,
+    // pinned by an actual interrupted run — files renamed, batch state
+    // NOT written, checkpoint NOT committed; the restart must replay the
+    // micro-batch onto the SAME names (deterministic chunking +
+    // REPLACE_EXISTING) with no duplicate and no missing file.
+    val base = Files.createTempDirectory("graft_crash").toString
+    val src = s"$base/src"
+    KafkaPipeline.syntheticRecords(spark, 20).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = PipelineConfig(batchSize = 5,
+      outputDir = s"$base/out", checkpointDir = s"$base/chk")
+    KafkaPipeline.initOutput(cfg.outputDir)
+    def start() = KafkaPipeline.fidelityFileSink(
+      KafkaPipeline.fileStream(spark, src, schema), cfg).start()
+
+    // wave 1 commits normally: batches 0..1 per partition, state written
+    val q1 = start(); q1.awaitTermination()
+    val statePath = java.nio.file.Paths.get(cfg.outputDir, "_graft_batch_state")
+    val stateAfterWave1 = Files.readString(statePath)
+
+    // wave 2 lands, and the crash hits inside its micro-batch
+    KafkaPipeline.syntheticRecords(spark, 20)
+      .withColumn("offset", col("offset") + 20)
+      .withColumn("value",
+        encode(concat(lit("Wave2 "), col("offset").cast("string")), "UTF-8"))
+      .write.mode("append").parquet(src)
+    KafkaPipeline.failAfterRename = true
+    try {
+      val q2 = start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.awaitTermination()
+      }
+    } finally KafkaPipeline.failAfterRename = false
+    // the torn window is real: wave-2 files already renamed into place...
+    val crashed = new java.io.File(cfg.outputDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(crashed.contains("partition_0_batch_2.parquet"),
+      s"crash must land AFTER the rename pass: $crashed")
+    // ...but the naming commit did not happen
+    assert(Files.readString(statePath) == stateAfterWave1,
+      "crash must land BEFORE the batch-state write")
+
+    // restart from the same checkpoint: the uncommitted micro-batch
+    // replays onto the same names
+    val q3 = start(); q3.awaitTermination()
+    val names = new java.io.File(cfg.outputDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val expected = (for (p <- 0 to 1; b <- 0 to 3)
+      yield s"partition_${p}_batch_$b.parquet").toSet
+    assert(names == expected,
+      s"no duplicate, no missing file after recovery: got $names")
+    val out = spark.read.parquet(cfg.outputDir + "/*.parquet")
+    assert(out.count() == 40, "every record exactly once")
+    assert(out.distinct().count() == 40, "no replayed duplicates")
+    // an overwritten replay file carries the right rows in offset order
+    val b2 = spark.read.parquet(s"${cfg.outputDir}/partition_0_batch_2.parquet")
+      .as[String].collect()
+    assert(b2.toSeq == (20 to 28 by 2).map(i => s"Wave2 $i"), s"got ${b2.toSeq}")
+    // and the naming commit is now durable
+    assert(Files.readString(statePath) != stateAfterWave1)
+  }
+
   test("R3+R4: streaming sink writes at most batchSize rows per file, no tail loss") {
     val base = Files.createTempDirectory("graft_sinkspec").toString
     val srcDir = s"$base/src"

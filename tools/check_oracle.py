@@ -24,6 +24,42 @@ def norm(v):
         return round(v + 0.0, 6)
     return v
 
+def check_tolerance(con, out_dir, name, spec):
+    """Band compare for sketch-valued queries: columns sorted by name,
+    rows zipped in query order; non-numeric values must be equal, numeric
+    pass when |spark - exact| <= tolerance * max(|exact|, 1)."""
+    tol = spec["tolerance"]
+    try:
+        s_rel = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        s_cols = [c[0] for c in s_rel.description]
+        s_rows = s_rel.fetchall()
+        o_rel = con.execute(spec["sql"])
+        o_cols = [c[0] for c in o_rel.description]
+        o_rows = o_rel.fetchall()
+    except Exception as e:
+        return False, f"err: {str(e)[:140]}"
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"schema spark={sorted(s_cols)} exact={sorted(o_cols)}"
+    if len(s_rows) != len(o_rows):
+        return False, f"rows spark={len(s_rows)} exact={len(o_rows)}"
+    s_ix = [s_cols.index(c) for c in sorted(s_cols)]
+    o_ix = [o_cols.index(c) for c in sorted(o_cols)]
+    max_rel = 0.0
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        for c in range(len(s_ix)):
+            a, b = sr[s_ix[c]], orow[o_ix[c]]
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+                    and not isinstance(a, bool) and not isinstance(b, bool):
+                rel = abs(a - b) / max(abs(b), 1.0)
+                max_rel = max(max_rel, rel)
+                if rel > tol:
+                    return False, (f"row {i} col {sorted(s_cols)[c]}: "
+                                   f"spark={a} exact={b} rel={rel:.4f} > {tol}")
+            elif a != b:
+                return False, f"row {i} col {sorted(s_cols)[c]}: {a} != {b}"
+    return True, f"rows={len(s_rows)} max_rel={max_rel:.4f} <= {tol}"
+
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -33,12 +69,28 @@ def main(out_dir, sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    # optional tolerance oracles for the approx family (sketch-valued
+    # queries that cannot hash-match): {"name": {"sql": ..., "tolerance": t}}
+    tolerances = {}
+    tol_path = f"{out_dir}/tolerance_oracle.json"
+    if os.path.exists(tol_path):
+        with open(tol_path) as f:
+            tolerances = json.load(f)
 
     dumped = sorted(d for d in os.listdir(out_dir)
                     if os.path.isdir(os.path.join(out_dir, d)))
     n_ok = n_bad = 0
     for name in dumped:
         if name not in oracles:
+            if name in tolerances:
+                ok, msg = check_tolerance(con, out_dir, name, tolerances[name])
+                if ok:
+                    print(f"TOLOK  {name:<28} {msg}")
+                    n_ok += 1
+                else:
+                    print(f"TOLBAD {name:<28} {msg}")
+                    n_bad += 1
+                continue
             try:
                 n = con.execute(
                     f"SELECT count(*) FROM '{out_dir}/{name}/*.parquet'").fetchone()[0]
