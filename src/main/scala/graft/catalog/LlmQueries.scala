@@ -188,6 +188,16 @@ object LlmQueries {
       Dedup.chunkDupStats(Tables.documents(s, d), chunkTokens = 10)
         .orderBy(col("doc_id"))),
 
+    // Duplicated-substring coverage (Lee et al. span-level dedup signal
+    // at 5-gram granularity): fraction of each doc's token positions
+    // covered by a 5-token run occurring elsewhere in the corpus — sees
+    // the duplicated SPANS that doc-level signatures cannot. k=5 keeps
+    // sf0.01 non-trivial in both directions (71/500 docs partially
+    // covered, 24 fully). See Dedup.substringDupCoverage.
+    "llm_dedup_substring" -> ((s, d) =>
+      Dedup.substringDupCoverage(Tables.documents(s, d), k = 5)
+        .orderBy(col("doc_id"))),
+
     // Benchmark decontamination: corpus docs sharing any 4-token gram with
     // the probe set (doc_id < 5); probe grams broadcast, corpus side never
     // shuffles for the membership test — see Dedup.contaminationHits.
@@ -880,6 +890,28 @@ object LlmQueries {
                 floor(count(CASE WHEN mult > 1 THEN 1 END) * 10000.0 / count(*) + 0.5)
                   / 10000.0 AS dup_ratio
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // positions are 1-based here vs 0-based in the kernel — only the
+    // covered-position COUNT is compared, identical under any base
+    "llm_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, i AS pos, array_to_string(toks[i : i+4], ' ') AS gram
+           FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) u
+         ),
+         m AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS mult FROM g),
+         cov AS (
+           SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_cov
+           FROM m, LATERAL (SELECT unnest(generate_series(pos, pos+4)) AS p) v
+           WHERE mult > 1 GROUP BY doc_id
+         )
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                CAST(coalesce(cov.n_cov, 0) AS BIGINT) AS n_cov,
+                floor(coalesce(cov.n_cov, 0) * 10000.0 / len(t.toks) + 0.5)
+                  / 10000.0 AS cov_ratio
+         FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+         ORDER BY t.doc_id""",
 
     // probe set = doc_id < 5; empty generate_series range for docs
     // shorter than 4 tokens mirrors the kernel's withPartial(false)

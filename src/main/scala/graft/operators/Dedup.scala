@@ -709,6 +709,68 @@ object Dedup {
           / 10000.0).as("dup_ratio"))
   }
 
+  /** Duplicated-substring coverage (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" signal, at k-gram
+    * granularity): per doc, the fraction of its token POSITIONS covered
+    * by some `k`-token run that occurs anywhere else in the corpus
+    * (other docs or a repeat within the same doc). Exact dups read 1.0;
+    * a doc quoting one boilerplate paragraph reads the paragraph's share
+    * of its length — the span-level evidence a curation run needs to cut
+    * duplicated SPANS rather than whole documents, which doc-level
+    * signatures (exact/minhash/simhash) cannot see.
+    *
+    * Scale shape, all linear: a per-partition kernel emits (doc, pos,
+    * gram) rows; global multiplicity is ONE window shuffle keyed on
+    * `(xxhash64(gram), length(gram))` — 16 bytes/row, never the gram
+    * body, with the same same-key md5 collision guard as [[exact]] /
+    * [[chunkDupStats]] (no extra exchange); duplicated grams explode to
+    * their ≤ k covered positions (bounded fan-out), one per-doc distinct
+    * count, one join back to per-doc token counts. No pairwise compare
+    * anywhere — a full suffix-array dedup finds arbitrary-length runs,
+    * but its O(corpus) sort index is this pipeline's k-gram approximation
+    * with the window multiplicity as the poor-man's suffix count.
+    *
+    * Docs shorter than `k` tokens have no grams → coverage 0 (row kept);
+    * null-text docs are excluded (string_split(NULL) parity — see
+    * [[gramSets]]).
+    */
+  def substringDupCoverage(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+    val grams = toks.as[(Long, String)]
+      .flatMap { case (id, text) =>
+        // split limit -1: trailing-empty-token parity with string_split
+        val ts = text.split(" ", -1)
+        (0 to ts.length - k).iterator.map(i =>
+          (id, i, ts.slice(i, i + k).mkString(" ")))
+      }
+      .toDF("doc_id", "pos", "gram")
+      .withColumn("__h", xxhash64(col("gram")))
+      .withColumn("__len", length(col("gram")))
+    val w = Window.partitionBy(col("__h"), col("__len"))
+    val cov = grams
+      .withColumn("mult", count(lit(1)).over(w))
+      .withColumn("__digests",
+        size(collect_set(md5(col("gram").cast("binary"))).over(w)))
+      .filter(coalesce(assert_true(col("__digests") === 1,
+        lit("substring-dedup collision: distinct grams share (xxhash64, length)")),
+        lit(true)))
+      .filter(col("mult") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("n_cov"))
+    toks.withColumn("n_tokens", size(split(col("text"), " ", -1)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_cov"), lit(0L)).as("n_cov"),
+        (floor(coalesce(col("n_cov"), lit(0L)) * 10000.0 / col("n_tokens") + 0.5)
+          / 10000.0).as("cov_ratio"))
+  }
+
   /** Benchmark decontamination: flag corpus docs sharing any `gramLen`-token
     * word n-gram with a probe ("benchmark / eval") set, here the docs with
     * `doc_id < probeMaxId`. Returns one row per contaminated doc with its

@@ -252,6 +252,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((2L, 1, 0, 0.0), (3L, 1, 0, 0.0)))
   }
 
+  test("substring dup coverage marks exactly the positions under duplicated runs") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),        // shares run "a b c d e" with doc 2
+      (2L, "z1 z2 a b c d e z3"),     // the run sits at positions 2..6
+      (3L, "p q r s t u v w"),        // fully unique → 0
+      (4L, "short one"),              // < k tokens → no grams, coverage 0
+      (5L, null.asInstanceOf[String]),// null text → no row
+      (6L, "m m m m m m m m m m")     // within-doc repetition → fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupCoverage(d, k = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 8L, 5L, 0.625),  // positions 0..4 under the shared 5-run
+      (2L, 8L, 5L, 0.625),  // positions 2..6
+      (3L, 8L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0),
+      (6L, 10L, 10L, 1.0)), s"got $out")
+  }
+
   test("contamination hits flag only docs sharing a probe gram") {
     val d = Seq(
       (0L, "q w e"),       // probe: grams "q w", "w e"
