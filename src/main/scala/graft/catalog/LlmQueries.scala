@@ -160,10 +160,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))),
 
     // Blocked n-gram Jaccard near-dup pairs — exact set algebra, SQL twin
-    // built from DuckDB list functions.
+    // built from DuckDB list functions. Within-block candidates come from
+    // the exact prefix-filter index (same generator as containment; the
+    // (lang, source, len_bkt) block stays part of the semantics) — see
+    // Dedup.ngramJaccardPairsIndexed.
     "llm_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, charBucket = 100,
-        threshold = 0.2)
+      Dedup.ngramJaccardPairsIndexed(Tables.documents(s, d), n = 3,
+        charBucket = 100, threshold = 0.2)
         .orderBy(col("a_id"), col("b_id"))),
 
     // Containment near-dup pairs (|A∩B| / min(|A|,|B|) over word

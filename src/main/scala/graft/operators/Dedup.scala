@@ -320,15 +320,19 @@ object Dedup {
     * misses at bucket edges are an accepted recall trade, as in production
     * blocking systems).
     *
-    * Within a block the pair loop is unavoidable, so the per-pair work is
-    * driven to its floor: each doc's gram set is hashed ONCE to a sorted
-    * xxhash64 array, and |A∩B| is a codegen'd merge scan
+    * Per-pair work is driven to its floor: each doc's gram set is hashed
+    * ONCE to a sorted xxhash64 array, and |A∩B| is a codegen'd merge scan
     * ([[graft.functions.SortedIntersectCount]]) — linear long compares, no
-    * per-pair hash set, no allocation. (An inverted-index variant was
-    * benchmarked and rejected: with a small vocabulary the hot-gram join
-    * explodes quadratically; the blocked pairwise form is strictly bounded
-    * by block size.) Hash collisions inside a doc's ~10²-gram set are
-    * ~1e-15 — deterministic and negligible.
+    * per-pair hash set, no allocation. Hash collisions inside a doc's
+    * ~10²-gram set are ~1e-15 — deterministic and negligible.
+    *
+    * This all-pairs-within-block form is the SMALL-CORPUS / parity-twin
+    * variant; the shipped scale path is [[ngramJaccardPairsIndexed]],
+    * whose within-block candidates come from the exact prefix-filter
+    * index. (A naive full-gram inverted index WAS benchmarked and
+    * rejected earlier — hot grams explode its candidate join; the prefix
+    * index joins only on each doc's RAREST grams, which is what makes it
+    * viable.)
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, charBucket: Int,
       threshold: Double): DataFrame = {
@@ -434,25 +438,7 @@ object Dedup {
   def containmentPairsIndexed(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
     val g = gramSets(docs, n, charBucket = 1).drop("len_bkt")
-    val posts = g.select(col("doc_id"), col("lang"), col("source"),
-      size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
-    val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val probe = posts.join(dfreq, "gram")
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <=
-        col("sz") - greatest(lit(1),
-          ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("sz"), col("gram"))
-    val x = probe.as("x"); val y = posts.as("y")
-    val cand = x.join(y, col("x.gram") === col("y.gram") &&
-        col("x.lang") === col("y.lang") &&
-        col("x.source") === col("y.source") &&
-        (col("x.sz") < col("y.sz") ||
-          (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
-      .distinct()
+    val cand = prefixCandidates(g, Seq("lang", "source"), threshold)
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     cand
       .join(g.as("a"), col("a_id") === col("a.doc_id"))
@@ -464,6 +450,72 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         graft.functions.Rounding.roundTo(col("containment"), 4)
           .as("containment"))
+  }
+
+  /** Exact-recall prefix-filtered candidate pairs over a [[gramSets]]
+    * frame, shared by [[containmentPairsIndexed]] and
+    * [[ngramJaccardPairsIndexed]]. `blockCols` must hold between the two
+    * docs of a pair (null-rejecting `===`, matching the all-pairs
+    * twins).
+    *
+    * One overlap bound serves BOTH measures at equal τ: for a pair with
+    * |A| ≤ |B|, containment ≥ τ gives |A∩B| ≥ ⌈τ·|A|⌉ directly, and
+    * Jaccard ≥ τ gives |A∩B| ≥ τ·|A∪B| ≥ τ·|B| ≥ τ·|A| — so in either
+    * case a qualifying pair shares at least ⌈τ·|A|⌉ grams, which cannot
+    * all sit in the smaller doc's o−1 suffix under the global
+    * rarest-first gram order. Hence joining the smaller side's
+    * (|A| − o + 1)-length prefix postings against full postings finds
+    * every qualifying pair (Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07; the ⌈τ·sz − 1e-9⌉ form keeps an integral τ·sz from
+    * float-rounding the prefix short).
+    */
+  private def prefixCandidates(g: DataFrame, blockCols: Seq[String],
+      threshold: Double): DataFrame = {
+    val posts = g.select(col("doc_id") +: blockCols.map(col) :+
+      size(col("grams")).as("sz") :+ explode(col("grams")).as("gram"): _*)
+    val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val probe = posts.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        col("sz") - greatest(lit(1),
+          ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
+      .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
+    val x = probe.as("x"); val y = posts.as("y")
+    val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _)
+    x.join(y, col("x.gram") === col("y.gram") && blockCond &&
+        (col("x.sz") < col("y.sz") ||
+          (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+  }
+
+  /** [[ngramJaccardPairs]] with prefix-filtered candidate generation —
+    * same output contract (including the (lang, source, len_bkt)
+    * blocking the oracle twin declares), exact recall by the shared
+    * [[prefixCandidates]] bound, sub-quadratic within blocks. The
+    * length bucket stays PART OF THE SEMANTICS (near-equal-length
+    * blocking is the operator's declared recall trade); what changes is
+    * that within a block candidates come from the inverted prefix index
+    * instead of an all-pairs join, so a hot (lang, source, len_bkt)
+    * block no longer goes quadratic.
+    */
+  def ngramJaccardPairsIndexed(docs: DataFrame, n: Int, charBucket: Int,
+      threshold: Double): DataFrame = {
+    val g = gramSets(docs, n, charBucket)
+    val cand = prefixCandidates(g, Seq("lang", "source", "len_bkt"), threshold)
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+    cand
+      .join(g.as("a"), col("a_id") === col("a.doc_id"))
+      .join(g.as("b"), col("b_id") === col("b.doc_id"))
+      .withColumn("common", common)
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Containment pairs with winnowing-fingerprint candidate generation —

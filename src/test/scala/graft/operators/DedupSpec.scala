@@ -203,6 +203,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("indexed ngram jaccard equals the all-pairs twin on fixtures and real testdata") {
+    // same equivalence pin as containment, for the second prefix-filter
+    // consumer — the (lang, source, len_bkt) blocking must survive the
+    // candidate-generation swap bit-for-bit
+    def run(d: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val allPairs = Dedup.ngramJaccardPairs(d, n = 3, charBucket = 100,
+          threshold = 0.2)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val indexed = Dedup.ngramJaccardPairsIndexed(d, n = 3, charBucket = 100,
+          threshold = 0.2)
+        .select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(indexed == allPairs,
+        s"$label: indexed vs all-pairs differ — missed=" +
+          s"${(allPairs -- indexed).take(5)} extra=${(indexed -- allPairs).take(5)}")
+    }
+    run(docs, "fixture")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf/documents.parquet"
+      if (new java.io.File(dir).exists()) {
+        val d = spark.read.parquet(dir)
+        run(d, sf)
+        assert(Dedup.ngramJaccardPairs(d, 3, 100, 0.2).count() > 0,
+          s"$sf: vacuous equivalence (no pairs at all)")
+      }
+    }
+  }
+
   test("dual hash family reproduces identical containment pairs (collision guard)") {
     // gram hashes stand in for gram strings; a 64-bit collision would
     // silently perturb one intersect count. Running the same corpus under
