@@ -364,10 +364,12 @@ object Dedup {
     *
     * This all-pairs-within-block form is quadratic in block size — the
     * SMALL-CORPUS / parity-twin variant. The shipped scale path is
-    * [[containmentPairsIndexed]], whose candidate generation is the
-    * winnowing-fingerprint inverted index; this form exists as its
-    * ground-truth twin for equivalence tests and for corpora small
-    * enough that building the index costs more than the pairs.
+    * [[containmentPairsIndexed]], whose candidate generation is the EXACT
+    * prefix-filter inverted index (the winnowing index was measured and
+    * rejected for this operator — see that method's doc); this form
+    * exists as its ground-truth twin for equivalence tests and for
+    * corpora small enough that building the index costs more than the
+    * pairs.
     */
   def containmentPairs(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
@@ -437,7 +439,7 @@ object Dedup {
     */
   def containmentPairsIndexed(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
-    val g = gramSets(docs, n, charBucket = 1).drop("len_bkt")
+    val g = persistGrams(gramSets(docs, n, charBucket = 1).drop("len_bkt"))
     val cand = prefixCandidates(g, Seq("lang", "source"), threshold)
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     cand
@@ -451,6 +453,22 @@ object Dedup {
         graft.functions.Rounding.roundTo(col("containment"), 4)
           .as("containment"))
   }
+
+  /** Persist a [[gramSets]] frame consumed by multiple plan subtrees.
+    *
+    * The indexed pair generators reference the gram frame ~5 times (df
+    * branch, full-postings side, prefix-probe side, and both verify join
+    * legs), and each reference is an independent subtree whose exchange
+    * differs — ReuseExchange cannot collapse them, so without a persist
+    * the tokenize+hash+sort kernel re-scans the whole corpus per
+    * reference (~3 extra full-corpus passes at 100 TB). MEMORY_AND_DISK
+    * computes it once and spills corpus-sized gram arrays to local disk;
+    * blocks are LRU-evictable, so leaving the frame cached after the
+    * lazily-returned result is collected is bounded-risk (evicted under
+    * pressure, freed at JVM exit / `spark.catalog.clearCache()`).
+    */
+  private def persistGrams(g: DataFrame): DataFrame =
+    g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact-recall prefix-filtered candidate pairs over a [[gramSets]]
     * frame, shared by [[containmentPairsIndexed]] and
@@ -504,7 +522,7 @@ object Dedup {
     */
   def ngramJaccardPairsIndexed(docs: DataFrame, n: Int, charBucket: Int,
       threshold: Double): DataFrame = {
-    val g = gramSets(docs, n, charBucket)
+    val g = persistGrams(gramSets(docs, n, charBucket))
     val cand = prefixCandidates(g, Seq("lang", "source", "len_bkt"), threshold)
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     cand

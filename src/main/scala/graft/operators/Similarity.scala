@@ -167,6 +167,12 @@ object Similarity {
     if (units.isEmpty) return Array.empty
     val chosen = scala.collection.mutable.ArrayBuffer((units.head._1, units.head._2))
     var chosenUnits = List(units.head._3)
+    // selected(i) guards against re-picking a seed: a chosen candidate's
+    // minDist is ~0, and on duplicate-heavy corpora ALL remaining
+    // distances can be ~0 too — without the guard the tie-broken argmax
+    // would return index 0 forever, yielding k duplicate centroids.
+    val selected = new Array[Boolean](units.length)
+    selected(0) = true
     // minDist(i) = cosine distance from candidate i to its nearest seed
     val minDist = units.map { case (_, _, u) => 1.0 - dotD(u, chosenUnits.head) }
     while (chosen.size < k && chosen.size < units.length) {
@@ -174,9 +180,10 @@ object Similarity {
       var i = 0
       while (i < units.length) {
         // strict > keeps the LOWEST vec_id among ties (units is id-sorted)
-        if (minDist(i) > bestD + 1e-12) { bestD = minDist(i); best = i }
+        if (!selected(i) && minDist(i) > bestD + 1e-12) { bestD = minDist(i); best = i }
         i += 1
       }
+      selected(best) = true
       val (id, raw, u) = units(best)
       chosen += ((id, raw))
       chosenUnits ::= u
@@ -222,14 +229,6 @@ object Similarity {
 
   /** Indexes already built this JVM, keyed by scratch dir. */
   private val builtIndexes = scala.collection.mutable.HashSet.empty[String]
-
-  /** Latest index dir per (plan, params) — diagnostics for which index a
-    * rebuild superseded. Superseded dirs are RETAINED for the session
-    * (see the build block below) so earlier ivfTopK results stay
-    * collectible; everything under Scratch is freed at JVM exit.
-    */
-  private val latestIndexDir =
-    scala.collection.mutable.HashMap.empty[String, String]
 
   /** Convenience: build-once-per-session index for `emb` (keyed by its
     * canonicalized logical plan), then a pruned [[ivfQuery]] probe. The
@@ -287,7 +286,6 @@ object Similarity {
         // MB for earlier results staying collectible all session.
         buildIvfIndex(spark, emb, dir, nCentroids, iters)
         builtIndexes += dir
-        latestIndexDir(planKey) = dir
       }
     }
     val qv: Array[Double] = emb.filter(col("vec_id") === queryId)

@@ -179,7 +179,7 @@ class DedupSpec extends SparkSpec {
 
   test("indexed containment equals the all-pairs twin on fixtures and real testdata") {
     // the equivalence pin the shipped llm_dedup_containment rests on:
-    // candidates from the winnow inverted index + sorted-merge verify
+    // candidates from the exact prefix-filter index + sorted-merge verify
     // must reproduce the quadratic twin's EXACT output — on the planted
     // fixture corpus and on the driver's own sf0.001/sf0.01 documents
     def run(d: org.apache.spark.sql.DataFrame, label: String): Unit = {

@@ -141,6 +141,23 @@ class SimilaritySpec extends SparkSpec {
     assert(f2 >= 0.7, s"shipped config recall floor: $f2")
   }
 
+  test("farthest-first seeds are distinct candidates on a duplicate-heavy corpus") {
+    // regression: once every remaining candidate sits at distance ~0 from
+    // some seed, the argmax used to re-pick index 0 — an ALREADY-CHOSEN
+    // candidate — forever. On 4 copies of direction X + 2 copies of
+    // direction Y with k = 6 that returned vectors [X,Y,X,X,X,X] (the
+    // second Y copy never selected, candidate 0 repeated); distinct-row
+    // selection must hand back each candidate exactly once: 4 X's, 2 Y's.
+    val rows = (0L until 4L).map(i => (i, Array(1.0f, 0.0f, 0.0f))) ++
+      (4L until 6L).map(i => (i, Array(0.0f, 1.0f, 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val seeds = Similarity.farthestFirstSeeds(emb, k = 6)
+    assert(seeds.length == 6, s"got ${seeds.length} seeds")
+    val ys = seeds.count { case (_, v) => v(1) == 1.0 }
+    assert(ys == 2, s"each candidate must be chosen exactly once; " +
+      s"got $ys Y-direction seeds of 2: ${seeds.map(_._2.toSeq).toSeq}")
+  }
+
   test("labelCentroids: exact known means, layout-independent") {
     val in = Seq(
       (1L, Array(1.0f, -2.0f), 7),

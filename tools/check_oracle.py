@@ -52,7 +52,9 @@ def check_tolerance(con, out_dir, name, spec):
                     and not isinstance(a, bool) and not isinstance(b, bool):
                 rel = abs(a - b) / max(abs(b), 1.0)
                 max_rel = max(max_rel, rel)
-                if rel > tol:
+                # `not (rel <= tol)` so NaN (from a NaN spark value) fails
+                # instead of slipping past a `rel > tol` comparison.
+                if not (rel <= tol):
                     return False, (f"row {i} col {sorted(s_cols)[c]}: "
                                    f"spark={a} exact={b} rel={rel:.4f} > {tol}")
             elif a != b:
@@ -132,7 +134,10 @@ def main(out_dir, sf_dir):
         else:
             print(f"OK     {name:<28} rows={len(s_vals)}")
             n_ok += 1
-    missing = set(oracles) - set(dumped)
+    # Tolerance-oracled queries count as "declared" too: a query whose dump
+    # is absent (e.g. Verify caught and logged its failure) must surface as
+    # NODUMP rather than silently vanish from the report.
+    missing = (set(oracles) | set(tolerances)) - set(dumped)
     for name in sorted(missing):
         print(f"NODUMP {name:<28} (oracle declared but no spark dump)")
         n_bad += 1
