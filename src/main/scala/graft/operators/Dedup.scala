@@ -454,7 +454,8 @@ object Dedup {
           .as("containment"))
   }
 
-  /** Persist a [[gramSets]] frame consumed by multiple plan subtrees.
+  /** Persist a gram-kernel frame ([[gramSets]] / [[winnowIndex]])
+    * consumed by multiple plan subtrees.
     *
     * The indexed pair generators reference the gram frame ~5 times (df
     * branch, full-postings side, prefix-probe side, and both verify join
@@ -563,8 +564,10 @@ object Dedup {
     */
   def containmentPairsWinnow(docs: DataFrame, n: Int, threshold: Double,
       window: Int = 4, maxFpDf: Option[Long] = None): DataFrame = {
-    val g = gramSets(docs, n, charBucket = 1).drop("len_bkt")
-    val idx0 = winnowIndex(docs, n, window)
+    // same multi-reference shape as the prefix-filter path: g feeds both
+    // verify legs and idx0 both candidate sides (plus the optional df cap)
+    val g = persistGrams(gramSets(docs, n, charBucket = 1).drop("len_bkt"))
+    val idx0 = persistGrams(winnowIndex(docs, n, window))
     val idx = maxFpDf.fold(idx0) { cap =>
       val hot = idx0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select(col("fp"))
