@@ -114,6 +114,33 @@ object LlmQueries {
     */
   private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
 
+  /** Per-doc unigram-LM mean log-probability (the CCNet scoring kernel),
+    * shared by llm_ngram_lm and llm_ccnet_buckets so the two queries (and
+    * their SQL twins, which duplicate this chain verbatim) cannot diverge.
+    * Per-token ln(tf/total) is fixed to integer 1e-6 units BEFORE the
+    * per-doc sum, so the fold is exact bigint addition — order-independent
+    * across partitions and engines. The token→tf join: tf is vocab-sized
+    * (≪ corpus — Heaps' law), so Catalyst/AQE broadcasts it at any
+    * realistic scale. Output: (doc_id, lang, score), score 4dp-rounded.
+    */
+  private def unigramDocScores(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    toks.join(tf, "token").crossJoin(broadcast(tot))
+      .withColumn("lp", floor(
+        log(col("tf").cast("double") / col("total").cast("double"))
+          * 1000000.0 + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lp")).as("units"), count(lit(1)).as("n"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Rounding.roundTo(
+          col("units").cast("double") / 1000000.0 / col("n").cast("double"), 4)
+          .as("score"))
+  }
+
   /** DuckDB stop-word-hit count, built from the SAME Scala list the Spark
     * expressions use (TextAnalysis.Stop*) — single-sourced across engines.
     */
@@ -737,33 +764,56 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
-    // Unigram-LM quality scoring (the CCNet-style filter): corpus unigram
-    // distribution → per-doc mean log-probability → per-lang score summary
-    // with a low-quality count. Per-token ln(tf/total) is fixed to integer
-    // 1e-6 units BEFORE the per-doc sum, so the fold is exact bigint
-    // addition — order-independent across partitions and engines. The
-    // token→tf join: tf is vocab-sized (≪ corpus — Heaps' law), so
-    // Catalyst/AQE broadcasts it at any realistic scale; min/max stand in
+    // Unigram-LM quality scoring (the CCNet-style filter): per-doc mean
+    // log-probability (unigramDocScores — the exact-integer-unit kernel)
+    // → per-lang score summary with a low-quality count; min/max stand in
     // for cross-doc averages (order-independent doubles).
-    "llm_ngram_lm" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("token"))
-      val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      val tot = toks.agg(count(lit(1)).as("total"))
-      val perDoc = toks.join(tf, "token").crossJoin(broadcast(tot))
-        .withColumn("lp", floor(
-          log(col("tf").cast("double") / col("total").cast("double"))
-            * 1000000.0 + lit(0.5)).cast("long"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("lp")).as("units"), count(lit(1)).as("n"))
-        .withColumn("score", graft.functions.Rounding.roundTo(
-          col("units").cast("double") / 1000000.0 / col("n").cast("double"), 4))
-      perDoc.groupBy(col("lang"))
+    "llm_ngram_lm" -> ((s, d) =>
+      unigramDocScores(s, d).groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("score")).as("min_lp"), max(col("score")).as("max_lp"),
           sum(when(col("score") < NgramLmLow, 1L).otherwise(0L)).as("n_low"))
-        .orderBy(col("lang"))
+        .orderBy(col("lang"))),
+
+    // CCNet-style head/middle/tail split: per-lang perplexity tertiles of
+    // the unigram-LM doc score. The per-lang rank is NOT an ntile window
+    // (Window.partitionBy(lang) puts a 100 TB mostly-`en` corpus on one
+    // task) — it is Windows.partitionedPrefixSum counting strictly-better
+    // (score desc, doc_id) predecessors, bucketed by the 0.1-wide score
+    // decade so every stage stays distributed; the tertile is then the
+    // closed form floor(rank*3/n), which equals SQL NTILE(3) exactly
+    // (for k=3: n=3m+r gives bucket sizes (m+1,m+1,m) / (m+1,m,m) /
+    // (m,m,m) for r=2/1/0 on both formulations — the identity the DuckDB
+    // NTILE twin leans on; pinned in WindowsSpec against Spark's ntile).
+    // At production scale CCNet itself buckets by FIXED cutoffs learned
+    // from a sample (map-only); this query is the exact-rank form.
+    "llm_ccnet_buckets" -> ((s, d) => {
+      // persisted for the same reason as Dedup.persistGrams: the score
+      // frame feeds THREE independent subtrees (prefix-sum offsets, the
+      // intra-bucket window leg, the per-lang count) whose exchanges all
+      // differ — without it the explode+tf-join kernel re-scans the
+      // corpus per reference (plan-verified: two BNLJ kernel copies)
+      val pd = unigramDocScores(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = Windows.partitionedPrefixSum(
+        pd, lit(1L), Seq("lang"),
+        floor(-col("score") * 10).cast("long"),
+        Seq(col("score").desc, col("doc_id")), "rn0")
+      val nLang = pd.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+      // null-safe lang join: a null lang is its own NTILE partition in
+      // the oracle; a plain equi-join would silently drop those docs
+      ranked.alias("r")
+        .join(broadcast(nLang).alias("n"), col("r.lang") <=> col("n.lang"))
+        .select(col("r.*"), col("n.__n"))
+        .withColumn("__t", (col("rn0") * 3 / col("__n")).cast("long"))
+        .withColumn("bucket", when(col("__t") === 0, "head")
+          .when(col("__t") === 1, "middle").otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          sum(floor(col("score") * 10000.0 + lit(0.5)).cast("long"))
+            .as("sum_score_4dp"))
+        .orderBy(col("lang"), col("bucket"))
     }),
 
     // Content-hash stratified sample (layout-independent membership —
@@ -1476,6 +1526,41 @@ object LlmQueries {
                  min(score) AS min_lp, max(score) AS max_lp,
                  CAST(sum(CASE WHEN score < $NgramLmLow THEN 1 ELSE 0 END) AS BIGINT) AS n_low
           FROM pd GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // pd chain duplicated verbatim from llm_ngram_lm (both twin
+    // unigramDocScores); NTILE(3) ≡ the Spark side's floor(rank*3/n)
+    // closed form — exact for k=3, see the query's comment
+    "llm_ccnet_buckets" ->
+      """WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ), tf AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1
+          ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS total FROM toks
+          ), pd AS (
+            SELECT doc_id, lang,
+                   floor(CAST(sum(CAST(floor(ln(tf::DOUBLE / total::DOUBLE)
+                                             * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                         / 1000000.0 / CAST(count(*) AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS score
+            FROM toks JOIN tf USING (token) CROSS JOIN tot
+            GROUP BY doc_id, lang
+          ), b AS (
+            SELECT doc_id, lang, score,
+                   ntile(3) OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id) AS nt
+            FROM pd
+          )
+          SELECT lang,
+                 CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(min(doc_id) AS BIGINT) AS min_doc,
+                 CAST(sum(CAST(floor(score * 10000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_score_4dp
+          FROM b GROUP BY lang, bucket
+          ORDER BY lang NULLS FIRST, bucket""",
 
     "llm_embed_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,

@@ -339,6 +339,37 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    // Batch sessionization (gaps-and-islands): per user, a >30-min gap
+    // starts a new session; session id = running count of gap flags; the
+    // per-session rows collapse to a session-size histogram. Windows are
+    // partitioned by user_id — high-cardinality, so every task holds a few
+    // users' small event lists (the skewed-single-hot-user corpus would
+    // switch the running count to Windows.partitionedPrefixSum, same shape
+    // as llm_ccnet_buckets' rank). Two window passes share ONE (user_id)
+    // exchange+sort; then one partial-agg shuffle per groupBy. unix_ts
+    // truncates to whole seconds on both engines (floor for the positive
+    // epochs in play — the DuckDB twin floors epoch() explicitly).
+    "time_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("new_sess",
+          when(col("sec") - lag(col("sec"), 1).over(byUser) <= 1800L, 0L)
+            .otherwise(1L)) // first-in-partition (null lag) opens a session
+        .withColumn("sid", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("dur_s"))
+      sess.groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("dur_s")).as("sum_dur_s"),
+          min(col("user_id")).as("min_user"))
+        .orderBy(col("n_events"))
+    }),
+
     // Co-located join over bucketed tables: both sides pre-hash-partitioned
     // on custkey at write time, so the sort-merge join has NO exchange
     // (plan-asserted in BucketingSpec) — the pay-the-shuffle-once layout.
@@ -1379,6 +1410,34 @@ object RelationalQueries {
                 coalesce(cnt, 0) AS n
          FROM sp LEFT JOIN c ON sp.event_type = c.event_type AND sp.hr = c.hr
          ORDER BY sp.event_type, sp.hr""",
+
+    "time_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events
+         ), f AS (
+           SELECT user_id, event_id, sec,
+                  CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                                 ORDER BY sec, event_id)
+                            <= 1800 THEN 0 ELSE 1 END AS new_sess
+           FROM e
+         ), s AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid,
+                  sec
+           FROM f
+         ), g AS (
+           SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+                  max(sec) - min(sec) AS dur_s
+           FROM s GROUP BY user_id, sid
+         )
+         SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+                CAST(sum(dur_s) AS BIGINT) AS sum_dur_s,
+                CAST(min(user_id) AS BIGINT) AS min_user
+         FROM g GROUP BY n_events ORDER BY n_events""",
 
     "time_downsample" ->
       """WITH e AS (

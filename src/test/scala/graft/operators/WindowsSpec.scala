@@ -64,6 +64,21 @@ class WindowsSpec extends SparkSpec {
     assert(dist.toSeq == naive.toSeq, "exclusive prefix sums must be exact")
   }
 
+  test("floor(rank*3/n)+1 closed form equals SQL NTILE(3) for every partition size") {
+    // the identity llm_ccnet_buckets' oracle leans on: the Spark side
+    // derives the tertile from a distributed exclusive rank rn0 as
+    // floor(rn0*3/n), the DuckDB twin uses NTILE(3). Exhaustive over
+    // partition sizes 1..13 (covers every n mod 3 residue repeatedly).
+    val rows = for { n <- 1 to 13; i <- 0 until n } yield (n, i.toLong)
+    val df = rows.toDF("p", "i")
+    val w = Window.partitionBy(col("p")).orderBy(col("i"))
+    val mismatches = df
+      .withColumn("nt", ntile(3).over(w))
+      .withColumn("cf", (col("i") * 3 / col("p")).cast("long") + 1)
+      .filter(col("nt") =!= col("cf")).count()
+    assert(mismatches == 0L)
+  }
+
   test("partitionedPrefixSum plan never collapses to a single partition") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
