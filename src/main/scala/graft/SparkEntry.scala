@@ -55,5 +55,9 @@ object SparkEntry {
                 quantile_cont(l_extendedprice, 0.5) AS p50_approx,
                 quantile_cont(l_extendedprice, 0.9) AS p90_approx
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", 0.05)),
+    "agg_hll_partitioned" -> ((
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS est_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", 0.05)),
   )
 }

@@ -816,6 +816,60 @@ object LlmQueries {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): per-doc mean
+    // log-likelihood ratio of hashed-unigram features between a TARGET
+    // distribution (here the `en` slice) and the RAW corpus — the weight
+    // that biases sampling toward target-looking documents. Feature =
+    // first 2 hex chars of md5(token) → 256 buckets: the hashed-feature
+    // trick that bounds state at 100 TB (vocab-sized tf would not),
+    // expressed as a STRING key so both engines bucket identically (no
+    // cross-engine integer-hash parity to defend). Laplace +1 smoothing
+    // keeps empty buckets finite; per-token ln-ratios are fixed to 1e-6
+    // integer units BEFORE the per-doc sum (exact bigint fold — the
+    // llm_ngram_lm convention). Plan shape: explode → 256-row bucket
+    // distribution (map-side combinable, broadcast back) → per-doc sum
+    // (one doc_id shuffle) → (lang, source) rollup. Totals come from an
+    // unpartitioned window OVER THE 256-ROW AGGREGATE (fixed-size at any
+    // corpus scale, so the single-partition window is safe) — a
+    // dist.agg() scalar cross instead would make Catalyst recompute the
+    // whole explode+agg lineage for the 1-row frame: a third corpus scan
+    // (plan-verified before this form was chosen).
+    "llm_dsir_weights" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("token"))
+        .withColumn("bkt", substring(md5(col("token")), 1, 2))
+      val dist = toks.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("raw_n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_n"))
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val lr = dist
+        .withColumn("raw_tot", sum(col("raw_n")).over(wAll))
+        .withColumn("tgt_tot", sum(col("tgt_n")).over(wAll))
+        .withColumn("lr_units", floor(
+          log(((col("tgt_n") + 1).cast("double") /
+               (col("tgt_tot") + 256).cast("double")) /
+              ((col("raw_n") + 1).cast("double") /
+               (col("raw_tot") + 256).cast("double")))
+            * 1000000.0 + lit(0.5)).cast("long"))
+        .select(col("bkt"), col("lr_units"))
+      toks.join(broadcast(lr), "bkt")
+        .groupBy(col("doc_id"), col("lang"), col("source"))
+        .agg(sum(col("lr_units")).as("units"), count(lit(1)).as("n"))
+        .select(col("lang"), col("source"),
+          graft.functions.Rounding.roundTo(
+            col("units").cast("double") / 1000000.0 / col("n").cast("double"), 4)
+            .as("w"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(floor(col("w") * 10000.0 + lit(0.5)).cast("long"))
+            .as("sum_w_4dp"),
+          min(col("w")).as("min_w"), max(col("w")).as("max_w"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Content-hash stratified sample (layout-independent membership —
     // xxhash64-specific, no SQL twin → rows-only; reproducibility and
     // fraction accuracy unit-asserted in SamplingSpec).
@@ -1561,6 +1615,48 @@ object LlmQueries {
                       AS BIGINT) AS sum_score_4dp
           FROM b GROUP BY lang, bucket
           ORDER BY lang NULLS FIRST, bucket""",
+
+    // bucket = substr(md5(token),1,2) — the same string key the Spark
+    // side uses, so no cross-engine integer-hash parity is needed; the
+    // +1/+256 Laplace smoothing and 1e-6 fixed-point ln-ratio mirror the
+    // Scala expression term for term
+    "llm_dsir_weights" ->
+      """WITH toks AS (
+            SELECT doc_id, lang, source,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+          ), b AS (
+            SELECT doc_id, lang, source, substr(md5(token), 1, 2) AS bkt
+            FROM toks
+          ), dist AS (
+            SELECT bkt, CAST(count(*) AS BIGINT) AS raw_n,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tgt_n
+            FROM b GROUP BY bkt
+          ), tot AS (
+            SELECT CAST(sum(raw_n) AS BIGINT) AS raw_tot,
+                   CAST(sum(tgt_n) AS BIGINT) AS tgt_tot
+            FROM dist
+          ), lr AS (
+            SELECT bkt,
+                   CAST(floor(ln(((tgt_n + 1)::DOUBLE / (tgt_tot + 256)::DOUBLE)
+                                 / ((raw_n + 1)::DOUBLE / (raw_tot + 256)::DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS lr_units
+            FROM dist CROSS JOIN tot
+          ), pd AS (
+            SELECT doc_id, lang, source,
+                   floor(CAST(sum(lr_units) AS DOUBLE) / 1000000.0
+                         / CAST(count(*) AS DOUBLE)
+                         * 10000.0 + 0.5) / 10000.0 AS w
+            FROM b JOIN lr USING (bkt)
+            GROUP BY doc_id, lang, source
+          )
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(floor(w * 10000.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS sum_w_4dp,
+                 min(w) AS min_w, max(w) AS max_w
+          FROM pd GROUP BY lang, source
+          ORDER BY lang NULLS FIRST, source NULLS FIRST""",
 
     "llm_embed_centroid" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,

@@ -540,6 +540,26 @@ object RelationalQueries {
           .as("approx_orders"))
         .orderBy(col("l_returnflag"))),
 
+    // The two-level MERGEABLE-sketch pattern a 100 TB rollup actually
+    // ships: partial Datasketches-HLL sketches built per fine partition
+    // (here (returnflag, linestatus) standing in for e.g. per-day
+    // shards), PERSISTED as binary, and re-merged later by a coarser
+    // consumer with hll_union_agg — distinct-count re-aggregation
+    // without rereading the fact table, which COUNT(DISTINCT) can never
+    // do (it is not algebraic). lgK=14 keeps the ~±1.6% HLL band well
+    // inside the declared ±5% tolerance oracle. Sketch-valued →
+    // tolerance_oracle.json, not oracle_sql.json; merge-consistency
+    // (union of partials ≈ direct per-group sketch) is unit-asserted in
+    // AggregatesSpec.
+    "agg_hll_partitioned" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_orderkey"), lit(14)).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("est_orders"))
+        .orderBy(col("l_returnflag"))),
+
     "agg_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

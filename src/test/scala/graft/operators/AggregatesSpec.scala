@@ -38,6 +38,37 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("HLL union of partial sketches tracks exact distinct within 5% " +
+      "and stays consistent with the single-level sketch") {
+    // agg_hll_partitioned's contract: sketches built per FINE partition
+    // and re-merged by a coarser consumer must (a) land inside the ±5%
+    // tolerance band vs exact COUNT(DISTINCT), and (b) track a
+    // directly-built per-group sketch closely — the merged REGISTER
+    // state is lossless (slot-wise max is associative), but Datasketches
+    // may swap the HIP estimator for the composite one on unioned
+    // sketches, so the two estimates are banded, not exact-equal.
+    val li = Tables.lineitem(spark, sfDir)
+    val merged = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(hll_sketch_agg(col("l_orderkey"), lit(14)).as("sk"))
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("a"))
+    val direct = li
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
+        .as("d"),
+        countDistinct(col("l_orderkey")).as("e"))
+    val rows = merged.join(direct, "l_returnflag")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, a, d, e) =>
+      assert(math.abs(a - e).toDouble / e < 0.05,
+        s"$flag: merged-sketch $a vs exact $e")
+      assert(math.abs(a - d).toDouble / e < 0.02,
+        s"$flag: union-of-partials $a vs direct sketch $d")
+    }
+  }
+
   // The oracled agg_collect_set query serializes to STRING (the driver's
   // comparator can't hash list cells); this keeps the ARRAY-typed form itself
   // under test: numeric sort order, distinctness, and agreement with the
