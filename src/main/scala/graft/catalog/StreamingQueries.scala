@@ -102,26 +102,28 @@ object StreamingQueries {
       val docs = Tables.documents(s, d)
       CorpusIngest.ingestBatch(
         docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/today"))
+      new org.apache.hadoop.fs.Path(s"$base/today")
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
+      // Hadoop FileSystem staging (VERDICT r9): rename/setTimes go through
+      // the path's own filesystem, so this works identically whether
+      // Scratch resolves local or a future hdfs://-s3a:// scratch root
+      // (java.io.File would silently return false/null there) — same
+      // migration EventTime.mergeLatest already made.
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
         val tmp = s"$base/tmp$i"
         docs.filter((col("doc_id") % 5).isin(residues: _*))
           .coalesce(1).write.parquet(tmp)
-        // java.io.File staging is deliberate here (ADVICE r8): Scratch is
-        // a DRIVER-LOCAL temp root by contract (graft.util.Scratch), so
-        // listFiles/renameTo/setLastModified always see a local FS. Code
-        // that may face hdfs://-s3a:// paths must use the Hadoop
-        // FileSystem API instead (as EventTime.mergeLatest does) — these
-        // calls silently return false/null on non-local paths.
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet"))
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file in $tmp"))
-        val dst = new java.io.File(s"$base/today/delivery_$i.parquet")
-        if (!part.renameTo(dst)) sys.error(s"move failed: $part -> $dst")
+        val dst = new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
+        if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
         // modification-time order IS the micro-batch order under
         // maxFilesPerTrigger; 60 s apart beats any FS mtime granularity
-        if (!dst.setLastModified(1600000000000L + i * 60000L))
-          sys.error(s"setLastModified failed: $dst")
+        fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
       }
       val src = KafkaPipeline.fileStream(s, s"$base/today",
         docs.schema, glob = "*.parquet",
@@ -133,7 +135,9 @@ object StreamingQueries {
       // deliveries collapsed into one micro-batch (oracle would still
       // match on this data, but the query would no longer test what it
       // claims to test).
-      val maxBatch = m.agg(max(col("batch"))).head().getInt(0)
+      // getAs[Number]: the partition column's inferred type depends on the
+      // reader (int from dir-name inference, bigint via the catalog table)
+      val maxBatch = m.agg(max(col("batch"))).head().getAs[Number](0).longValue
       require(maxBatch == 1,
         s"llm_dedup_incremental expects two ingest micro-batches, saw max batch=$maxBatch")
       m.filter(col("batch") >= 0)
