@@ -181,7 +181,9 @@ object LlmQueries {
       Dedup.minhashBucketStats(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
-    // 64-bit SimHash fingerprints (xxhash64-based → rows-only + unit spec).
+    // 64-bit SimHash fingerprints. md5-derived bits (= DuckDB
+    // md5_number_upper) since r10, so this is hash-oracled like the rest
+    // of the dedup family.
     "llm_dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("doc_id"))),
@@ -970,6 +972,36 @@ object LlmQueries {
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    // bit-exact SimHash twin: token hash = md5_number_upper (first 8
+    // digest bytes little-endian, matching the kernel), sign-summed per
+    // bit over DISTINCT tokens; bit 63 folded in as the sign bit so the
+    // result is the same signed BIGINT Spark writes. Docs with NULL text
+    // have no tokens → fingerprint 0 (left join + coalesce).
+    "llm_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents WHERE text IS NOT NULL
+         ),
+         bits AS (
+           SELECT doc_id, r.b AS b,
+                  CASE WHEN sum(CASE WHEN (md5_number_upper(tok) >> r.b) & 1 = 1
+                                     THEN 1 ELSE -1 END) > 0
+                       THEN 1 ELSE 0 END AS bit
+           FROM toks CROSS JOIN range(64) r(b)
+           GROUP BY doc_id, r.b
+         ),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN b < 63 THEN bit * (1::BIGINT << b)
+                                ELSE 0 END) AS BIGINT)
+                  + CASE WHEN max(CASE WHEN b = 63 THEN bit ELSE 0 END) = 1
+                         THEN -9223372036854775807 - 1 ELSE 0 END AS simhash
+           FROM bits GROUP BY doc_id
+         )
+         SELECT d.doc_id, CAST(coalesce(f.simhash, 0) AS BIGINT) AS simhash
+         FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id
+         ORDER BY d.doc_id""",
 
     "llm_dedup_ngram" ->
       """WITH g AS (

@@ -250,10 +250,17 @@ object Dedup {
     * Per-partition kernel (same rationale as minhashSignatures): the
     * nested-HOF form costs 64 × |tokens| interpreted lambda evals per row
     * — measured at ~40 ms/row, 200+ s for a 5 k-doc scan — while this loop
-    * is one xxhash64 per token plus 64 integer adds. Token hash = Spark's
-    * own `xxhash64` (XXH64, seed 42), so fingerprints are bit-identical to
-    * the declarative `xxhash64(token)` form. Pure map: no shuffle, linear
-    * in executors at 100 TB.
+    * is one digest per distinct token plus 64 integer adds. Pure map: no
+    * shuffle, linear in executors at 100 TB.
+    *
+    * Token hash = the FIRST 8 md5 digest bytes, little-endian — exactly
+    * DuckDB's `md5_number_upper(tok)` — and tokenization is
+    * `split(text, ' ', -1)` = DuckDB `string_split`, so fingerprints are
+    * engine-reproducible and `llm_dedup_simhash` is hash-oracled
+    * (VERDICT r9 #5; the previous XXH64(seed 42) bit source had no DuckDB
+    * twin and pinned the query rows-only forever). md5 costs ~2× XXH64
+    * per token; both are dwarfed by the scan itself, and the hamming-pair
+    * semantics are hash-agnostic (DedupSpec's planted-dup units).
     */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -261,16 +268,20 @@ object Dedup {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         val counts = new Array[Int](64)
+        val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           java.util.Arrays.fill(counts, 0)
-          val toks = if (text == null) Array.empty[String] else text.split(' ')
+          val toks =
+            if (text == null) Array.empty[String] else text.split(" ", -1)
           val seen = new scala.collection.mutable.HashSet[String]
           var t = 0
           while (t < toks.length) {
             val s = toks(t)
             if (seen.add(s)) {
-              val h = org.apache.spark.sql.catalyst.expressions.XXH64
-                .hashUTF8String(org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+              val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var h = 0L
+              var i = 0
+              while (i < 8) { h |= (d(i) & 0xffL) << (8 * i); i += 1 }
               var b = 0
               while (b < 64) {
                 counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)

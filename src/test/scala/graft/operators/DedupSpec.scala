@@ -43,11 +43,27 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash hamming distance: 0 for identical, small for near-dup") {
-    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 16)
+    // dedicated fixture: the 16-bit chunk banding only GUARANTEES recall
+    // for hamming ≤ 3 (pigeonhole over 4 chunks) — a one-token edit in a
+    // short text flips ~sqrt-many bits, so the near-dup pair must be long
+    // enough that a single-token change leaves the fingerprint almost
+    // fixed (32 distinct tokens → measured hamming 4, shares a chunk)
+    val base = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards briskly mix quartz goblets and pack my box with five dozen " +
+      "liquor jugs near the river bank at dawn every single morning"
+    val shDocs = Seq(
+      (1L, base),
+      (2L, base.replace("dog", "cat")), // near-dup of 1
+      (3L, "completely different text about spark engines here"),
+      (4L, base)                        // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(shDocs, "text", "doc_id", maxDist = 8)
       .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
       .map { case (a, b, h) => (a, b) -> h }.toMap
     assert(pairs((1L, 4L)) == 0, "identical texts → identical fingerprints")
-    assert(pairs.get((1L, 2L)).exists(_ <= 16), "near-dups within hamming ball")
+    assert(pairs.get((1L, 2L)).exists(_ <= 8), "near-dups within hamming ball")
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "unrelated doc must not pair")
   }
 
   test("connected components cluster transitive pairs to the min id") {
