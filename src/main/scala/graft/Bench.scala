@@ -60,6 +60,13 @@ object Bench {
         } else n
         System.err.println(f"[bench] run$run $name%-28s rows=$rows%-8d $dt%.1fs")
         times(name) += dt
+        // Untimed, after the clock stops: the dedup/ccnet families persist
+        // corpus-sized gram frames (Dedup.persistGrams), and CacheManager's
+        // plan-matching would hand run N+1 the run-N cache — later runs
+        // would measure cache hits, and 143 queries' frames would pile up
+        // on LRU eviction (ADVICE r9). Clearing per query makes every
+        // measured run cold and the cache lifetime deterministic.
+        spark.catalog.clearCache()
       }
     }
     def median(xs: Seq[Double]): Double = {

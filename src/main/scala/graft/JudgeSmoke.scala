@@ -29,6 +29,9 @@ object JudgeSmoke {
       } catch { case e: Throwable =>
         println(s"SMOKE ERR  $k  ${e.toString.replaceAll("\n", " ").take(180)}")
       }
+      // deterministic cache lifetime per query (ADVICE r9), same as
+      // Verify/Bench
+      spark.catalog.clearCache()
     }
 
     def op(name: String)(f: => Long): Unit = {

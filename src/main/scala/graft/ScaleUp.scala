@@ -53,8 +53,14 @@ object ScaleUp {
     def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1L
+    // getAs[Number]: a source parquet storing the key as INT32 would make
+    // getLong throw ClassCastException (ADVICE r9); also fail with a clear
+    // message on an empty table instead of an NPE
+    def stride(df: DataFrame, key: String): Long = {
+      val v = df.agg(max(col(key))).head().getAs[Number](0)
+      require(v != null, s"stride($key): source table is empty")
+      v.longValue + 1L
+    }
     def replicate(df: DataFrame)(copy: Int => DataFrame): DataFrame =
       (0 until factor).map(copy).reduce(_ unionByName _)
 

@@ -30,16 +30,27 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     normalizeEventTs(apply(s, d, "events"))
 
-  /** Nano-epoch long `ts` → µs timestamp (integer `div`, see above);
-    * no-op when `ts` is already a timestamp. Shared by the batch reader
-    * and streaming file sources (stream_upsert) so the normalization
-    * contract lives in ONE place — a drifted copy would break the µs
-    * tie-breaking the DuckDB oracles compare against.
+  /** Normalize `ts` to a session-TZ TIMESTAMP regardless of how the
+    * fixture was written: nano-epoch LONG (TIMESTAMP(NANOS) files read
+    * under `nanosAsLong`) → integer-`div` µs conversion; TIMESTAMP_NTZ
+    * (µs-naive files, the r10 testdata regen) → cast, which under the
+    * pinned UTC session timezone keeps the micros bit-identical while
+    * giving every downstream time function (`unix_micros`, `window`,
+    * as-of bands) the TIMESTAMP type it expects. No-op when `ts` is
+    * already LTZ. Shared by the batch reader and streaming file sources
+    * (stream_upsert) so the normalization contract lives in ONE place — a
+    * drifted copy would break the µs tie-breaking the DuckDB oracles
+    * compare against.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

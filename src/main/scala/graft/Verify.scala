@@ -31,6 +31,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // deterministic cache lifetime (ADVICE r9): drop the query's
+      // persisted gram/score frames instead of letting 143 queries'
+      // MEMORY_AND_DISK blocks ride LRU eviction
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -202,12 +202,17 @@ object LlmQueries {
     // 2-grams): the asymmetric measure that catches a doc (nearly)
     // embedded in a larger one — Jaccard structurally misses those, and
     // the length-bucket blocking of llm_dedup_ngram would veto exactly
-    // these pairs. Candidate generation is the winnowing-fingerprint
-    // inverted index (self-join on the FINGERPRINT, never an all-pairs
-    // corpus self-join within a (lang, source) block), verified with the
-    // codegen'd sorted-merge intersect — see Dedup.containmentPairsIndexed
-    // for the recall contract (MOSS: any shared >= 5-token run is caught)
-    // and DedupSpec for the equivalence pin against the all-pairs twin.
+    // these pairs. Candidate generation is the EXACT-recall prefix-filter
+    // inverted index (rarest-gram prefix postings ⋈ full postings, shared
+    // with llm_dedup_ngram — candidates ⊇ results by the SSJoin prefix
+    // theorem; never an all-pairs corpus self-join within a (lang,
+    // source) block), verified with the codegen'd sorted-merge intersect
+    // — see Dedup.containmentPairsIndexed, and DedupSpec for the
+    // equivalence pin against the all-pairs twin. The sampled
+    // winnowing-fingerprint candidate path with the MOSS ≥5-token-run
+    // recall contract lives in Dedup.containmentPairsWinnow (kept as the
+    // cheaper approximate alternative; rejected for THIS oracled query
+    // because its recall is span-conditional, not exact).
     "llm_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairsIndexed(Tables.documents(s, d), n = 2,
           threshold = 0.2)

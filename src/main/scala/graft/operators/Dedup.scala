@@ -474,10 +474,12 @@ object Dedup {
     * differs — ReuseExchange cannot collapse them, so without a persist
     * the tokenize+hash+sort kernel re-scans the whole corpus per
     * reference (~3 extra full-corpus passes at 100 TB). MEMORY_AND_DISK
-    * computes it once and spills corpus-sized gram arrays to local disk;
-    * blocks are LRU-evictable, so leaving the frame cached after the
-    * lazily-returned result is collected is bounded-risk (evicted under
-    * pressure, freed at JVM exit / `spark.catalog.clearCache()`).
+    * computes it once and spills corpus-sized gram arrays to local disk.
+    * Lifetime: the operator returns a LAZY frame, so it cannot unpersist
+    * before the caller's action — instead the multi-query drivers
+    * (Verify/Bench/JudgeSmoke) call `spark.catalog.clearCache()` after
+    * each query (ADVICE r9), making the lifetime one-query-deterministic;
+    * a library user embedding these operators owns the same call.
     */
   private def persistGrams(g: DataFrame): DataFrame =
     g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -172,6 +172,13 @@ object Joins {
     * rows on both sides carry salt 0. One equi-join on (key, salt) —
     * a single shuffle whose hottest reducer now holds 1/saltFactor of the
     * hottest key.
+    *
+    * Skew-split contract: the hot-side salt is the deterministic row hash
+    * of [[rowDiscriminators]], so a hot key whose rows are EXACT
+    * duplicates of one row still lands on a single salt — see the caveat
+    * there for why that trade (determinism under task retries vs spreading
+    * informationless copies) is deliberate, and dedup-then-join when hot
+    * keys are pure duplicates.
     */
   def hotKeySaltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, saltFactor: Int,

@@ -100,7 +100,12 @@ object Similarity {
   def buildIvfIndex(spark: SparkSession, emb: DataFrame, dir: String,
       nCentroids: Int = 16, iters: Int = 2,
       seedStrategy: String = "farthest"): Unit = {
-    val dim = emb.agg(max(size(col("embedding")))).head().getInt(0)
+    // getAs + null guard: max() over an EMPTY embeddings table is null and
+    // a bare getInt would NPE deep in the index build (ADVICE r9)
+    val dimBox = emb.agg(max(size(col("embedding")))).head().getAs[Number](0)
+    require(dimBox != null,
+      "buildIvfIndex: embeddings input is empty — nothing to index")
+    val dim = dimBox.intValue
     def collectCentroids(df: DataFrame): Array[(Long, Array[Double])] =
       df.collect().map(r =>
         r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)

@@ -80,6 +80,32 @@ class SimilaritySpec extends SparkSpec {
     assert(first != second, "distinct corpora produced identical top-k")
   }
 
+  test("superseded IVF index stays collectible after a mid-session rebuild") {
+    // the retention contract (VERDICT r9 #4): a LAZY result handed out
+    // before the corpus rewrite is a plan over the OLD index directory —
+    // the rebuild must not delete it out from under the caller
+    def corpus(seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      Seq.tabulate(40)(i => (i.toLong, Seq.fill(64)(rnd.nextFloat())))
+        .toDF("vec_id", "embedding")
+    }
+    val dir = graft.util.Scratch.fresh("ivf_retain")
+    corpus(3).write.mode("overwrite").parquet(dir)
+    def read() = spark.read.parquet(dir)
+    val lazyFirst = Similarity.ivfTopK(spark, read(), 0L, 5,
+      nCentroids = 4, nProbe = 4) // NOT collected yet
+    corpus(4).write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles().foreach(f =>
+      f.setLastModified(f.lastModified() + 60000L))
+    // rebuild under a new fingerprint key...
+    Similarity.ivfTopK(spark, read(), 0L, 5, nCentroids = 4, nProbe = 4)
+      .collect()
+    // ...then the pre-rebuild lazy frame must still collect (old dir
+    // retained for the session) and return a full result set
+    assert(lazyFirst.collect().length == 5,
+      "pre-rebuild lazy result failed after the index swap")
+  }
+
   test("farthest-first seeding beats lowest-vec_id seeding on a skewed clustered corpus") {
     // VERDICT r8 item 3: the adversarial case for lowest-vec_id seeding —
     // ALL low ids sit in one big cluster, so all 4 seeds start there and

@@ -44,6 +44,27 @@ def check_tolerance(con, out_dir, name, spec):
         return False, f"rows spark={len(s_rows)} exact={len(o_rows)}"
     s_ix = [s_cols.index(c) for c in sorted(s_cols)]
     o_ix = [o_cols.index(c) for c in sorted(o_cols)]
+    # Sort both sides by their NON-numeric columns before zipping (ADVICE
+    # r9): the positional zip otherwise silently depends on every
+    # tolerance-oracled query carrying a total ORDER BY through the
+    # coalesce(1) write — true today, but an unordered future entry would
+    # flap or mispair rows. ALL numeric columns are excluded from the key
+    # (the sketch values being band-compared differ between sides, so
+    # sorting by them would itself mispair); ties and all-numeric schemas
+    # fall back to input order (stable sort / no-op).
+    def is_numeric_col(k):
+        return any(isinstance(r[ix[k]], (int, float))
+                   and not isinstance(r[ix[k]], bool)
+                   for rows, ix in ((s_rows, s_ix), (o_rows, o_ix))
+                   for r in rows)
+    key_cols = [k for k in range(len(s_ix)) if not is_numeric_col(k)]
+    def sort_side(rows, ix):
+        def key(r):
+            return [(r[ix[k]] is None, str(type(r[ix[k]])), str(r[ix[k]]))
+                    for k in key_cols]
+        return sorted(rows, key=key)
+    s_rows = sort_side(s_rows, s_ix)
+    o_rows = sort_side(o_rows, o_ix)
     max_rel = 0.0
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
         for c in range(len(s_ix)):
