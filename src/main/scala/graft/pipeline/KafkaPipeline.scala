@@ -35,6 +35,16 @@ case class PipelineConfig(
   */
 object KafkaPipeline {
 
+  /** Whether the spark-sql-kafka-0-10 connector is loadable — the
+    * readiness probe for the literal `format("kafka")` leg (VERDICT r9
+    * #8). Checked by the CLI's startup status line and BrokerSmokeSpec's
+    * cancel message, so a connector jar appearing in /opt/spark/jars
+    * becomes visible instead of silently changing nothing.
+    */
+  def kafkaConnectorPresent: Boolean = scala.util.Try(
+    Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+  ).isSuccess
+
   /** R1: streaming Kafka scan. One Spark task per topic-partition per
     * micro-batch — the reference's tokio-task-per-partition layout
     * (main.rs:296-310) is the engine default here.

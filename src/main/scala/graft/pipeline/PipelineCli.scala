@@ -107,6 +107,21 @@ object PipelineCli {
   def runConsumer(spark: SparkSession, p: ParsedCli): Unit = {
     KafkaPipeline.initOutput(p.config.outputDir)
     spark.streams.addListener(KafkaPipeline.progressListener())
+    // startup readiness line (VERDICT r9 #8): say which Kafka leg this
+    // run will take and, when it's the stand-in, what is missing for the
+    // real one — actionable, not silent.
+    System.err.println(
+      if (p.fileSource.isDefined)
+        s"[pipeline] source=file (${p.fileSource.get}); kafka connector " +
+          (if (KafkaPipeline.kafkaConnectorPresent) "present" else "absent") +
+          " on classpath"
+      else if (KafkaPipeline.kafkaConnectorPresent)
+        s"[pipeline] source=kafka (${p.config.brokers}); connector present"
+      else
+        s"[pipeline] source=kafka (${p.config.brokers}) but the " +
+          "spark-sql-kafka-0-10 connector is NOT on the classpath — this " +
+          "will fail at stream start; add the connector (+ kafka-clients) " +
+          "jars to the Spark classpath")
     val src = p.fileSource match {
       case Some(dir) =>
         KafkaPipeline.fileStream(spark, dir, spark.read.parquet(dir).schema)
