@@ -73,7 +73,7 @@ object StreamingQueries {
     "stream_upsert" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("stream_upsert")
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val src = KafkaPipeline.fileStream(s, d, rawSchema, glob = "events.parquet")
+      val src = KafkaPipeline.tableFileStream(s, d, "events", rawSchema)
       // normalize nano-epoch longs to µs timestamps BEFORE the merge:
       // DuckDB compares µs-truncated times, and a sub-µs difference would
       // otherwise tie-break differently (shared helper with Tables.events)
@@ -160,7 +160,7 @@ object StreamingQueries {
       // schema from a raw read (ts may arrive as nano-epoch long under
       // nanosAsLong — passed through untouched here)
       val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      val src = KafkaPipeline.fileStream(s, d, rawSchema, glob = "events.parquet")
+      val src = KafkaPipeline.tableFileStream(s, d, "events", rawSchema)
         .select(encode(col("props"), "UTF-8").as("value"), col("event_id"), col("ts"))
       val q = KafkaPipeline.parquetSink(
         KafkaPipeline.payloadAsString(src).select(col("b"), col("event_id"), col("ts")),

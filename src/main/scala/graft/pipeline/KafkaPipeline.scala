@@ -72,6 +72,27 @@ object KafkaPipeline {
       .options(options)
       .parquet(dir)
 
+  /** Stream a named table of an sf directory through [[fileStream]],
+    * handling BOTH fixture layouts: the driver writes `<name>.parquet` as
+    * a single FILE (glob on the name), while Spark-written rehearsal data
+    * (graft.ScaleUp) produces a DIRECTORY of part files — globbing the
+    * name there matches nothing and the stream silently processes ZERO
+    * rows, which is exactly how the sf1 decade ran the streaming fixtures
+    * on a fixed (empty!) workload (VERDICT r9 #3). Directory ⇒ stream the
+    * part files inside it, so the streamed row count derives from the sf
+    * dir like every batch query's input does.
+    */
+  def tableFileStream(spark: SparkSession, sfDir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      fileStream(spark, p.toString, schema, glob = "*.parquet", options)
+    else
+      fileStream(spark, sfDir, schema, glob = s"$table.parquet", options)
+  }
+
   /** R2: payload bytes → UTF-8 string; null or invalid UTF-8 → "" (exactly
     * the reference's `payload_view::<str>()` fallback, main.rs:240-247).
     * Keeps every other record field, unlike the reference which drops them
