@@ -37,7 +37,17 @@ object Bench {
     // full sweep, so a single run is noise — report the per-query median
     // (and min as the contention-free floor), total = sum of medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt max 1
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the sweep (scale/skew
+    // subset decades); unset = the full surface the driver measures
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) =>
+        val want = list.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val known = SparkEntry.queries.keySet
+        val unknown = want -- known
+        require(unknown.isEmpty, s"unknown bench queries: $unknown")
+        SparkEntry.queries.filter { case (k, _) => want(k) }.toSeq.sortBy(_._1)
+      case None => SparkEntry.queries.toSeq.sortBy(_._1)
+    }
     val times = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
     for (run <- 1 to runs) {
@@ -142,10 +152,15 @@ object Bench {
         s""","med_min_ratio":${fmt(medMinRatio, 3)}""" +
         s""","queries":${fullMap(mins)},"queries_median":${fullMap(med)}""" +
         s""","sf":$sf}"""
+    // subset runs (SPARK_GRAFT_BENCH_QUERIES) write to an override path so
+    // they never clobber the driver's full-surface artifact
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_QUERIES")) "BENCH_subset.json"
+      else "BENCH_full.json")
     scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full.json"), fullJson + "\n"))
+      java.nio.file.Paths.get(fullPath), fullJson + "\n"))
       .failed.foreach(e =>
-        System.err.println(s"[bench] BENCH_full.json write FAILED (stale artifact may remain): $e"))
+        System.err.println(s"[bench] $fullPath write FAILED (stale artifact may remain): $e"))
     // Budget: the driver keeps the last 2000 chars of the sbt output; the
     // line shares that window only with sbt's "[success] Total time..."
     // trailer (~75 chars) now that forked-run stdout passes through

@@ -35,12 +35,36 @@ import org.apache.spark.sql.functions._
   *    EXACTLY preserved (signs square away), cross-copy cosines collapse
   *    toward 0 (random-sign inner products), so blocked similarity joins
   *    scale like a 10× corpus, not like 10 mirrored corpora.
+  *
+  * `--skew` (VERDICT r9 #2): the uniform decade holds key/label/lang
+  * density constant per copy — real corpora are Zipf. The skewed draw
+  * additionally, on copies i>0 (copy 0 stays pristine so every key
+  * range referenced by dims remains populated):
+  *  - orders: a deterministic 20% of rows (`xxhash64(o_orderkey)%5==0`)
+  *    point their o_custkey at ONE hot copy-0 customer — the skewed
+  *    fact-to-dim join shape (FK still valid; equi-join output inflates
+  *    linearly in the hot rows, never quadratically).
+  *  - events: same 20% collapse of user_id onto one hot copy-0 user
+  *    (hot-user sessionization / enrichment).
+  *  - documents: half of each copy's docs (`xxhash64(doc_id)%2==0`)
+  *    forced to lang 'en' — one dominant language ≈ 55% of the corpus,
+  *    stressing every (lang, source)-blocked dedup path and the per-lang
+  *    prefix-rank. Token vocabularies stay copy-disjoint, so the hot
+  *    block grows WITHOUT fabricating cross-copy near-dup pairs — the
+  *    stress is on candidate generation, not on a bloated result.
+  *  - embeddings: 20% of each copy's vectors take copy 0's most frequent
+  *    label — one hot label whose block is ~2.8× the uniform draw's,
+  *    the declared stressor for the label-blocked similarity join
+  *    (sign-flipped copies keep cross-copy cosines ~0, so again the
+  *    work grows, not the output).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val skew = args.contains("--skew")
+    val pos = args.filterNot(_ == "--skew")
+    val src = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = pos.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = pos.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,9 +105,18 @@ object ScaleUp {
       part.withColumn("p_partkey", col("p_partkey") + lit(i * pS))), "part")
 
     val orders = tbl("orders"); val oS = stride(orders, "o_orderkey")
-    write(replicate(orders)(i =>
-      orders.withColumn("o_orderkey", col("o_orderkey") + lit(i * oS))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * cS))), "orders")
+    // hot targets are copy-0 keys, so skewed FKs stay valid
+    val hotCust = customer.agg(min(col("c_custkey"))).head().getAs[Number](0).longValue
+    write(replicate(orders)(i => {
+      val shifted = orders
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * oS))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * cS))
+      if (skew && i > 0)
+        shifted.withColumn("o_custkey",
+          when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0, lit(hotCust))
+            .otherwise(col("o_custkey")))
+      else shifted
+    }), "orders")
 
     val lineitem = tbl("lineitem")
     write(replicate(lineitem)(i =>
@@ -96,13 +129,21 @@ object ScaleUp {
     require(uS * (factor - 1) + uS - 1 < cS,
       s"user stride $uS x $factor escapes copy-0 customer keys ($cS) — " +
         "the stream-enrich join would go degenerate")
-    write(replicate(events)(i =>
-      events.withColumn("event_id", col("event_id") + lit(i * eS))
-        .withColumn("user_id", col("user_id") + lit(i * uS))), "events")
+    val hotUser = events.agg(min(col("user_id"))).head().getAs[Number](0).longValue
+    write(replicate(events)(i => {
+      val shifted = events
+        .withColumn("event_id", col("event_id") + lit(i * eS))
+        .withColumn("user_id", col("user_id") + lit(i * uS))
+      if (skew && i > 0)
+        shifted.withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(hotUser))
+            .otherwise(col("user_id")))
+      else shifted
+    }), "events")
 
     val documents = tbl("documents"); val dS = stride(documents, "doc_id")
-    write(replicate(documents)(i =>
-      documents.withColumn("doc_id", col("doc_id") + lit(i * dS))
+    write(replicate(documents)(i => {
+      val copy = documents.withColumn("doc_id", col("doc_id") + lit(i * dS))
         .withColumn("text",
           if (i == 0) col("text")
           else when(col("text").isNull, col("text"))
@@ -110,20 +151,37 @@ object ScaleUp {
             .otherwise(array_join(
               transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))),
               " ")))
-        .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))),
-      "documents")
+        .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      if (skew && i > 0)
+        copy.withColumn("lang",
+          when(pmod(xxhash64(col("doc_id")), lit(2)) === 0, lit("en"))
+            .otherwise(col("lang")))
+      else copy
+    }), "documents")
 
     val embeddings = tbl("embeddings"); val vS = stride(embeddings, "vec_id")
-    write(replicate(embeddings)(i =>
-      embeddings.withColumn("vec_id", col("vec_id") + lit(i * vS))
+    val hotLabel =
+      if (skew)
+        embeddings.groupBy(col("label")).agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("label")).head().get(0)
+      else null
+    write(replicate(embeddings)(i => {
+      val copy = embeddings
+        .withColumn("vec_id", col("vec_id") + lit(i * vS))
         .withColumn("embedding",
           if (i == 0) col("embedding")
           else expr(
             s"""transform(embedding, (v, d) ->
-                  CAST(v * (1 - 2 * pmod(xxhash64($i, d), 2)) AS FLOAT))"""))),
-      "embeddings")
+                  CAST(v * (1 - 2 * pmod(xxhash64($i, d), 2)) AS FLOAT))"""))
+      if (skew && i > 0)
+        copy.withColumn("label",
+          when(pmod(xxhash64(col("vec_id")), lit(5)) === 0, lit(hotLabel))
+            .otherwise(col("label")))
+      else copy
+    }), "embeddings")
 
-    println(s"[scaleup] wrote ${factor}x of $src to $dst")
+    println(s"[scaleup] wrote ${factor}x of $src to $dst" +
+      (if (skew) " (SKEWED: hot custkey/user, dominant lang, hot label)" else ""))
     spark.stop()
   }
 }
