@@ -629,51 +629,25 @@ object LlmQueries {
     // greedy matches as the even offsets within each run of consecutive
     // match positions (provably the left-to-right greedy set).
     "llm_bpe_merges" -> ((s, d) => {
-      val k = BpeMergeRounds
-      var toks: DataFrame = Tables.documents(s, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
-      var r = 1
-      var exhausted = false
-      while (r <= k && !exhausted) {
-        // persist: the round's frame feeds both the pair count (action
-        // below) and the next round's rewrite; lifetime ends with the
-        // driver's per-query clearCache
-        toks = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val best = toks
-          .filter(size(col("toks")) >= 2) // 1-token docs: sequence() would descend
-          .select(explode(expr(
-            """transform(sequence(0, size(toks) - 2),
-                 i -> struct(element_at(toks, i + 1) AS t1,
-                             element_at(toks, i + 2) AS t2))""")).as("p"))
-          .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("pair", concat(col("t1"), lit(" "), col("t2")))
-          // t1 tiebreak: two distinct (t1,t2) splits can concat to the
-          // SAME pair string once merged tokens contain spaces
-          .orderBy(desc("n"), col("pair"), col("t1"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val a = best(0).getAs[String]("t1"); val b = best(0).getAs[String]("t2")
-          val n = best(0).getAs[Long]("n")
-          chosen += ((r, a + " " + b, n))
-          val (la, lb, lm) = (lit(a), lit(b), lit(a + " " + b))
-          // left-to-right greedy rewrite as a fold; try_element_at keeps
-          // the empty-accumulator probe ANSI-safe (null, not an error)
-          toks = toks.withColumn("toks",
-            aggregate(col("toks"), array().cast("array<string>"),
-              (acc, x) =>
-                when(try_element_at(acc, lit(-1)) === la && x === lb,
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lm)))
-                  .otherwise(concat(acc, array(x)))))
-        }
-        r += 1
-      }
       import s.implicits._
-      chosen.toSeq.toDF("round", "pair", "n").orderBy(col("round"))
+      bpeMergeLoop(s, d, BpeMergeRounds)._2
+        .toDF("round", "pair", "n").orderBy(col("round"))
+    }),
+
+    // Tokenizer APPLICATION — the other half of the training loop: encode
+    // every (≥2-token, non-null) doc with the k merges llm_bpe_merges
+    // learns, and report the per-doc compression (tokens after vs
+    // before). Same per-round cost shape as the training loop; the final
+    // per-doc count is one map + aggregate over the last round's frame.
+    // The DuckDB twin extends the unrolled-CTE chain with a group-by over
+    // the final token table.
+    "llm_bpe_encode" -> ((s, d) => {
+      val toks = bpeMergeLoop(s, d, BpeMergeRounds)._1
+      toks.select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          (size(expr("filter(toks, t -> instr(t, ' ') > 0)")))
+            .as("n_merged_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // Two-pass EXACT heavy hitters with bounded aggregation state — the
@@ -1037,6 +1011,62 @@ object LlmQueries {
     })
   )
 
+  /** Shared k-round BPE merge loop behind llm_bpe_merges (the learned
+    * merge table) and llm_bpe_encode (the corpus encoded with it).
+    * Per round: ONE map-side-combinable pair-count aggregate over the
+    * persisted previous round's frame + ONE pure-map greedy fold rewrite;
+    * the chosen pair is a driver SCALAR. Returns the final token frame
+    * and the (round, pair, pre-merge count) choices. Greedy-safe without
+    * a flag: a merge product "A B" is strictly longer than its left
+    * element A, so it can never be re-consumed within the same round.
+    */
+  private def bpeMergeLoop(s: SparkSession, d: String, k: Int)
+      : (DataFrame, Seq[(Int, String, Long)]) = {
+    var toks: DataFrame = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      // persist: the round's frame feeds both the pair count (action
+      // below) and the next round's rewrite; lifetime ends with the
+      // driver's per-query clearCache
+      toks = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val best = toks
+        .filter(size(col("toks")) >= 2) // 1-token docs: sequence() would descend
+        .select(explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> struct(element_at(toks, i + 1) AS t1,
+                           element_at(toks, i + 2) AS t2))""")).as("p"))
+        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("pair", concat(col("t1"), lit(" "), col("t2")))
+        // t1 tiebreak: two distinct (t1,t2) splits can concat to the
+        // SAME pair string once merged tokens contain spaces
+        .orderBy(desc("n"), col("pair"), col("t1"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a = best(0).getAs[String]("t1"); val b = best(0).getAs[String]("t2")
+        val n = best(0).getAs[Long]("n")
+        chosen += ((r, a + " " + b, n))
+        val (la, lb, lm) = (lit(a), lit(b), lit(a + " " + b))
+        // left-to-right greedy rewrite as a fold; try_element_at keeps
+        // the empty-accumulator probe ANSI-safe (null, not an error)
+        toks = toks.withColumn("toks",
+          aggregate(col("toks"), array().cast("array<string>"),
+            (acc, x) =>
+              when(try_element_at(acc, lit(-1)) === la && x === lb,
+                concat(slice(acc, lit(1), size(acc) - 1), array(lm)))
+                .otherwise(concat(acc, array(x)))))
+      }
+      r += 1
+    }
+    (toks, chosen.toSeq)
+  }
+
   /** DuckDB twin of llm_bpe_merges: the k rounds unrolled as CTE blocks.
     * Round r derives from token table s{r-1}(doc_id, pos, tok):
     * `p` = adjacent-pair counts, `b` = the deterministic best (count
@@ -1049,7 +1079,7 @@ object LlmQueries {
     * following position drops (it can never itself be a winner), and
     * positions renumber.
     */
-  private def bpeMergesOracle(k: Int): String = {
+  private def bpeCteChain(k: Int): String = {
     val rounds = (1 to k).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS MATERIALIZED (
@@ -1086,9 +1116,6 @@ object LlmQueries {
            LEFT JOIN w$r v ON v.doc_id = t.doc_id AND v.pos = t.pos - 1
            WHERE v.pos IS NULL)"""
     }.mkString(",\n         ")
-    val sel = (1 to k).map(r =>
-      s"SELECT CAST($r AS INT) AS round, pair, CAST(n AS BIGINT) AS n FROM b$r")
-      .mkString("\n           UNION ALL\n           ")
     s"""WITH t0 AS MATERIALIZED (
            SELECT doc_id, string_split(text, ' ') AS tk
            FROM documents
@@ -1097,8 +1124,26 @@ object LlmQueries {
            SELECT doc_id, i AS pos, tk[i] AS tok
            FROM t0, LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) u),
          $rounds
-         SELECT * FROM ($sel) ORDER BY round"""
+         """
   }
+
+  private def bpeMergesOracle(k: Int): String = {
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS round, pair, CAST(n AS BIGINT) AS n FROM b$r")
+      .mkString("\n           UNION ALL\n           ")
+    bpeCteChain(k) + s"SELECT * FROM ($sel) ORDER BY round"
+  }
+
+  /** Encode twin: per-doc token count over the FINAL round's token table;
+    * a merged token is exactly one containing a space (source tokens come
+    * from a space split and can never contain one).
+    */
+  private def bpeEncodeOracle(k: Int): String =
+    bpeCteChain(k) +
+      s"""SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                CAST(count(CASE WHEN tok LIKE '% %' THEN 1 END) AS INT)
+                  AS n_merged_tokens
+         FROM s$k GROUP BY doc_id ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "llm_dedup_exact" ->
@@ -1603,6 +1648,8 @@ object LlmQueries {
          FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
 
     "llm_bpe_merges" -> bpeMergesOracle(BpeMergeRounds),
+
+    "llm_bpe_encode" -> bpeEncodeOracle(BpeMergeRounds),
 
     // exact by the two-pass construction (candidates ⊇ true top-40 while
     // the margin asserted in HeavyHittersSpec holds), so the twin is the
