@@ -1022,10 +1022,17 @@ object LlmQueries {
     */
   private def bpeMergeLoop(s: SparkSession, d: String, k: Int)
       : (DataFrame, Seq[(Int, String, Long)]) = {
-    var toks: DataFrame = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
+    import s.implicits._
+    // typed kernels, not HOFs: `transform`/`aggregate` lambdas evaluate
+    // INTERPRETED per element (the winnowing lesson, EXPLAINS r8) — at
+    // ~1M tokens × k rounds the fold form benched 5 s; the per-partition
+    // loops below are plain JVM code over the same arrays.
+    var toks: org.apache.spark.sql.Dataset[(Long, Array[String])] =
+      Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .as[(Long, Array[String])]
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var r = 1
     var exhausted = false
@@ -1035,12 +1042,12 @@ object LlmQueries {
       // driver's per-query clearCache
       toks = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val best = toks
-        .filter(size(col("toks")) >= 2) // 1-token docs: sequence() would descend
-        .select(explode(expr(
-          """transform(sequence(0, size(toks) - 2),
-               i -> struct(element_at(toks, i + 1) AS t1,
-                           element_at(toks, i + 2) AS t2))""")).as("p"))
-        .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .mapPartitions(_.flatMap { case (_, t) =>
+          if (t.length < 2) Iterator.empty
+          else (0 until t.length - 1).iterator.map(i => (t(i), t(i + 1)))
+        })
+        .toDF("t1", "t2")
+        .groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("n"))
         .withColumn("pair", concat(col("t1"), lit(" "), col("t2")))
         // t1 tiebreak: two distinct (t1,t2) splits can concat to the
@@ -1052,19 +1059,27 @@ object LlmQueries {
         val a = best(0).getAs[String]("t1"); val b = best(0).getAs[String]("t2")
         val n = best(0).getAs[Long]("n")
         chosen += ((r, a + " " + b, n))
-        val (la, lb, lm) = (lit(a), lit(b), lit(a + " " + b))
-        // left-to-right greedy rewrite as a fold; try_element_at keeps
-        // the empty-accumulator probe ANSI-safe (null, not an error)
-        toks = toks.withColumn("toks",
-          aggregate(col("toks"), array().cast("array<string>"),
-            (acc, x) =>
-              when(try_element_at(acc, lit(-1)) === la && x === lb,
-                concat(slice(acc, lit(1), size(acc) - 1), array(lm)))
-                .otherwise(concat(acc, array(x)))))
+        val merged = a + " " + b
+        // left-to-right greedy rewrite: consume (a, b) pairs skipping 2,
+        // copy everything else — a merge product is strictly longer than
+        // `a`, so it can never be re-consumed within this round
+        toks = toks.map { case (id, t) =>
+          if (t.length < 2) (id, t)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](t.length)
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+                out += merged; i += 2
+              } else { out += t(i); i += 1 }
+            }
+            (id, out.toArray)
+          }
+        }
       }
       r += 1
     }
-    (toks, chosen.toSeq)
+    (toks.toDF("doc_id", "toks"), chosen.toSeq)
   }
 
   /** DuckDB twin of llm_bpe_merges: the k rounds unrolled as CTE blocks.
