@@ -13,6 +13,38 @@ import graft.SparkSpec
 class KafkaPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("tableFileStream reads BOTH fixture layouts: single file and part-file dir") {
+    // driver testdata ships <name>.parquet as a FILE; ScaleUp rehearsal
+    // data writes it as a DIRECTORY — globbing the name there matched
+    // nothing and the r9 scale decade streamed an EMPTY workload
+    val base = graft.util.Scratch.fresh("tfs_spec")
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    // dir layout: <base>/dir/tbl.parquet/part-*.parquet
+    rows.write.parquet(s"$base/dir/tbl.parquet")
+    // file layout: <base>/file/tbl.parquet (single file, exact name)
+    rows.coalesce(1).write.parquet(s"$base/tmp")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/file"))
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/tmp"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$base/file/tbl.parquet"))
+
+    def drain(sfDir: String): Long = {
+      val schema = spark.read.parquet(s"$sfDir/tbl.parquet").schema
+      val out = s"$sfDir/out"
+      KafkaPipeline.tableFileStream(spark, sfDir, "tbl", schema)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$sfDir/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    assert(drain(s"$base/dir") == 3L, "directory layout must stream all rows")
+    assert(drain(s"$base/file") == 3L, "file layout must stream all rows")
+  }
+
   test("R10: synthetic records match the reference producer shape") {
     val rows = KafkaPipeline.syntheticRecords(spark, 3)
       .select(col("key").cast("string"), col("value").cast("string"),

@@ -108,6 +108,20 @@ class CorpusIngestSpec extends SparkSpec {
     assert(m === Set((0L, 1L), (0L, 2L), (1L, 10L), (2L, 20L), (3L, 31L)))
   }
 
+  test("a manifest whose bloom sidecar is lost still dedups (fallback join)") {
+    // pre-upgrade manifests / a deleted sidecar: loadBloom returns None
+    // and ingestBatch must fall back to the plain bucket-wise anti-join
+    val dir = graft.util.Scratch.fresh("ingest_nobloom_spec")
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en"), (2L, "beta", "en")), 0L, dir)
+    graft.util.Scratch.delete(s"${dir}_bloom")
+    CorpusIngest.ingestBatch(docs((10L, "alpha", "de"), (11L, "gamma", "en")), 1L, dir)
+    val m = CorpusIngest.manifest(spark, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(m === Set((0L, 1L), (0L, 2L), (1L, 11L)),
+      "alpha must be suppressed by the fallback anti-join without a sidecar")
+  }
+
   test("bloom sidecar: a batch of fresh digests skips the manifest scan") {
     val dir = graft.util.Scratch.fresh("ingest_bloom_spec")
     CorpusIngest.ingestBatch(docs((1L, "alpha", "en"), (2L, "beta", "en")), 0L, dir)
