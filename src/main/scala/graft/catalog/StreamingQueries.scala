@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
 import graft.pipeline.{KafkaPipeline, PipelineConfig}
-import graft.streaming.{CorpusIngest, EventTime}
+import graft.streaming.{CorpusIngest, EventTime, FuzzyIngest}
 
 /** SURVEY §2.B streaming block. The windowed aggregations run here in
   * batch form over the same builders the streaming tests drive through
@@ -141,6 +141,39 @@ object StreamingQueries {
       require(maxBatch == 1,
         s"llm_dedup_incremental expects two ingest micro-batches, saw max batch=$maxBatch")
       m.filter(col("batch") >= 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
+        .orderBy(col("lang"))
+    }),
+
+    // Incremental FUZZY dedup against a persistent MinHash band index —
+    // the near-dup companion of llm_dedup_incremental (a re-crawl with
+    // one changed token must be suppressed even though its digest is
+    // new). Seed = yesterday's corpus; delivery 0 = near-dup re-crawls
+    // of the seed (one token appended, fresh doc_ids) + genuinely new
+    // docs; delivery 1 = near-dups of delivery-0 SURVIVORS + more new
+    // docs. Only genuinely new docs enter the index. MinHash is
+    // hash-family-specific → declared rows-only; suppression/replay/
+    // plan contracts live in FuzzyIngestSpec.
+    "llm_dedup_fuzzy_incremental" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("fuzzy_incr")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      def nearDup(src: org.apache.spark.sql.DataFrame, off: Long, pad: String) =
+        src.select((col("doc_id") + off).as("doc_id"),
+          concat(col("text"), lit(pad)).as("text"), col("lang"))
+      FuzzyIngest.ingestBatch(
+        docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/index")
+      FuzzyIngest.ingestBatch(
+        nearDup(docs.filter(col("doc_id") % 5 === 0), 1000000L, " recrawl")
+          .unionByName(docs.filter(col("doc_id") % 5 === 1)),
+        0L, s"$base/index")
+      FuzzyIngest.ingestBatch(
+        nearDup(docs.filter(col("doc_id") % 5 === 1), 2000000L, " mirror")
+          .unionByName(docs.filter(col("doc_id") % 5 === 2)),
+        1L, s"$base/index")
+      FuzzyIngest.index(s, s"$base/index")
+        .filter(col("batch") >= 0)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
         .orderBy(col("lang"))
