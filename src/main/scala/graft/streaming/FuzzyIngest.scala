@@ -105,9 +105,19 @@ object FuzzyIngest {
       .distinct()
   }
 
-  /** One fuzzy ingest merge (batch mode; wire through foreachBatch like
-    * [[CorpusIngest.dedupIngest]] for the streaming form).
+  /** Streaming entry: every micro-batch runs [[ingestBatch]] — the same
+    * foreachBatch shape as [[CorpusIngest.dedupIngest]].
     */
+  def fuzzyIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
+      simThreshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        ingestBatch(batch, id, indexDir, simThreshold))
+      .start()
+
+  /** One fuzzy ingest merge (batch mode; the streaming form above). */
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, simThreshold: Double = 0.5): Unit = {
     val s = batch.sparkSession
@@ -161,14 +171,18 @@ object FuzzyIngest {
           finally s.catalog.dropTempView(view)
         }
         if (!exists) {
+          // mode overwrite: a crash between the two CTAS calls leaves ONE
+          // table registered; the replay's reconcile re-registers it from
+          // the on-disk layout and this overwrite then converges instead
+          // of erroring on table-already-exists
           staged.select(col("doc_id"), col("lang"), col("minhash"))
-            .withColumn("batch", lit(batchId)).write
+            .withColumn("batch", lit(batchId)).write.mode("overwrite")
             .partitionBy("batch")
             .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
             .option("path", sigPath(indexDir)).saveAsTable(sigTable(indexDir))
           staged.select(posexplode(col("bands")).as(Seq("band", "bh")),
               col("doc_id"))
-            .withColumn("batch", lit(batchId)).write
+            .withColumn("batch", lit(batchId)).write.mode("overwrite")
             .partitionBy("batch")
             .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
             .option("path", bandPath(indexDir)).saveAsTable(bandTable(indexDir))

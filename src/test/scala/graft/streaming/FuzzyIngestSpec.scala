@@ -41,6 +41,21 @@ class FuzzyIngestSpec extends SparkSpec {
       s"fuzzy index mismatch: $idx")
   }
 
+  test("streaming leg: fuzzyIngest drains a file stream through the index") {
+    val dir = graft.util.Scratch.fresh("fuzzy_stream_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), -1L, s"$dir/index")
+    // one delivery file: a near-dup of the seed + a new doc
+    val delivery = docs((10L, baseA + " tail", "de"), (11L, baseB, "en"))
+    delivery.coalesce(1).write.parquet(s"$dir/in")
+    val q = FuzzyIngest.fuzzyIngest(
+      spark.readStream.schema(delivery.schema).parquet(s"$dir/in"),
+      s"$dir/index", s"$dir/chk")
+    q.awaitTermination()
+    val idx = FuzzyIngest.index(spark, s"$dir/index")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(idx === Set(1L, 11L), s"streaming ingest mismatch: $idx")
+  }
+
   test("replaying a batch is idempotent and not self-suppressing") {
     val dir = graft.util.Scratch.fresh("fuzzy_replay_spec")
     FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), 0L, dir)
