@@ -122,6 +122,29 @@ class CorpusIngestSpec extends SparkSpec {
       "alpha must be suppressed by the fallback anti-join without a sidecar")
   }
 
+  test("bloom-ahead sidecar is FP-only: a sketch entry without manifest rows never suppresses") {
+    // the crash-ordering contract: bloom is written BEFORE the manifest
+    // rows, so a crash in between leaves a sketch that knows a digest the
+    // manifest does not hold — that doc must be routed to the anti-join
+    // (a false "probable duplicate") and SURVIVE, never be dropped as a
+    // false "definitely seen"
+    val dir = graft.util.Scratch.fresh("ingest_fponly_spec")
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en")), 0L, dir)
+    // simulate the crashed batch 1: its bloom landed, its rows did not
+    val crashed = docs((10L, "beta", "en"))
+    CorpusIngest.ingestBatch(crashed, 1L, dir)
+    graft.util.Scratch.delete(s"$dir/batch=1") // rows gone, bloom stays
+    spark.catalog.refreshTable(CorpusIngest.tableName(dir))
+    // batch 2 re-delivers beta: the stale bloom flags it probable, the
+    // join finds no manifest row — beta must survive
+    CorpusIngest.ingestBatch(docs((20L, "beta", "fr"), (21L, "gamma", "en")), 2L, dir)
+    val m = CorpusIngest.manifest(spark, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(m === Set((0L, 1L), (2L, 20L), (2L, 21L)),
+      s"stale bloom entry must not suppress an unwritten digest: $m")
+  }
+
   test("bloom sidecar: a batch of fresh digests skips the manifest scan") {
     val dir = graft.util.Scratch.fresh("ingest_bloom_spec")
     CorpusIngest.ingestBatch(docs((1L, "alpha", "en"), (2L, "beta", "en")), 0L, dir)
