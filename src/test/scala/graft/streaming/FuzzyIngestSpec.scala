@@ -82,7 +82,7 @@ class FuzzyIngestSpec extends SparkSpec {
     val probe = graft.operators.Dedup
       .minhashSignatures(docs2((30L, baseA + " x", "en")), "text", "doc_id")
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val cand = FuzzyIngest.bandCandidates(probe, 2L, FuzzyIngest.bandTable(dir))
+    val cand = FuzzyIngest.bandCandidates(probe, 2L, FuzzyIngest.bandTable(s2, dir))
 
     val plan = cand.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -104,5 +104,109 @@ class FuzzyIngestSpec extends SparkSpec {
       s"band-index scan fell back to unbucketed:\n${scans.headOption.map(_.metadata)}")
     // and the near-dup of A is a candidate against A
     assert(cand.select(col("old_id")).as[Long].collect().toSet === Set(1L))
+  }
+
+  test("within-batch near-dup collapse: flag on keeps min id, off keeps both") {
+    val twoNear = docs((5L, baseA, "en"), (6L, baseA + " tail", "en"),
+      (7L, baseB, "en"))
+    val dirOff = graft.util.Scratch.fresh("fuzzy_collapse_off")
+    FuzzyIngest.ingestBatch(twoNear, 0L, dirOff)
+    val off = FuzzyIngest.index(spark, dirOff)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(off === Set(5L, 6L, 7L),
+      "default (documented contract) keeps both within-batch near-dups")
+
+    val dirOn = graft.util.Scratch.fresh("fuzzy_collapse_on")
+    FuzzyIngest.ingestBatch(twoNear, 0L, dirOn, collapseWithinBatch = true)
+    val on = FuzzyIngest.index(spark, dirOn)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(on === Set(5L, 7L),
+      "collapse keeps the min doc_id per within-batch near-dup cluster")
+
+    // replay stays idempotent with the flag, and cross-batch suppression
+    // still applies to the collapsed survivors
+    FuzzyIngest.ingestBatch(docs((10L, baseC, "en")), 1L, dirOn,
+      collapseWithinBatch = true)
+    FuzzyIngest.ingestBatch(docs((10L, baseC, "en")), 1L, dirOn,
+      collapseWithinBatch = true)
+    val idx = FuzzyIngest.index(spark, dirOn)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(idx === Seq((0L, 5L), (0L, 7L), (1L, 10L)))
+  }
+
+  test("compact consolidates both index tables; probe plan and suppression survive") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    def docs2(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang")
+    val dir = graft.util.Scratch.fresh("fuzzy_compact_spec")
+    FuzzyIngest.ingestBatch(docs2((1L, baseA, "en")), 0L, dir)
+    FuzzyIngest.ingestBatch(docs2((10L, baseB, "en")), 1L, dir)
+    FuzzyIngest.ingestBatch(docs2((20L, baseC, "en")), 2L, dir)
+    FuzzyIngest.ingestBatch(docs2((30L, "unrelated little text", "en")), 3L, dir)
+
+    FuzzyIngest.compact(s2, dir, 2L)
+
+    def idxSet() = FuzzyIngest.index(s2, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val expected = Set((0L, 1L), (1L, 10L), (2L, 20L), (3L, 30L))
+    assert(idxSet() === expected, "first-seen batches survive compaction")
+
+    // partitions consolidated in BOTH tables
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s2.sparkContext.hadoopConfiguration)
+    def parts(sub: String) = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSet
+    val want = Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=3")
+    assert(parts("sigs") === want, s"sigs partitions: ${parts("sigs")}")
+    assert(parts("bands") === want, s"bands partitions: ${parts("bands")}")
+
+    // near-dups of COMPACTED docs are still suppressed post-compaction
+    FuzzyIngest.ingestBatch(docs2((40L, baseA + " tail", "de"),
+      (41L, "fresh new doc text", "en")), 4L, dir)
+    assert(idxSet() === expected + ((4L, 41L)))
+
+    // the bucket-local probe contract survives compaction
+    val probe = graft.operators.Dedup
+      .minhashSignatures(docs2((90L, baseB + " x", "en")), "text", "doc_id",
+        FuzzyIngest.NumHashes, FuzzyIngest.NumBands)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val cand = FuzzyIngest.bandCandidates(probe, 5L, FuzzyIngest.bandTable(s2, dir))
+    val plan = cand.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(joins.nonEmpty && joins.head.right.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, s"compacted band index must not be re-shuffled:\n$plan")
+    assert(cand.select(col("old_id")).as[Long].collect().toSet === Set(10L))
+
+    // replay of the newest batch across the boundary is idempotent
+    FuzzyIngest.ingestBatch(docs2((40L, baseA + " tail", "de"),
+      (41L, "fresh new doc text", "en")), 4L, dir)
+    assert(idxSet() === expected + ((4L, 41L)))
+
+    // the newest batch must stay replayable: compact refuses it
+    intercept[IllegalArgumentException](FuzzyIngest.compact(s2, dir, 4L))
+  }
+
+  test("fuzzy ingest posts per-batch progress events") {
+    val dir = graft.util.Scratch.fresh("fuzzy_events_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en"), (2L, baseA, "es")), 0L, dir)
+    FuzzyIngest.ingestBatch(docs((10L, baseA + " tail", "en")), 1L, dir)
+    val ev = IngestEvents.recent(Some(dir))
+    assert(ev.map(_.batchId) === Seq(0L, 1L))
+    assert(ev(0).docsIn === 2 && ev(0).uniqueIn === 1 && ev(0).appended === 1)
+    assert(ev(1).docsIn === 1 && ev(1).appended === 0 && ev(1).suppressed === 1)
   }
 }
