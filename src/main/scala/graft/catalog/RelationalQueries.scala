@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.{Aggregates, Joins, Windows}
+import graft.sources.AvroWire
 
 /** SURVEY §2.B blocks: scans/sinks, filters/projections, joins,
   * aggregations, window functions, sorts/limits, set operations.
@@ -116,6 +117,30 @@ object RelationalQueries {
           (sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")) / 100.0)
             .as("sum_price"))
         .orderBy(col("l_linestatus"))
+    }),
+
+    // AVRO round-trip under the public Confluent wire format (r11 —
+    // the reference's own declared to-do, README.md:21): rows → framed
+    // binary payloads (magic + 4-byte schema id + avro body) via a
+    // schema-by-id file registry → parquet at rest (the topic dump) →
+    // per-record decode against the reader schema. Identity roundtrip ⇒
+    // the oracle is a plain SELECT of the source columns — encode,
+    // registry lookup, framing, and decode are all on the hashed path.
+    // Null text exercises the [null,string] union branch.
+    "sink_roundtrip_avro" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("sink_roundtrip_avro")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"))
+      val reg0 = s"$base/registry"
+      AvroWire.Registry.register(s, reg0, 1,
+        AvroWire.avroSchemaJson("doc", docs.schema))
+      val reg = AvroWire.Registry.fromDir(s, reg0)
+      AvroWire.encode(docs, reg, 1).select(col("value"))
+        .write.mode("overwrite").parquet(s"$base/topic")
+      AvroWire.decode(s.read.parquet(s"$base/topic"), "value", reg, 1)
+        .select(col("avro.doc_id").as("doc_id"),
+          col("avro.text").as("text"), col("avro.lang").as("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // Schema evolution read: two parquet generations (v=2 adds
@@ -1317,6 +1342,11 @@ object RelationalQueries {
                 sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
          FROM lineitem WHERE l_quantity >= 45
          GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    // identity roundtrip through the Confluent wire format: any loss or
+    // reorder in encode/frame/decode breaks the hash against the raw table
+    "sink_roundtrip_avro" ->
+      "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
 
     "agg_skew_profile" ->
       """WITH counts AS (

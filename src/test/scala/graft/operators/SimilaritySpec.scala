@@ -273,4 +273,68 @@ class SimilaritySpec extends SparkSpec {
     // error bound: |err_i| <= scale/2, so err_i^2 <= (max|v|/254)^2
     assert(out.forall(_._4 >= 0L))
   }
+
+  test("ANN similarity join at unit scale equals the exact all-pairs twin (recall 1.0)") {
+    // n ≤ targetCellSize → the index degenerates to one cell and the join
+    // must be EXACTLY the blocked all-pairs output — the recall contract
+    // at the correctness-gate scales
+    val blocked = emb.withColumn("blk", col("label"))
+    val exact = Similarity.blockedSimilarityJoin(blocked, "blk", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val ann = Similarity.annSimilarityJoin(blocked, "blk", 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must produce pairs")
+    assert(ann === exact)
+  }
+
+  test("ANN similarity join: recall >= 0.95 on clustered data with pruning ACTIVE") {
+    // planted clusters — the production shape where an ANN join earns its
+    // keep: 12 well-separated centers (deterministic hash directions),
+    // 50 points each with small perturbations → within-cluster sims high,
+    // cross-cluster ~0. targetCellSize=40 forces k=15 cells (real
+    // pruning), mProbe=2 recovers boundary points.
+    val dim = 16
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim) { d =>
+        // splitmix-style deterministic pseudo-gaussian-ish coordinates
+        var h = seed * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL
+        h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 27)
+        ((h & 0xFFFF).toDouble / 0xFFFF.toDouble - 0.5).toFloat
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until 12
+      p <- 0 until 50
+    } yield {
+      val center = unit(c + 1L)
+      val pert = unit(1000L + c * 50 + p)
+      val eps = 0.25f
+      val v = center.zip(pert).map { case (a, b) => a + eps * b }
+      ((c * 50 + p).toLong, 0, v)
+    }
+    val data = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("blk", col("label"))
+    val threshold = 0.7
+    val exact = Similarity.blockedSimilarityJoin(data, "blk", threshold)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val ann = Similarity.annSimilarityJoin(data, "blk", threshold,
+        targetCellSize = 40, mProbe = 2)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(exact.size > 1000, s"planted clusters must produce many pairs, got ${exact.size}")
+    assert(ann.subsetOf(exact), "verified candidates can never be wrong pairs")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.95, f"ANN join recall $recall%.4f < 0.95 " +
+      s"(${exact.size - ann.size} of ${exact.size} pairs missed)")
+    // and it must actually have pruned: fewer candidate comparisons than
+    // all-pairs is unobservable directly here, but cells > 1 is — assert
+    // via a cell-degenerate run differing from the pruned run's plan is
+    // overkill; instead assert the pruned join STILL misses at least the
+    // cross-cluster chance pairs an exact join finds when they exist, or
+    // (stronger) that k>1 was in effect by construction: 600 rows with
+    // targetCellSize=40 → 15 cells (annSimilarityJoin would equal exact
+    // only if recall were 1.0 anyway, which the bound above allows)
+  }
 }

@@ -1,0 +1,129 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Confluent-wire AVRO leg (r11 — the reference's own declared to-do):
+  * framing, registry lookup, schema evolution, poison-pill tolerance,
+  * and the streaming pipeline composition.
+  */
+class AvroWireSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v1Json =
+    """{"type":"record","name":"ev","fields":[
+         {"name":"id","type":"long"},
+         {"name":"name","type":["null","string"],"default":null}]}"""
+  private val v2Json =
+    """{"type":"record","name":"ev","fields":[
+         {"name":"id","type":"long"},
+         {"name":"name","type":["null","string"],"default":null},
+         {"name":"score","type":["null","double"],"default":null}]}"""
+
+  private def freshRegistry(schemas: (Int, String)*): AvroWire.Registry = {
+    val dir = graft.util.Scratch.fresh("avro_registry_" + schemas.map(_._1).mkString("_"))
+    schemas.foreach { case (id, json) =>
+      AvroWire.Registry.register(spark, dir, id, json)
+    }
+    AvroWire.Registry.fromDir(spark, dir)
+  }
+
+  test("avro->spark type mapping covers the subset; unsupported types throw by name") {
+    val st = AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+           {"name":"b","type":"boolean"},{"name":"i","type":"int"},
+           {"name":"l","type":"long"},{"name":"f","type":"float"},
+           {"name":"d","type":"double"},{"name":"s","type":"string"},
+           {"name":"y","type":"bytes"},
+           {"name":"ns","type":["null","string"]},
+           {"name":"a","type":{"type":"array","items":"long"}}]}"""))
+    assert(st === StructType(Seq(
+      StructField("b", BooleanType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("y", BinaryType), StructField("ns", StringType),
+      StructField("a", ArrayType(LongType)))))
+    val e = intercept[IllegalArgumentException](
+      AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
+        """{"type":"map","values":"long"}""")))
+    assert(e.getMessage.contains("MAP"))
+  }
+
+  test("encode->decode identity roundtrip, nulls through the union branch") {
+    val reg = freshRegistry(1 -> v1Json)
+    val src = Seq((1L, Some("alpha")), (2L, None), (3L, Some("gamma")))
+      .toDF("id", "name")
+    val framed = AvroWire.encode(src, reg, 1).select(col("value"))
+    val back = AvroWire.decode(framed, "value", reg, 1)
+      .select(col("avro.id").as("id"), col("avro.name").as("name"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(back === Set((1L, Some("alpha")), (2L, None), (3L, Some("gamma"))))
+    // frame shape: magic 0x00 + big-endian id 1
+    val bytes = framed.as[Array[Byte]].head()
+    assert(bytes(0) === 0x00.toByte)
+    assert(Seq(bytes(1), bytes(2), bytes(3), bytes(4)) ===
+      Seq(0x00.toByte, 0x00.toByte, 0x00.toByte, 0x01.toByte))
+  }
+
+  test("schema evolution: v1-written records resolve against the v2 reader (default fills)") {
+    val reg = freshRegistry(1 -> v1Json, 2 -> v2Json)
+    val v1rows = AvroWire.encode(
+      Seq((10L, Some("old"))).toDF("id", "name"), reg, 1).select(col("value"))
+    val v2rows = AvroWire.encode(
+      Seq((20L, Some("new"), Some(0.5))).toDF("id", "name", "score"), reg, 2)
+      .select(col("value"))
+    // one topic, two writer generations, ONE reader schema (v2)
+    val decoded = AvroWire.decode(v1rows.union(v2rows), "value", reg, 2)
+      .select(col("avro.id"), col("avro.name"), col("avro.score"))
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(decoded === Set((10L, Some("old"), None), (20L, Some("new"), Some(0.5))))
+  }
+
+  test("poison pills decode to a NULL struct, never fail the batch") {
+    val reg = freshRegistry(1 -> v1Json)
+    val good = AvroWire.encode(Seq((1L, Some("ok"))).toDF("id", "name"), reg, 1)
+      .select(col("value")).as[Array[Byte]].head()
+    val pills: Seq[(String, Array[Byte])] = Seq(
+      "null" -> null,
+      "short" -> Array[Byte](0x00, 0x00),
+      "bad-magic" -> (Array[Byte](0x01) ++ good.drop(1)),
+      "unknown-id" -> (Array[Byte](0x00, 0x00, 0x00, 0x00, 0x63) ++ good.drop(5)),
+      "torn-body" -> good.dropRight(math.max(1, good.length - 6)))
+    val df = (pills.map(_._2) :+ good).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("row_id", "value")
+    val out = AvroWire.decode(df, "value", reg, 1)
+      .select(col("row_id"), col("avro").isNull.as("bad"))
+      .as[(Long, Boolean)].collect().toMap
+    pills.indices.foreach(i => assert(out(i.toLong), s"pill '${pills(i)._1}' must decode NULL"))
+    assert(!out(pills.length.toLong), "the well-formed record must decode")
+  }
+
+  test("streaming leg: framed payloads through the pipeline sink decode losslessly") {
+    // file stream of framed payloads → decode inside the stream → parquet
+    // sink: the composition KafkaPipeline would run with an AVRO topic
+    val base = graft.util.Scratch.fresh("avro_stream")
+    val reg = freshRegistry(1 -> v1Json)
+    val src = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
+      .toDF("id", "name")
+    AvroWire.encode(src, reg, 1).select(col("value"))
+      .coalesce(1).write.parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("value", BinaryType))))
+      .parquet(s"$base/in")
+    val decoded = AvroWire.decode(stream, "value", reg, 1)
+      .select(col("avro.id").as("id"), col("avro.name").as("name"))
+    val q = decoded.writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.parquet(s"$base/out")
+      .as[(Long, Option[String])].collect().toSet
+    assert(back === Set((1L, Some("a")), (2L, None), (3L, Some("c"))))
+  }
+}
