@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * The skew thresholds are tuned to rehearsal size the same way a 100 TB
   * cluster tunes them to executor memory — the DEFAULT 256 MB threshold
   * targets partitions that would spill an executor, which a local[32]
-  * rehearsal at sf1 never reaches; factor 2 / 2 MB makes "hot key ≈ 9×
-  * the median partition" the trigger here exactly as "hot key ≫ spill
+  * rehearsal at sf1 never reaches; the 512 KB skewed-partition threshold
+  * with a 256 KB advisory size (the two configs below) makes "hot key ≈
+  * 9× the median partition" the trigger here exactly as "hot key ≫ spill
   * size" is the trigger there. The consumer is a GLOBAL aggregate: a
   * groupBy on the join key would pin the join's output partitioning and
   * OptimizeSkewedJoin would (correctly) refuse to split.

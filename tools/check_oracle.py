@@ -53,7 +53,13 @@ def check_tolerance(con, out_dir, name, spec):
     # sorting by them would itself mispair); ties and all-numeric schemas
     # fall back to input order (stable sort / no-op).
     def is_numeric_col(k):
-        return any(isinstance(r[ix[k]], (int, float))
+        # numbers.Number (minus bool) rather than (int, float): DuckDB
+        # fetches DECIMAL columns as decimal.Decimal, which the narrower
+        # isinstance would misclassify as a sort key over band-differing
+        # values — reintroducing the row mispairing this sort prevents
+        # (ADVICE r10).
+        import numbers
+        return any(isinstance(r[ix[k]], numbers.Number)
                    and not isinstance(r[ix[k]], bool)
                    for rows, ix in ((s_rows, s_ix), (o_rows, o_ix))
                    for r in rows)
@@ -66,11 +72,15 @@ def check_tolerance(con, out_dir, name, spec):
     s_rows = sort_side(s_rows, s_ix)
     o_rows = sort_side(o_rows, o_ix)
     max_rel = 0.0
+    import numbers
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
         for c in range(len(s_ix)):
             a, b = sr[s_ix[c]], orow[o_ix[c]]
-            if isinstance(a, (int, float)) and isinstance(b, (int, float)) \
+            if isinstance(a, numbers.Number) and isinstance(b, numbers.Number) \
                     and not isinstance(a, bool) and not isinstance(b, bool):
+                # float() both sides: a DuckDB DECIMAL arrives as
+                # decimal.Decimal, and Decimal minus float raises TypeError
+                a, b = float(a), float(b)
                 rel = abs(a - b) / max(abs(b), 1.0)
                 max_rel = max(max_rel, rel)
                 # `not (rel <= tol)` so NaN (from a NaN spark value) fails
