@@ -59,6 +59,21 @@ object LlmQueries {
   private def dedupBlocked(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("blk", compositeBlockKey(DedupBits))
 
+  /** The embed-dedup family's pair source (r11): the SHIPPED ANN
+    * candidate path over the composite block — a fixed (label, sign)
+    * block key alone leaves block size ∝ corpus under a hot label, which
+    * the r11 skewed decade measured quadratic (llm_cluster_stats 7.1 s →
+    * 253 s sf1→sf10 skew, exponent ~1.55); data-sized IVF cells bound
+    * every compared block. targetCellSize=4000 keeps the join EXACT (one
+    * cell ⇒ identical to `blockedSimilarityJoin`) at every oracle scale
+    * — sf0.001/0.01 embeddings are 20/200 rows, with 20× regen headroom
+    * — so the family's full hash oracles pin real output; pruning only
+    * activates at decade scales the SQL gate never runs.
+    */
+  private def dedupPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.annSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold,
+      targetCellSize = 4000)
+
   /** DuckDB block-key expression twinned with [[dedupBlocked]] — same bits,
     * same null-label coalescing.
     */
@@ -257,7 +272,7 @@ object LlmQueries {
     // semantic 0.35 near-dup line; DedupBits=2 keeps the sf0.01 pair set
     // non-trivial there (9 pairs vs 26 under label-only blocking).
     "llm_dedup_embed" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
+      val pairs = dedupPairs(s, d)
       val w = Window.partitionBy(col("b_id")).orderBy(desc("sim"), col("a_id"))
       pairs.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -270,7 +285,7 @@ object LlmQueries {
     // components via large-star/small-star contraction). Same composite
     // blocking as llm_dedup_embed.
     "llm_dedup_clusters" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
+      val pairs = dedupPairs(s, d)
       Dedup.connectedComponents(pairs)
         .orderBy(col("id"))
     }),
@@ -282,7 +297,7 @@ object LlmQueries {
     // the degenerate-broadcast form PlanSweepSpec whitelists). All
     // aggregates run over the tiny CC output, never the corpus.
     "llm_cluster_stats" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
+      val pairs = dedupPairs(s, d)
       val cc = Dedup.connectedComponents(pairs)
       val bySize = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
@@ -302,7 +317,7 @@ object LlmQueries {
     // (drop every clustered doc except its cluster's min id) — the
     // training-set-side composition of pairs → clusters → keep set.
     "llm_dedup_keep" -> ((s, d) => {
-      val pairs = Similarity.blockedSimilarityJoin(dedupBlocked(s, d), "blk", DedupThreshold)
+      val pairs = dedupPairs(s, d)
       val dropped = Dedup.connectedComponents(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
