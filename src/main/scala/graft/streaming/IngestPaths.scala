@@ -35,4 +35,44 @@ private[streaming] object IngestPaths {
     md.digest(canonical(s, dir).getBytes(StandardCharsets.UTF_8))
       .take(6).map(b => f"$b%02x").mkString
   }
+
+  // ---------------------------------------------------------------------
+  // Compaction intent log — shared by CorpusIngest and FuzzyIngest
+  // ---------------------------------------------------------------------
+
+  /** The compaction INTENT record for a state dir: a one-entry redo log
+    * making compact crash-atomic (ADVICE r11). Written durably
+    * (tmp+rename) before compaction touches any state, cleared after the
+    * last step; every serving entry point rolls a pending record forward
+    * first. The underscore prefix keeps the file invisible to parquet's
+    * FileIndex, so it may live inside a table directory.
+    */
+  def markerPath(dir: String): Path = new Path(dir, "_compact_pending")
+
+  def writeMarker(s: SparkSession, dir: String, upToBatch: Long): Unit = {
+    val dst = markerPath(dir)
+    val fs = dst.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, "_compact_pending.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"upToBatch=$upToBatch\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) sys.error(s"compact marker rename failed: $dst")
+  }
+
+  def readMarker(s: SparkSession, dir: String): Option[Long] = {
+    val p = markerPath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    txt.linesIterator.map(_.split("=", 2))
+      .collectFirst { case Array("upToBatch", v) => v.trim.toLong }
+  }
+
+  def clearMarker(s: SparkSession, dir: String): Unit = {
+    val p = markerPath(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
+  }
 }

@@ -283,10 +283,12 @@ class CorpusIngestSpec extends SparkSpec {
       .withColumn("__len", length(col("text")))
       .write.parquet(probeSrc)
     val planStr = s2.read.parquet(probeSrc)
-      .filter(CorpusIngest.probeColumn(st))
+      .filter(CorpusIngest.probeColumn(s2, st))
       .queryExecution.executedPlan.toString
-    assert(planStr.contains("might_contain"),
-      s"probe must be the native bloom expression:\n$planStr")
+    assert(planStr.contains("bloom_bank_might_contain"),
+      s"probe must be the broadcast bloom-bank expression:\n$planStr")
+    assert(!planStr.contains("0x"), // no multi-MB binary literal hexdump
+      s"probe plan must carry the broadcast handle, not sketch bytes:\n$planStr")
 
     // end-to-end: saturated-bucket dup still suppressed (join path),
     // live-bucket dup suppressed via bloom→join, live-bucket new survives
@@ -329,5 +331,52 @@ class CorpusIngestSpec extends SparkSpec {
     assert(e1.bloomProbable >= 1,
       "the re-delivered digest must route through the bloom to the join")
     assert(e1.line.contains("suppressed=1"), e1.line)
+  }
+
+  test("a crashed compact is rolled forward before any read or merge (intent log)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    def docs2(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "text", "lang")
+    val dir = graft.util.Scratch.fresh("ingest_crash_compact_spec")
+    CorpusIngest.ingestBatch(docs2((1L, "alpha", "en"), (2L, "beta", "en")), 0L, dir)
+    CorpusIngest.ingestBatch(docs2((10L, "gamma", "en"), (11L, "alpha", "de")), 1L, dir)
+    CorpusIngest.ingestBatch(docs2((20L, "delta", "en")), 2L, dir)
+    val expected = Set((0L, 1L), (0L, 2L), (1L, 10L), (2L, 20L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s2.sparkContext.hadoopConfiguration)
+    def partitions() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSet
+    def manifestSet() = CorpusIngest.manifest(s2, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+
+    // crash point A — earliest: compact durably recorded its intent and
+    // died before touching ANY state. The next manifest() read completes
+    // the whole compaction before serving.
+    CorpusIngest.writeCompactMarker(s2, dir, 1L)
+    assert(manifestSet() === expected,
+      "roll-forward must yield exactly the compacted rows, no duplicates")
+    assert(partitions() === Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=2"),
+      s"roll-forward must consolidate the marked batches: ${partitions()}")
+    assert(!fs.exists(IngestPaths.markerPath(dir)),
+      "the intent marker must be cleared once rolled forward")
+
+    // crash point B — latest: everything done, marker not yet cleared.
+    // Re-running the body over already-compacted state must converge
+    // (consolidation re-reads the consolidated partition and dedups).
+    CorpusIngest.writeCompactMarker(s2, dir, 1L)
+    assert(manifestSet() === expected, "re-rolled compaction must converge")
+    assert(!fs.exists(IngestPaths.markerPath(dir)))
+
+    // and the heal also runs on the MERGE path: a pending marker plus an
+    // arriving batch → reconcile rolls forward first, then ingests
+    CorpusIngest.writeCompactMarker(s2, dir, 1L)
+    CorpusIngest.ingestBatch(docs2((30L, "alpha", "fr"), (31L, "zeta", "en")), 3L, dir)
+    assert(!fs.exists(IngestPaths.markerPath(dir)))
+    assert(manifestSet() === expected + ((3L, 31L)),
+      "post-heal ingest must suppress compacted digests and append the new one")
   }
 }

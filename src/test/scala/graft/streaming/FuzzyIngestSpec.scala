@@ -209,4 +209,41 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(ev(0).docsIn === 2 && ev(0).uniqueIn === 1 && ev(0).appended === 1)
     assert(ev(1).docsIn === 1 && ev(1).appended === 0 && ev(1).suppressed === 1)
   }
+
+  test("a crashed compact is rolled forward before any read or merge (intent log)") {
+    val dir = graft.util.Scratch.fresh("fuzzy_crash_compact_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en"), (2L, baseB, "en")), 0L, dir)
+    FuzzyIngest.ingestBatch(docs((10L, baseC, "en")), 1L, dir)
+    FuzzyIngest.ingestBatch(docs((20L, "tiny unrelated text here", "es")), 2L, dir)
+    val expected = Set((0L, 1L), (0L, 2L), (1L, 10L), (2L, 20L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def indexSet() = FuzzyIngest.index(spark, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+
+    // crash right after the intent write: the next index() read completes
+    // the compaction (BOTH tables) before serving
+    IngestPaths.writeMarker(spark, dir, 1L)
+    assert(indexSet() === expected,
+      "roll-forward must yield exactly the compacted index, no duplicates")
+    assert(!fs.exists(IngestPaths.markerPath(dir)), "marker must be cleared")
+    for (sub <- Seq("sigs", "bands")) {
+      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSet
+      assert(parts === Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=2"),
+        s"$sub partitions after roll-forward: $parts")
+    }
+
+    // heal also runs on the merge path, and suppression still sees the
+    // consolidated history: a near-dup of compacted A is dropped
+    IngestPaths.writeMarker(spark, dir, 1L)
+    FuzzyIngest.ingestBatch(docs(
+      (30L, baseA.replace("alpha7", "edited"), "fr"), (31L, "another tiny doc", "en")),
+      3L, dir)
+    assert(!fs.exists(IngestPaths.markerPath(dir)))
+    assert(indexSet() === expected + ((3L, 31L)),
+      "post-heal ingest must suppress near-dups of compacted docs")
+  }
 }
