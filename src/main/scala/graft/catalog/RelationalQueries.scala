@@ -143,6 +143,32 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // AVRO logical-type round-trip (r11): decimal-over-bytes, date, and
+    // timestamp-micros through the same wire framing — the typed-payload
+    // half of the registry surface (a real topic's records carry money
+    // and event times, not just strings). Identity roundtrip, so the
+    // oracle is a plain typed SELECT — any scale drift, tz shift, or
+    // precision loss in the carrier mapping breaks the hash.
+    "sink_roundtrip_avro_logical" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("sink_roundtrip_avro_logical")
+      val src = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_totalprice").cast("decimal(15,2)").as("price"),
+        col("o_orderdate").as("ts"),
+        col("o_orderdate").cast("date").as("day"))
+      val reg0 = s"$base/registry"
+      AvroWire.Registry.register(s, reg0, 7,
+        AvroWire.avroSchemaJson("order", src.schema))
+      val reg = AvroWire.Registry.fromDir(s, reg0)
+      AvroWire.encode(src, reg, 7).select(col("value"))
+        .write.mode("overwrite").parquet(s"$base/topic")
+      AvroWire.decode(s.read.parquet(s"$base/topic"), "value", reg, 7)
+        .select(col("avro.o_orderkey").as("o_orderkey"),
+          col("avro.price").as("price"), col("avro.ts").as("ts"),
+          col("avro.day").as("day"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Schema evolution read: two parquet generations (v=2 adds
     // o_totalprice), merged with mergeSchema — rows from the old
     // generation surface the new column as NULL, and the generation
@@ -1347,6 +1373,13 @@ object RelationalQueries {
     // reorder in encode/frame/decode breaks the hash against the raw table
     "sink_roundtrip_avro" ->
       "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
+
+    // typed identity roundtrip: decimal/date/timestamp survive the Avro
+    // logical-type carriers bit-exactly
+    "sink_roundtrip_avro_logical" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) AS price,
+                o_orderdate AS ts, CAST(o_orderdate AS DATE) AS day
+         FROM orders ORDER BY o_orderkey""",
 
     "agg_skew_profile" ->
       """WITH counts AS (

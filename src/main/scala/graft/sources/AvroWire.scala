@@ -6,7 +6,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.Schema
+import org.apache.avro.{LogicalTypes, Schema}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.hadoop.fs.Path
@@ -44,10 +44,13 @@ import org.apache.spark.sql.types._
   * (`main.rs:240-247`: invalid bytes → `""`), lifted to records.
   *
   * Supported Avro subset (mapped in [[sparkType]]): boolean/int/long/
-  * float/double/string/bytes, `union[null, T]` as nullable T, arrays of
-  * those, and a top-level record of such fields — the Kafka-payload
-  * shapes; anything else throws at schema-translation time with the
-  * unsupported type named.
+  * float/double/string/bytes, `union[null, T]` as nullable T, arrays and
+  * string-keyed maps of those, enums (as strings), fixed (as bytes),
+  * records nested to any depth, and the common logical types — decimal
+  * (over bytes or fixed), date, timestamp-millis/micros (r11, ADVICE:
+  * the first cut stopped at flat primitive records). Anything else
+  * (duration, local-timestamp, multi-branch unions) throws at
+  * schema-translation time with the unsupported type named.
   */
 object AvroWire {
 
@@ -95,26 +98,38 @@ object AvroWire {
   }
 
   /** Spark type for the supported Avro subset; throws naming the
-    * unsupported type otherwise.
+    * unsupported type otherwise. Logical types take precedence over
+    * their carrier primitive (a decimal is a decimal, not bytes).
     */
-  def sparkType(avro: Schema): DataType = avro.getType match {
-    case Schema.Type.BOOLEAN => BooleanType
-    case Schema.Type.INT => IntegerType
-    case Schema.Type.LONG => LongType
-    case Schema.Type.FLOAT => FloatType
-    case Schema.Type.DOUBLE => DoubleType
-    case Schema.Type.STRING => StringType
-    case Schema.Type.BYTES => BinaryType
-    case Schema.Type.ARRAY => ArrayType(sparkType(avro.getElementType))
-    case Schema.Type.UNION =>
-      val nonNull = avro.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-      if (nonNull.size != 1) throw new IllegalArgumentException(
-        s"unsupported Avro union (only [null, T]): $avro")
-      sparkType(nonNull.head)
-    case Schema.Type.RECORD => StructType(avro.getFields.asScala.toSeq.map(f =>
-      StructField(f.name, sparkType(f.schema), nullable = true)))
-    case other => throw new IllegalArgumentException(
-      s"unsupported Avro type $other in $avro")
+  def sparkType(avro: Schema): DataType = avro.getLogicalType match {
+    case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+    case _: LogicalTypes.Date => DateType
+    case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros =>
+      TimestampType
+    case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros =>
+      TimestampNTZType
+    case _ => avro.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG => LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => BinaryType
+      case Schema.Type.ENUM => StringType
+      case Schema.Type.FIXED => BinaryType
+      case Schema.Type.ARRAY => ArrayType(sparkType(avro.getElementType))
+      case Schema.Type.MAP => MapType(StringType, sparkType(avro.getValueType))
+      case Schema.Type.UNION =>
+        val nonNull = avro.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (nonNull.size != 1) throw new IllegalArgumentException(
+          s"unsupported Avro union (only [null, T]): $avro")
+        sparkType(nonNull.head)
+      case Schema.Type.RECORD => StructType(avro.getFields.asScala.toSeq.map(f =>
+        StructField(f.name, sparkType(f.schema), nullable = true)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro type $other in $avro")
+    }
   }
 
   private def nonNullBranch(s: Schema): Schema = s.getType match {
@@ -123,39 +138,129 @@ object AvroWire {
     case _ => s
   }
 
-  /** Avro datum → Spark external value (Utf8 → String, ByteBuffer →
-    * Array[Byte], record → Row).
-    */
-  private def toSpark(datum: Any, schema: Schema): Any = datum match {
-    case null => null
-    case r: GenericRecord =>
-      val rs = nonNullBranch(schema)
-      Row.fromSeq(rs.getFields.asScala.toSeq.map(f =>
-        toSpark(r.get(f.pos), f.schema)))
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case s: CharSequence => s.toString
-    case b: ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case l: java.util.List[_] =>
-      val el = nonNullBranch(schema).getElementType
-      l.asScala.toSeq.map(toSpark(_, el))
-    case other => other
+  private def bufBytes(b: ByteBuffer): Array[Byte] = {
+    val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
   }
 
-  /** Spark external value → Avro datum for [[encode]]. */
-  private def toAvro(value: Any, schema: Schema): Any = value match {
-    case null => null
-    case r: Row =>
-      val rs = nonNullBranch(schema)
-      val rec = new GenericData.Record(rs)
-      rs.getFields.asScala.foreach(f => rec.put(f.pos, toAvro(r.get(f.pos), f.schema)))
-      rec
-    case b: Array[Byte] => ByteBuffer.wrap(b)
-    case sq: scala.collection.Seq[_] =>
-      val el = nonNullBranch(schema).getElementType
-      sq.map(toAvro(_, el)).asJava
-    case f: Float => java.lang.Float.valueOf(f)
-    case other => other
+  /** Avro datum → Spark external value (Utf8 → String, ByteBuffer →
+    * Array[Byte], record → Row, enum → String, map → Map, logical
+    * decimal/date/timestamp → BigDecimal/Date/Timestamp). Logical types
+    * are dispatched on the SCHEMA first — a decimal's carrier ByteBuffer
+    * must become a BigDecimal, not raw bytes.
+    */
+  private def toSpark(datum: Any, schema: Schema): Any = {
+    if (datum == null) return null
+    val rs = nonNullBranch(schema)
+    rs.getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        val unscaled = datum match {
+          case b: ByteBuffer => bufBytes(b)
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+        }
+        new java.math.BigDecimal(new java.math.BigInteger(unscaled), d.getScale)
+      case _: LogicalTypes.Date =>
+        java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(datum.asInstanceOf[Int].toLong))
+      case _: LogicalTypes.TimestampMillis =>
+        new java.sql.Timestamp(datum.asInstanceOf[Long])
+      case _: LogicalTypes.TimestampMicros =>
+        val micros = datum.asInstanceOf[Long]
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        t
+      case _: LogicalTypes.LocalTimestampMillis =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(datum.asInstanceOf[Long], 1000L),
+          (Math.floorMod(datum.asInstanceOf[Long], 1000L) * 1000000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case _: LogicalTypes.LocalTimestampMicros =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(datum.asInstanceOf[Long], 1000000L),
+          (Math.floorMod(datum.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case _ => datum match {
+        case r: GenericRecord =>
+          Row.fromSeq(rs.getFields.asScala.toSeq.map(f =>
+            toSpark(r.get(f.pos), f.schema)))
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+        case s: CharSequence => s.toString
+        case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+        case b: ByteBuffer => bufBytes(b)
+        case l: java.util.List[_] =>
+          val el = rs.getElementType
+          l.asScala.toSeq.map(toSpark(_, el))
+        case m: java.util.Map[_, _] =>
+          val vt = rs.getValueType
+          m.asScala.map { case (k, v) => k.toString -> toSpark(v, vt) }.toMap
+        case other => other
+      }
+    }
+  }
+
+  /** Spark external value → Avro datum for [[encode]]. Mirrors
+    * [[toSpark]]'s logical-type dispatch; decimal encodes over BYTES
+    * (decimal-over-fixed is decode-only — the registry schemas this
+    * library writes use the bytes carrier).
+    */
+  private def toAvro(value: Any, schema: Schema): Any = {
+    if (value == null) return null
+    val rs = nonNullBranch(schema)
+    rs.getLogicalType match {
+      case d: LogicalTypes.Decimal =>
+        val bd = value.asInstanceOf[java.math.BigDecimal].setScale(d.getScale)
+        ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+      case _: LogicalTypes.Date =>
+        val epochDay = value match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+        }
+        java.lang.Integer.valueOf(epochDay.toInt)
+      case _: LogicalTypes.TimestampMillis =>
+        val millis = value match {
+          case t: java.sql.Timestamp => t.getTime
+          case i: java.time.Instant => i.toEpochMilli
+        }
+        java.lang.Long.valueOf(millis)
+      case _: LogicalTypes.TimestampMicros =>
+        val micros = value match {
+          case t: java.sql.Timestamp =>
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          case i: java.time.Instant =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        java.lang.Long.valueOf(micros)
+      case _: LogicalTypes.LocalTimestampMillis =>
+        val ldt = value.asInstanceOf[java.time.LocalDateTime]
+        java.lang.Long.valueOf(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000L +
+            ldt.getNano / 1000000L)
+      case _: LogicalTypes.LocalTimestampMicros =>
+        val ldt = value.asInstanceOf[java.time.LocalDateTime]
+        java.lang.Long.valueOf(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+            ldt.getNano / 1000L)
+      case _ => value match {
+        case r: Row =>
+          val rec = new GenericData.Record(rs)
+          rs.getFields.asScala.foreach(f =>
+            rec.put(f.pos, toAvro(r.get(f.pos), f.schema)))
+          rec
+        case b: Array[Byte] if rs.getType == Schema.Type.FIXED =>
+          new GenericData.Fixed(rs, b)
+        case b: Array[Byte] => ByteBuffer.wrap(b)
+        case s: String if rs.getType == Schema.Type.ENUM =>
+          new GenericData.EnumSymbol(rs, s)
+        case sq: scala.collection.Seq[_] =>
+          val el = rs.getElementType
+          sq.map(toAvro(_, el)).asJava
+        case m: scala.collection.Map[_, _] =>
+          val vt = rs.getValueType
+          m.map { case (k, v) => k.toString -> toAvro(v, vt) }.toMap.asJava
+        case f: Float => java.lang.Float.valueOf(f)
+        case other => other
+      }
+    }
   }
 
   /** Decode a Confluent-framed binary column against `readerSchemaId`'s
@@ -249,6 +354,7 @@ object AvroWire {
     * keeps query/spec schemas single-sourced.
     */
   def avroSchemaJson(name: String, st: StructType): String = {
+    var nested = 0 // Avro record names must be unique within a schema
     def typ(dt: DataType, nullable: Boolean): String = {
       val base = dt match {
         case BooleanType => "\"boolean\""
@@ -258,16 +364,31 @@ object AvroWire {
         case DoubleType => "\"double\""
         case StringType => "\"string\""
         case BinaryType => "\"bytes\""
+        case d: DecimalType =>
+          s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
+        case DateType => """{"type":"int","logicalType":"date"}"""
+        case TimestampType =>
+          """{"type":"long","logicalType":"timestamp-micros"}"""
+        case TimestampNTZType =>
+          """{"type":"long","logicalType":"local-timestamp-micros"}"""
         case ArrayType(el, elNullable) =>
           s"""{"type":"array","items":${typ(el, elNullable)}}"""
+        case MapType(StringType, v, vNullable) =>
+          s"""{"type":"map","values":${typ(v, vNullable)}}"""
+        case nestedSt: StructType =>
+          nested += 1
+          record(s"${name}_n$nested", nestedSt)
         case other => throw new IllegalArgumentException(
           s"unsupported Spark type for Avro mapping: $other")
       }
       if (nullable) s"""["null",$base]""" else base
     }
-    val fields = st.fields.map(f =>
-      s"""{"name":"${f.name}","type":${typ(f.dataType, f.nullable)}${
-        if (f.nullable) ",\"default\":null" else ""}}""").mkString(",")
-    s"""{"type":"record","name":"$name","fields":[$fields]}"""
+    def record(recName: String, rst: StructType): String = {
+      val fields = rst.fields.map(f =>
+        s"""{"name":"${f.name}","type":${typ(f.dataType, f.nullable)}${
+          if (f.nullable) ",\"default\":null" else ""}}""").mkString(",")
+      s"""{"type":"record","name":"$recName","fields":[$fields]}"""
+    }
+    record(name, st)
   }
 }

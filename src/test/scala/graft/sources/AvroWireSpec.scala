@@ -48,8 +48,98 @@ class AvroWireSpec extends SparkSpec {
       StructField("a", ArrayType(LongType)))))
     val e = intercept[IllegalArgumentException](
       AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
-        """{"type":"map","values":"long"}""")))
-    assert(e.getMessage.contains("MAP"))
+        """["int","string"]"""))) // multi-branch union: still out of subset
+    assert(e.getMessage.contains("union"))
+  }
+
+  test("extended subset mapping: map/enum/fixed/nested record/logical types") {
+    val st = AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+           {"name":"m","type":{"type":"map","values":"long"}},
+           {"name":"e","type":{"type":"enum","name":"col","symbols":["RED","BLUE"]}},
+           {"name":"x","type":{"type":"fixed","name":"f16","size":16}},
+           {"name":"n","type":{"type":"record","name":"inner","fields":[
+             {"name":"a","type":"int"}]}},
+           {"name":"dec","type":{"type":"bytes","logicalType":"decimal","precision":15,"scale":2}},
+           {"name":"day","type":{"type":"int","logicalType":"date"}},
+           {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+           {"name":"lts","type":{"type":"long","logicalType":"local-timestamp-micros"}}]}"""))
+    assert(st === StructType(Seq(
+      StructField("m", MapType(StringType, LongType)),
+      StructField("e", StringType),
+      StructField("x", BinaryType),
+      StructField("n", StructType(Seq(StructField("a", IntegerType)))),
+      StructField("dec", DecimalType(15, 2)),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("lts", TimestampNTZType))))
+  }
+
+  test("roundtrip: map, nested struct, decimal, date, ntz timestamp survive the wire") {
+    val src = Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L), ("x", 7),
+        new java.math.BigDecimal("12345.67"),
+        java.sql.Date.valueOf("1997-03-14"),
+        java.time.LocalDateTime.parse("1997-03-14T12:34:56.123456")),
+      (2L, Map.empty[String, Long], ("y", -1),
+        new java.math.BigDecimal("-0.05"),
+        java.sql.Date.valueOf("1969-12-31"), // pre-epoch: negative epochDay
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59.000001")))
+      .toDF("id", "m", "n", "dec", "day", "lts")
+      .withColumn("dec", col("dec").cast("decimal(15,2)"))
+    val reg = freshRegistry(9 -> AvroWire.avroSchemaJson("wide", src.schema))
+    val back = AvroWire.decode(
+        AvroWire.encode(src, reg, 9).select(col("value")), "value", reg, 9)
+      .select(col("avro.*"))
+    // decode maps every level nullable (Avro union semantics)
+    assert(back.schema === StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("n", StructType(Seq(
+        StructField("_1", StringType), StructField("_2", IntegerType)))),
+      StructField("dec", DecimalType(15, 2)),
+      StructField("day", DateType),
+      StructField("lts", TimestampNTZType))))
+    val rows = back.collect().map(r => (r.getLong(0), r.getMap[String, Long](1).toMap,
+      r.getStruct(2), r.getDecimal(3), r.getDate(4).toString,
+      r.getAs[java.time.LocalDateTime](5))).toSet
+    assert(rows === Set(
+      (1L, Map("a" -> 1L, "b" -> 2L), Row("x", 7),
+        new java.math.BigDecimal("12345.67"), "1997-03-14",
+        java.time.LocalDateTime.parse("1997-03-14T12:34:56.123456")),
+      (2L, Map.empty[String, Long], Row("y", -1),
+        new java.math.BigDecimal("-0.05"), "1969-12-31",
+        java.time.LocalDateTime.parse("1969-12-31T23:59:59.000001"))))
+  }
+
+  test("decode-only carriers: enum and decimal-over-fixed resolve from a foreign writer") {
+    // a record only an external producer would write: enum symbol + a
+    // decimal carried over FIXED(4) — encode it with avro-core directly
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val json =
+      """{"type":"record","name":"ext","fields":[
+           {"name":"c","type":{"type":"enum","name":"col","symbols":["RED","BLUE"]}},
+           {"name":"p","type":{"type":"fixed","name":"d4","size":4,
+             "logicalType":"decimal","precision":7,"scale":3}}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(json)
+    val rec = new GenericData.Record(schema)
+    rec.put("c", new GenericData.EnumSymbol(schema.getField("c").schema(), "BLUE"))
+    // unscaled 1234567 → 1234.567 at scale 3, big-endian sign-extended to 4 bytes
+    val unscaled = java.math.BigInteger.valueOf(1234567L).toByteArray
+    val padded = new Array[Byte](4)
+    System.arraycopy(unscaled, 0, padded, 4 - unscaled.length, unscaled.length)
+    rec.put("p", new GenericData.Fixed(schema.getField("p").schema(), padded))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x00); bos.write(0); bos.write(0); bos.write(0); bos.write(5)
+    val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val reg = freshRegistry(5 -> json)
+    val out = AvroWire.decode(
+        Seq(Tuple1(bos.toByteArray)).toDF("value"), "value", reg, 5)
+      .select(col("avro.c"), col("avro.p")).collect().head
+    assert(out.getString(0) === "BLUE")
+    assert(out.getDecimal(1) === new java.math.BigDecimal("1234.567"))
   }
 
   test("encode->decode identity roundtrip, nulls through the union branch") {
