@@ -3,6 +3,7 @@ package graft.pipeline
 import scala.annotation.tailrec
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** R12: the reference's CLI entry point (main.rs:312-394), Spark-native.
   *
@@ -20,16 +21,25 @@ import org.apache.spark.sql.SparkSession
   * source/sink for a parquet directory with the same record schema, and
   * `--output-dir`/`--checkpoint-dir` relocate the reference's hardcoded
   * `output` dir (main.rs:285-294).
+  *
+  * Surface extension BEYOND the reference (its own declared to-do,
+  * README.md:21): `--avro-registry <dir> --avro-schema-id <n>` decode
+  * Confluent-framed AVRO payloads against a schema-by-id registry
+  * ([[graft.sources.AvroWire]]); the sink then persists the reference's
+  * `b` column PLUS the decoded record's typed columns, and poison pills
+  * yield NULL decoded columns instead of failing the stream.
   */
 object PipelineCli {
 
   case class ParsedCli(config: PipelineConfig, producer: Boolean,
-      logConf: Option[String], fileSource: Option[String])
+      logConf: Option[String], fileSource: Option[String],
+      avroRegistry: Option[String] = None, avroSchemaId: Option[Int] = None)
 
   val usage: String =
     """usage: PipelineCli -t <topic> [-b <brokers>] [-g <group-id>] [-m C|p]
       |                   [-n <num-messages>] [--log-conf <conf>]
-      |                   [--file-source <dir>] [--output-dir <dir>] [--checkpoint-dir <dir>]""".stripMargin
+      |                   [--file-source <dir>] [--output-dir <dir>] [--checkpoint-dir <dir>]
+      |                   [--avro-registry <dir> --avro-schema-id <n>]""".stripMargin
 
   private val flagNames = Map(
     "-b" -> "brokers", "--brokers" -> "brokers",
@@ -40,7 +50,9 @@ object PipelineCli {
     "-n" -> "num-messages", "--num-messages" -> "num-messages",
     "--file-source" -> "file-source",
     "--output-dir" -> "output-dir",
-    "--checkpoint-dir" -> "checkpoint-dir")
+    "--checkpoint-dir" -> "checkpoint-dir",
+    "--avro-registry" -> "avro-registry",
+    "--avro-schema-id" -> "avro-schema-id")
 
   @tailrec
   private def collect(rest: List[String],
@@ -66,6 +78,10 @@ object PipelineCli {
         case (Some(topic), nStr) => nStr.toIntOption match {
           case None => Left(s"-n/--num-messages must be an integer, got: $nStr")
           case Some(n) if n <= 0 => Left(s"-n/--num-messages must be positive, got: $n")
+          case Some(_) if m.contains("avro-registry") != m.contains("avro-schema-id") =>
+            Left("--avro-registry and --avro-schema-id must be given together")
+          case Some(_) if m.get("avro-schema-id").exists(_.toIntOption.isEmpty) =>
+            Left(s"--avro-schema-id must be an integer, got: ${m("avro-schema-id")}")
           case Some(n) => Right(ParsedCli(
             PipelineConfig(
               brokers = m.getOrElse("brokers", "localhost:9092"),
@@ -76,7 +92,9 @@ object PipelineCli {
               checkpointDir = m.getOrElse("checkpoint-dir", "checkpoint")),
             producer = m.get("mode").contains("p"),
             logConf = m.get("log-conf"),
-            fileSource = m.get("file-source")))
+            fileSource = m.get("file-source"),
+            avroRegistry = m.get("avro-registry"),
+            avroSchemaId = m.get("avro-schema-id").map(_.toInt)))
         }
       }
     }
@@ -127,8 +145,18 @@ object PipelineCli {
         KafkaPipeline.fileStream(spark, dir, spark.read.parquet(dir).schema)
       case None => KafkaPipeline.kafkaStream(spark, p.config)
     }
-    val q = KafkaPipeline.parquetSink(
-      KafkaPipeline.fidelityProjection(src), p.config).start()
+    val projected = (p.avroRegistry, p.avroSchemaId) match {
+      case (Some(regDir), Some(id)) =>
+        // the reference's declared to-do (README.md:21), live: per-record
+        // schema-resolved decode, typed columns beside the b projection
+        System.err.println(s"[pipeline] avro decode: registry=$regDir reader-schema-id=$id")
+        val reg = graft.sources.AvroWire.Registry.fromDir(spark, regDir)
+        graft.sources.AvroWire
+          .decode(KafkaPipeline.payloadAsString(src), "value", reg, id)
+          .select(col("b"), col("avro.*"))
+      case _ => KafkaPipeline.fidelityProjection(src)
+    }
+    val q = KafkaPipeline.parquetSink(projected, p.config).start()
     q.awaitTermination()
   }
 

@@ -107,4 +107,45 @@ class PipelineCliSpec extends SparkSpec {
       .map(_.getName).filter(_.endsWith(".parquet")).toSet
     assert(names2 == expected, s"wiped dir must renumber from batch_0: got $names2")
   }
+
+  test("avro flags: paired validation and typed end-to-end decode with a poison pill") {
+    import graft.sources.AvroWire
+    assert(PipelineCli.parse(Array("-t", "x", "--avro-registry", "/r")).isLeft,
+      "--avro-registry without --avro-schema-id must be rejected")
+    assert(PipelineCli.parse(Array("-t", "x", "--avro-schema-id", "zz",
+      "--avro-registry", "/r")).isLeft, "non-integer schema id must be rejected")
+
+    val base = Files.createTempDirectory("graft_cli_avro").toString
+    val regDir = s"$base/registry"
+    val json = """{"type":"record","name":"ev","fields":[
+        {"name":"id","type":"long"},{"name":"name","type":["null","string"],"default":null}]}"""
+    AvroWire.Registry.register(spark, regDir, 3, json)
+    val reg = AvroWire.Registry.fromDir(spark, regDir)
+    import spark.implicits._
+    val framed = AvroWire.encode(
+        Seq((1L, Some("a")), (2L, None)).toDF("id", "name"), reg, 3)
+      .select(col("value"))
+    val pill = Seq(Tuple1("not avro at all".getBytes("UTF-8"))).toDF("value")
+    framed.union(pill).write.parquet(s"$base/src")
+
+    val Right(cons) = PipelineCli.parse(Array(
+      "-t", "test", "--file-source", s"$base/src",
+      "--avro-registry", regDir, "--avro-schema-id", "3",
+      "--output-dir", s"$base/out", "--checkpoint-dir", s"$base/chk")): @unchecked
+    PipelineCli.runConsumer(spark, cons)
+
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.schema.fieldNames.toSeq == Seq("b", "id", "name"),
+      "sink must persist the b projection plus the decoded typed columns")
+    val rows = out.select(col("id"), col("name"), col("b")).collect()
+    assert(rows.length == 3)
+    val decoded = rows.filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(decoded === Set((1L, Some("a")), (2L, None)))
+    // the pill: NULL decoded columns, b falls back to the reference's
+    // UTF-8 projection (valid UTF-8 here, so the raw text survives)
+    val pillRow = rows.filter(_.isNullAt(0))
+    assert(pillRow.length == 1 && pillRow.head.getString(2) == "not avro at all",
+      "a poison pill must not fail the stream and must keep the b fallback")
+  }
 }
