@@ -1,18 +1,12 @@
 package graft.streaming
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-
-import scala.collection.mutable
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import graft.functions.{BloomBank, BloomBankProbe}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.util.sketch.BloomFilter
 
 /** Incremental corpus ingestion with a PERSISTENT exact-dedup manifest —
   * the daily-ingest shape of a production training-data pipeline: each
@@ -97,8 +91,6 @@ object CorpusIngest {
     */
   val MaxBucketCapacity: Long = 1L << 23
 
-  private val BloomFpp = 0.01
-
   /** Catalog name of the manifest table for a manifest directory —
     * md5 of the CANONICAL dir URI (ADVICE r10: raw-string hashCode made
     * `/a/b` vs `/a/b/` two tables over one location, and 32-bit hashes of
@@ -169,7 +161,7 @@ object CorpusIngest {
   }
 
   // ---------------------------------------------------------------------
-  // Per-bucket bloom sidecar state
+  // Per-bucket bloom sidecar state (shared machinery: BloomSidecar)
   // ---------------------------------------------------------------------
 
   /** Bloom sidecars live BESIDE the table dir, not inside it: the batch-0
@@ -182,55 +174,17 @@ object CorpusIngest {
     */
   private def bloomDir(manifestDir: String): String = s"${manifestDir}_bloom"
 
-  /** In-memory mirror of the sidecar dir: one bloom + insert count per
-    * bucket, one shared capacity, and the last batch merged (so an
-    * at-least-once replay does not double-count its own inserts).
-    */
-  private[graft] case class BloomState(capacity: Long, lastBatch: Long,
-      counts: Map[Int, Long], blooms: Map[Int, BloomFilter]) {
-    def saturated(bkt: Int): Boolean = counts.getOrElse(bkt, 0L) > capacity
-  }
+  private[graft] type BloomState = BloomSidecar.State
 
-  private def serialize(bf: BloomFilter): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
-  }
-
-  /** Build one bloom (+ insert count) per manifest bucket from a digest
-    * frame, EXECUTOR-side: repartition by bucket id (each bucket lands
-    * wholly in one partition), accumulate a per-bucket sketch in a plain
-    * loop, emit ≤ [[ManifestBuckets]] serialized sketches. Only the
-    * sketches cross to the driver — never the digests — so this is safe
-    * for a batch of any size (and for the full-manifest rebuild in
-    * [[compact]]).
+  /** The manifest digest frame keyed for the sidecar: bucket id + the
+    * 64-bit digest hash (the bloom key; `__len` disambiguates only in the
+    * join, the sketch is a pre-filter).
     */
-  private def buildBucketBlooms(digests: DataFrame,
-      capacity: Long): Map[Int, (BloomFilter, Long)] = {
-    val sp = digests.sparkSession
-    import sp.implicits._
-    val parts = digests
-      .select(bucketId.as("__b"), col("__h"))
-      .repartition(ManifestBuckets, col("__b"))
-      .as[(Int, Long)]
-      .mapPartitions { it =>
-        val acc = mutable.Map.empty[Int, (BloomFilter, Long)]
-        it.foreach { case (bkt, h) =>
-          val (bf, n) = acc.getOrElseUpdate(bkt,
-            (BloomFilter.create(capacity, BloomFpp), 0L))
-          bf.putLong(h)
-          acc(bkt) = (bf, n + 1)
-        }
-        acc.iterator.map { case (bkt, (bf, n)) =>
-          val bos = new ByteArrayOutputStream(); bf.writeTo(bos)
-          (bkt, bos.toByteArray, n)
-        }
-      }.collect()
-    parts.groupBy(_._1).map { case (bkt, arr) =>
-      val bfs = arr.map(x => BloomFilter.readFrom(new ByteArrayInputStream(x._2)))
-      bkt -> (bfs.reduce { (a, c) => a.mergeInPlace(c); a }, arr.map(_._3).sum)
-    }
-  }
+  private def bloomKeyed(digests: DataFrame): DataFrame =
+    digests.select(bucketId.as("__b"), col("__h").as("__k"))
+
+  private def defaultCapacity(s: SparkSession): Long =
+    s.conf.getOption(CapacityConf).map(_.toLong).getOrElse(DefaultBucketCapacity)
 
   /** Sidecar state, or None when no usable per-bucket state exists (fresh
     * manifest, deleted sidecar, or a pre-r11 per-batch layout) — the
@@ -238,113 +192,27 @@ object CorpusIngest {
     * rebuilds the sketches.
     */
   private[graft] def loadBloomState(s: SparkSession,
-      manifestDir: String): Option[BloomState] = {
-    val (fs, _) = fsOf(s, manifestDir)
-    val dir = new Path(bloomDir(manifestDir))
-    val metaPath = new Path(dir, "_meta")
-    if (!fs.exists(metaPath)) return None
-    val in = fs.open(metaPath)
-    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    finally in.close()
-    val capacity = meta("capacity").toLong
-    val lastBatch = meta("lastBatch").toLong
-    val counts = (0 until ManifestBuckets)
-      .map(i => i -> meta.getOrElse(s"count.$i", "0").toLong).toMap
-    val blooms = (0 until ManifestBuckets).map { i =>
-      val p = new Path(dir, f"bucket_$i%02d.bloom")
-      if (!fs.exists(p)) return None // partial sidecar: unusable, fall back
-      val bin = fs.open(p)
-      try i -> BloomFilter.readFrom(bin) finally bin.close()
-    }.toMap
-    Some(BloomState(capacity, lastBatch, counts, blooms))
-  }
-
-  /** Write the full per-bucket state: blooms via temp-file + rename (a
-    * reader never sees a torn sketch), meta LAST (meta is the state's
-    * commit record — a crash mid-write leaves blooms that only GAINED
-    * bits plus a stale meta, both FP-only).
-    */
-  private def writeBloomState(s: SparkSession, manifestDir: String,
-      st: BloomState): Unit = {
-    val (fs, _) = fsOf(s, manifestDir)
-    val dir = new Path(bloomDir(manifestDir))
-    fs.mkdirs(dir)
-    st.blooms.foreach { case (i, bf) =>
-      val tmp = new Path(dir, f"bucket_$i%02d.bloom.tmp")
-      val dst = new Path(dir, f"bucket_$i%02d.bloom")
-      val out = fs.create(tmp, true)
-      try bf.writeTo(out) finally out.close()
-      fs.delete(dst, false)
-      if (!fs.rename(tmp, dst)) sys.error(s"bloom sidecar rename failed: $dst")
-    }
-    val meta = new StringBuilder()
-    meta ++= s"version=2\ncapacity=${st.capacity}\nlastBatch=${st.lastBatch}\n"
-    (0 until ManifestBuckets).foreach { i =>
-      meta ++= s"count.$i=${st.counts.getOrElse(i, 0L)}\n"
-    }
-    val tmp = new Path(dir, "_meta.tmp"); val dst = new Path(dir, "_meta")
-    val out = fs.create(tmp, true)
-    try out.write(meta.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) sys.error(s"bloom meta rename failed: $dst")
-  }
+      manifestDir: String): Option[BloomState] =
+    BloomSidecar.load(s, bloomDir(manifestDir), ManifestBuckets)
 
   /** Merge this batch's digests into the per-bucket sketches (bloom-ahead
-    * of the row write — see [[bloomDir]]). No-ops on a replay
-    * (`lastBatch == batchId`: the bits are already in, and re-counting
-    * them would inflate saturation), and on a manifest that has no
-    * per-bucket state yet (pre-r11 sidecars / deleted dir — [[compact]]
-    * is the rebuild path).
+    * of the row write — see [[bloomDir]]; replay/no-state semantics in
+    * [[BloomSidecar.merge]]).
     */
   private def mergeBloom(s: SparkSession, manifestDir: String, batchId: Long,
       b: DataFrame, st: Option[BloomState], manifestExists: Boolean): Unit =
-    st match {
-      case Some(bs) if bs.lastBatch == batchId => ()
-      case Some(bs) =>
-        val contrib = buildBucketBlooms(b, bs.capacity)
-        val blooms = (0 until ManifestBuckets).map { i =>
-          val base = bs.blooms(i)
-          contrib.get(i).foreach { case (bf, _) => base.mergeInPlace(bf) }
-          i -> base
-        }.toMap
-        val counts = (0 until ManifestBuckets).map { i =>
-          i -> (bs.counts.getOrElse(i, 0L) + contrib.get(i).map(_._2).getOrElse(0L))
-        }.toMap
-        writeBloomState(s, manifestDir, BloomState(bs.capacity, batchId, counts, blooms))
-      case None if !manifestExists =>
-        val capacity = s.conf.getOption(CapacityConf)
-          .map(_.toLong).getOrElse(DefaultBucketCapacity)
-        val contrib = buildBucketBlooms(b, capacity)
-        val blooms = (0 until ManifestBuckets).map(i =>
-          i -> contrib.get(i).map(_._1)
-            .getOrElse(BloomFilter.create(capacity, BloomFpp))).toMap
-        val counts = (0 until ManifestBuckets).map(i =>
-          i -> contrib.get(i).map(_._2).getOrElse(0L)).toMap
-        writeBloomState(s, manifestDir, BloomState(capacity, batchId, counts, blooms))
-      case None => ()
-    }
+    BloomSidecar.merge(s, bloomDir(manifestDir), ManifestBuckets, batchId,
+      bloomKeyed(b), st, manifestExists, defaultCapacity(s))
 
   /** The codegen probe: `bloom_bank_might_contain(<bucket id>, __h)` — a
     * single whole-stage-codegen'd expression dispatching into a BROADCAST
     * [[graft.functions.BloomBank]] (executor-side, visible in EXPLAIN —
-    * VERDICT r10 #4; the r10 probe was an interpreted driver-closure
-    * UDF). The r11.0 form — a CASE of `might_contain(<bloom literal>)`
-    * branches — shipped every sketch inside every task binary (~10 MB
-    * "Broadcasting large task binary" warnings, ADVICE r11); the bank
-    * rides a torrent broadcast instead, fetched once per executor and
-    * cached. A SATURATED bucket's bank entry is null and probes `true`:
-    * its rows route to the anti-join while every other bucket keeps
-    * pre-filtering. The broadcast is context-cleaned when the batch's
-    * plans are GC'd (standard Spark broadcast lifecycle).
+    * VERDICT r10 #4). A SATURATED bucket's bank entry is null and probes
+    * `true`: its rows route to the anti-join while every other bucket
+    * keeps pre-filtering. See [[BloomSidecar.probeColumn]].
     */
-  private[graft] def probeColumn(s: SparkSession, st: BloomState): Column = {
-    val bytes = (0 until ManifestBuckets).map { i =>
-      if (st.saturated(i)) null else serialize(st.blooms(i))
-    }.toArray
-    val bank = s.sparkContext.broadcast(new BloomBank(bytes))
-    BloomBankProbe(bucketId, col("__h"), bank)
-  }
+  private[graft] def probeColumn(s: SparkSession, st: BloomState): Column =
+    BloomSidecar.probeColumn(s, st, ManifestBuckets, bucketId, col("__h"))
 
   // ---------------------------------------------------------------------
   // Compaction intent log (the one-entry transaction log)
@@ -630,22 +498,11 @@ object CorpusIngest {
     */
   private def rebuildBlooms(s: SparkSession, manifestDir: String): Unit = {
     val tbl = tableName(s, manifestDir)
-    val digests = s.table(tbl).select(col("__h"), col("__len"))
     val maxBatch = s.table(tbl).agg(max(col("batch"))).head().getAs[Number](0)
     if (maxBatch == null) return
-    val defaultCap = s.conf.getOption(CapacityConf)
-      .map(_.toLong).getOrElse(DefaultBucketCapacity)
-    val pops = digests.groupBy(bucketId.as("__b")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val capacity = math.min(
-      math.max(pops.values.foldLeft(0L)(math.max) * 2, defaultCap),
+    BloomSidecar.rebuild(s, bloomDir(manifestDir), ManifestBuckets,
+      bloomKeyed(s.table(tbl)), maxBatch.longValue, defaultCapacity(s),
       MaxBucketCapacity)
-    val built = buildBucketBlooms(digests, capacity)
-    val blooms = (0 until ManifestBuckets).map(i =>
-      i -> built.get(i).map(_._1)
-        .getOrElse(BloomFilter.create(capacity, BloomFpp))).toMap
-    writeBloomState(s, manifestDir,
-      BloomState(capacity, maxBatch.longValue, pops.withDefaultValue(0L), blooms))
   }
 
   /** The manifest as a DataFrame: every surviving (new-at-ingest-time)

@@ -32,6 +32,16 @@ import graft.operators.Dedup
   * accumulated per-batch partitions so partition/file count stops
   * growing O(lifetime).
   *
+  * Band bloom pre-filter (r11, the [[CorpusIngest]] design ported): a
+  * per-bucket sketch over the index's (band,bh) keys lives at
+  * `indexDir/bands_bloom`; bands the sketch rules out are DEFINITELY
+  * candidate-free, so a batch of genuinely fresh documents — the common
+  * daily case — skips the bands-table join without opening any of its
+  * data files. Same broadcast-bank codegen probe, FP-only bloom-ahead
+  * crash contract, replay no-op, and per-bucket saturation semantics
+  * (shared machinery: [[BloomSidecar]]); a lost/pre-bloom sidecar falls
+  * back to the always-correct join and [[compact]] rebuilds it.
+  *
   * Suppression semantics: a new doc is dropped when ≥ `simThreshold` of
   * its minhash positions agree with SOME candidate historical doc (the
   * standard unbiased Jaccard estimate). Within-batch NEAR-dups are
@@ -68,6 +78,42 @@ object FuzzyIngest {
 
   private def sigPath(indexDir: String) = s"$indexDir/sigs"
   private def bandPath(indexDir: String) = s"$indexDir/bands"
+
+  // ---------------------------------------------------------------------
+  // Per-bucket bloom pre-filter over the band index (r11 — the
+  // CorpusIngest design, ported: a batch of bands the index has never
+  // seen is DEFINITELY candidate-free and skips the bands-table join
+  // entirely, so the common fresh-daily-batch case opens none of the
+  // index's data files; shared machinery in BloomSidecar, same FP-only /
+  // bloom-ahead / replay / per-bucket-saturation contracts)
+  // ---------------------------------------------------------------------
+
+  private def bloomDir(indexDir: String) = s"$indexDir/bands_bloom"
+
+  /** Band bucket/key MUST match the bands table's CLUSTERED BY (band,bh)
+    * hashing ([[org.apache.spark.sql.functions.hash]] is Spark's own
+    * bucketing hash) so sketch population mirrors physical buckets.
+    */
+  private def bandBucket: org.apache.spark.sql.Column =
+    pmod(hash(col("band"), col("bh")), lit(IndexBuckets)).cast("int")
+  private def bandKey: org.apache.spark.sql.Column =
+    xxhash64(col("band"), col("bh"))
+  private def bloomKeyed(bands: DataFrame): DataFrame =
+    bands.select(bandBucket.as("__b"), bandKey.as("__k"))
+  private def defaultCapacity(s: SparkSession): Long =
+    s.conf.getOption(CorpusIngest.CapacityConf).map(_.toLong)
+      .getOrElse(CorpusIngest.DefaultBucketCapacity)
+
+  private[graft] def loadBloomState(s: SparkSession,
+      indexDir: String): Option[BloomSidecar.State] =
+    BloomSidecar.load(s, bloomDir(indexDir), IndexBuckets)
+
+  /** Codegen probe over the broadcast band bank — true ⇒ this (band,bh)
+    * MAY exist in the index (join to find out); false ⇒ definitely not.
+    */
+  private[graft] def probeColumn(s: SparkSession,
+      st: BloomSidecar.State): org.apache.spark.sql.Column =
+    BloomSidecar.probeColumn(s, st, IndexBuckets, bandBucket, bandKey)
 
   private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -243,24 +289,45 @@ object FuzzyIngest {
       val sigs =
         if (collapseWithinBatch) collapseBatch(signed, simThreshold) else signed
       val uniqueIn = sigs.count()
+      val st = if (exists) loadBloomState(s, indexDir) else None
+      var bloomProbable = -1L
       val survivors =
         if (!exists) sigs
         else {
           val newBands = sigs.select(col("doc_id"),
             posexplode(col("bands")).as(Seq("band", "bh")))
-          val cand = bandCandidates(newBands, batchId, bandTable(s, indexDir))
-          // verify candidates only: bucket-local fetch of the historical
-          // signatures, then the standard agreement-fraction estimate
-          val oldSigs = s.table(sigTable(s, indexDir))
-            .filter(col("batch") =!= batchId)
-            .select(col("doc_id").as("old_id"), col("minhash").as("old_sig"))
-          val dup = cand
-            .join(oldSigs, "old_id")
-            .join(sigs.select(col("doc_id").as("new_id"),
-              col("minhash").as("new_sig")), "new_id")
-            .filter(agreement(col("new_sig"), col("old_sig")) >= simThreshold)
-            .select(col("new_id").as("doc_id")).distinct()
-          sigs.join(dup, Seq("doc_id"), "left_anti")
+          // bloom pre-filter: bands the index has definitely never seen
+          // produce no candidates — when NONE survive the probe, the
+          // bands table's data files are never opened this batch
+          val probed = st match {
+            case Some(bs) =>
+              val probable = newBands.filter(probeColumn(s, bs))
+              // skip-decision via limit(1) (cheap); the distinct doc count
+              // (for observability) is paid only when the join runs anyway
+              if (probable.isEmpty) { bloomProbable = 0L; None }
+              else {
+                bloomProbable = probable.select(col("doc_id")).distinct().count()
+                Some(probable)
+              }
+            case None => Some(newBands)
+          }
+          probed match {
+            case None => sigs
+            case Some(bands) =>
+              val cand = bandCandidates(bands, batchId, bandTable(s, indexDir))
+              // verify candidates only: bucket-local fetch of the historical
+              // signatures, then the standard agreement-fraction estimate
+              val oldSigs = s.table(sigTable(s, indexDir))
+                .filter(col("batch") =!= batchId)
+                .select(col("doc_id").as("old_id"), col("minhash").as("old_sig"))
+              val dup = cand
+                .join(oldSigs, "old_id")
+                .join(sigs.select(col("doc_id").as("new_id"),
+                  col("minhash").as("new_sig")), "new_id")
+                .filter(agreement(col("new_sig"), col("old_sig")) >= simThreshold)
+                .select(col("new_id").as("doc_id")).distinct()
+              sigs.join(dup, Seq("doc_id"), "left_anti")
+          }
         }
       // read-old-then-overwrite via localCheckpoint (the insert below
       // reads the same tables it overwrites — same pattern as the exact
@@ -269,6 +336,19 @@ object FuzzyIngest {
         .select(col("doc_id"), col("lang"), col("minhash"), col("bands"))
         .localCheckpoint(true)
       try {
+        val appended = staged.count()
+        // bloom-ahead of BOTH inserts (only SURVIVORS' bands — suppressed
+        // docs' bands never reach the table, and sketch bits for them
+        // would only inflate FP routing): a crash after this merge and
+        // before the inserts leaves FP-only sketch state, same contract
+        // as the exact manifest. Fully-suppressed batches skip the merge
+        // (no bands to add) — but only when state already exists, so a
+        // fresh index still gets its sidecar created on batch 0.
+        if (appended > 0 || !exists)
+          BloomSidecar.merge(s, bloomDir(indexDir), IndexBuckets, batchId,
+            bloomKeyed(staged.select(
+              posexplode(col("bands")).as(Seq("band", "bh")))),
+            st, exists, defaultCapacity(s))
         def insertInto(tbl: String, df: DataFrame, cols: String): Unit = {
           val view = stageView(s, indexDir)
           df.createOrReplaceTempView(view)
@@ -306,7 +386,7 @@ object FuzzyIngest {
             "band, bh, doc_id")
         }
         IngestEvents.post(IngestEvents.IngestProgress("fuzzy_ingest",
-          indexDir, batchId, docsIn, uniqueIn, staged.count(), -1L))
+          indexDir, batchId, docsIn, uniqueIn, appended, bloomProbable))
       } finally staged.unpersist()
     } finally signed.unpersist()
   }
@@ -384,6 +464,15 @@ object FuzzyIngest {
     consolidate(bandT, bandPath(indexDir),
       df => df.select(col("band"), col("bh"), col("doc_id")).distinct(),
       "band, bh, doc_id")
+
+    // rebuild the band sketches from the consolidated table (sized to
+    // bucket population, clearing saturation — the CorpusIngest twin;
+    // also the upgrade path for a pre-bloom index)
+    val maxAfter = s.table(bandT).agg(max(col("batch"))).head().getAs[Number](0)
+    if (maxAfter != null)
+      BloomSidecar.rebuild(s, bloomDir(indexDir), IndexBuckets,
+        bloomKeyed(s.table(bandT)), maxAfter.longValue, defaultCapacity(s),
+        CorpusIngest.MaxBucketCapacity)
   }
 
   /** Every surviving doc with the batch that FIRST saw it (`first_batch`,

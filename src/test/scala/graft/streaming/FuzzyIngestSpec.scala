@@ -210,6 +210,55 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(ev(1).docsIn === 1 && ev(1).appended === 0 && ev(1).suppressed === 1)
   }
 
+  test("band bloom: a fresh batch skips the bands join; near-dups still route through it") {
+    val dir = graft.util.Scratch.fresh("fuzzy_bloom_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en"), (2L, baseB, "en")), 0L, dir)
+    // batch 1: entirely fresh docs — every band must miss the sketch, so
+    // the bands table is never consulted (bloomProbable == 0)
+    FuzzyIngest.ingestBatch(docs(
+      (10L, baseC, "en"), (11L, "totally unrelated little text", "es")), 1L, dir)
+    // batch 2: a near-dup of batch-0's A — its shared bands hit the
+    // sketch, route to the join, and the verify suppresses it
+    FuzzyIngest.ingestBatch(docs(
+      (20L, baseA.replace("alpha7", "edited"), "fr"), (21L, "more fresh text", "en")),
+      2L, dir)
+    val ev = IngestEvents.recent(Some(dir))
+    assert(ev.map(_.batchId) === Seq(0L, 1L, 2L))
+    assert(ev(0).bloomProbable === -1L, "batch 0 has no index to probe")
+    assert(ev(1).bloomProbable === 0L,
+      s"fresh batch must skip the bands join entirely: ${ev(1).line}")
+    assert(ev(1).appended === 2L)
+    assert(ev(2).bloomProbable >= 1L,
+      s"the near-dup's bands must route through the join: ${ev(2).line}")
+    assert(ev(2).appended === 1L && ev(2).suppressed === 1L)
+  }
+
+  test("a lost band sidecar falls back to the join; compact rebuilds it") {
+    val dir = graft.util.Scratch.fresh("fuzzy_bloom_lost_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), 0L, dir)
+    FuzzyIngest.ingestBatch(docs((10L, baseB, "en")), 1L, dir)
+    graft.util.Scratch.delete(s"$dir/bands_bloom")
+    // suppression must still work through the always-correct join path
+    FuzzyIngest.ingestBatch(docs(
+      (20L, baseA.replace("alpha7", "edited"), "de"), (21L, baseC, "en")), 2L, dir)
+    val idx = FuzzyIngest.index(spark, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(idx === Set((0L, 1L), (1L, 10L), (2L, 21L)),
+      "near-dup must be suppressed with no sidecar present")
+    assert(FuzzyIngest.loadBloomState(spark, dir).isEmpty)
+    // compact rebuilds the sketches from the consolidated bands table
+    FuzzyIngest.compact(spark, dir, 1L)
+    val st = FuzzyIngest.loadBloomState(spark, dir)
+    assert(st.isDefined, "compact must rebuild the band sidecar")
+    assert(st.get.counts.values.sum > 0)
+    // and the rebuilt sketch routes a re-delivered near-dup to the join
+    FuzzyIngest.ingestBatch(docs(
+      (30L, baseB.replace("beta7", "edited"), "en")), 3L, dir)
+    val ev = IngestEvents.recent(Some(dir)).last
+    assert(ev.bloomProbable >= 1L && ev.suppressed === 1L, ev.line)
+  }
+
   test("a crashed compact is rolled forward before any read or merge (intent log)") {
     val dir = graft.util.Scratch.fresh("fuzzy_crash_compact_spec")
     FuzzyIngest.ingestBatch(docs((1L, baseA, "en"), (2L, baseB, "en")), 0L, dir)
