@@ -21,8 +21,11 @@ import graft.streaming.{CorpusIngest, FuzzyIngest, IngestEvents}
   * the manifest grows while the anti-join path is exercised throughout.
   *
   * Usage: `runMain graft.IngestLifetime <sfDir> <corpus|fuzzy> <nBatches>
-  * <compactEvery(0=never)>`. Prints ONE JSON line with per-batch seconds
-  * and state-size series.
+  * <compactEvery(0=never)> [fresh]`. `fresh` drops the re-delivery slice
+  * — every batch is entirely new documents, the common daily case the
+  * bloom pre-filters exist for (every probe misses ⇒ state joins are
+  * skipped outright). Prints ONE JSON line with per-batch seconds and
+  * state-size series.
   */
 object IngestLifetime {
 
@@ -31,6 +34,7 @@ object IngestLifetime {
     val pipeline = args.lift(1).getOrElse("corpus")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(24)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(0)
+    val freshOnly = args.lift(4).contains("fresh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -70,7 +74,7 @@ object IngestLifetime {
       // fresh slice + re-delivery of ~half the previous slice
       val fresh = docs.filter(col("__slice") === b)
       val redelivered =
-        if (b == 0) fresh.limit(0)
+        if (b == 0 || freshOnly) fresh.limit(0)
         else docs.filter(col("__slice") === (b - 1) && pmod(col("doc_id"), lit(2)) === 0)
       val batch = fresh.unionByName(redelivered)
         .select(col("doc_id"), col("text"), col("lang"))
@@ -99,6 +103,8 @@ object IngestLifetime {
     println(
       s"""{"metric":"ingest_lifetime_$pipeline","sf_dir":"$sfDir",""" +
         s""""n_batches":$nBatches,"compact_every":$compactEvery,""" +
+        s""""fresh_only":$freshOnly,""" +
+        s""""bloom_skips":${ev.count(_.bloomProbable == 0)},""" +
         s""""ingest_sec":${arr(r => f"${r._2}%.3f")},""" +
         s""""compact_sec":${arr(r => f"${r._3}%.3f")},""" +
         s""""partitions":${arr(_._4.toString)},""" +

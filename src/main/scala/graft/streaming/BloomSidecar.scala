@@ -29,7 +29,13 @@ import graft.functions.{BloomBank, BloomBankProbe}
   */
 private[streaming] object BloomSidecar {
 
-  private val Fpp = 0.01
+  /** Per-key false-positive rate. 1e-4 (≈19 bits/key, 2× the classic 1%
+    * sizing) is chosen so the ALL-miss skip actually fires at realistic
+    * micro-batch sizes: P(skip) = (1-fpp)^batchKeys ≈ 0.97 for a 300-key
+    * batch and 0.37 at 10^4 keys, vs 0.04 / ~0 at 1% — the whole-table
+    * skip is the sketch's highest-value outcome, worth the bits.
+    */
+  private val Fpp = 1e-4
 
   /** In-memory mirror of a sidecar dir: one bloom + insert count per
     * bucket, one shared capacity, and the last batch merged.

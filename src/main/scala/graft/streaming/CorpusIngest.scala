@@ -35,9 +35,11 @@ import org.apache.spark.storage.StorageLevel
   * bloom bank (`bloom_bank_might_contain`, [[probeColumn]]), visible in
   * EXPLAIN — not the r10 driver-side UDF. Digests the bucket's bloom has
   * never seen are definitely new (no false negatives) and skip the join
-  * entirely; only probable duplicates join. A batch of genuinely fresh
-  * documents — the common daily case — touches none of the manifest's
-  * data files.
+  * entirely; only probable duplicates (true dups + ~fpp of the batch)
+  * join. When NOTHING probes probable the manifest's data files are not
+  * opened at all — the frequent-small-batch case (P ≈ (1-fpp)^batch, so
+  * minutes-cadence micro-batches skip routinely; a 10^6-doc daily drop
+  * instead gets its probe side cut to ~1% before the join).
   *
   * Bloom sizing honesty at 100 TB: each bucket's bloom has a fixed
   * capacity (set by `spark.graft.ingest.bloomBucketCapacity` at manifest
@@ -83,13 +85,14 @@ object CorpusIngest {
   val DefaultBucketCapacity: Long = 1L << 18
 
   /** Ceiling on per-bucket capacity at [[compact]] re-size: ~10 MB of
-    * bits per bloom at 1% fpp. The sketches ride one torrent broadcast
-    * per batch ([[probeColumn]]), so the cap bounds executor block-cache
-    * footprint (≤ ~160 MB at 16 buckets), not task-binary size; past
-    * this, buckets saturate (join-only for that bucket) and the real fix
-    * is more [[ManifestBuckets]].
+    * bits per bloom at the sidecar's 1e-4 fpp (~19 bits/key). The
+    * sketches ride one torrent broadcast per batch ([[probeColumn]]), so
+    * the cap bounds executor block-cache footprint (≤ ~160 MB at 16
+    * buckets), not task-binary size; past this, buckets saturate
+    * (join-only for that bucket) and the real fix is more
+    * [[ManifestBuckets]].
     */
-  val MaxBucketCapacity: Long = 1L << 23
+  val MaxBucketCapacity: Long = 1L << 22
 
   /** Catalog name of the manifest table for a manifest directory —
     * md5 of the CANONICAL dir URI (ADVICE r10: raw-string hashCode made

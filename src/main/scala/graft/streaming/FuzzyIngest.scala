@@ -35,9 +35,10 @@ import graft.operators.Dedup
   * Band bloom pre-filter (r11, the [[CorpusIngest]] design ported): a
   * per-bucket sketch over the index's (band,bh) keys lives at
   * `indexDir/bands_bloom`; bands the sketch rules out are DEFINITELY
-  * candidate-free, so a batch of genuinely fresh documents — the common
-  * daily case — skips the bands-table join without opening any of its
-  * data files. Same broadcast-bank codegen probe, FP-only bloom-ahead
+  * candidate-free: the LSH join's probe side shrinks to true band hits +
+  * ~fpp of the batch's bands, and when nothing probes probable (the
+  * frequent-small-batch case — P ≈ (1-fpp)^bands) the bands table is
+  * never opened. Same broadcast-bank codegen probe, FP-only bloom-ahead
   * crash contract, replay no-op, and per-bucket saturation semantics
   * (shared machinery: [[BloomSidecar]]); a lost/pre-bloom sidecar falls
   * back to the always-correct join and [[compact]] rebuilds it.
@@ -81,10 +82,10 @@ object FuzzyIngest {
 
   // ---------------------------------------------------------------------
   // Per-bucket bloom pre-filter over the band index (r11 — the
-  // CorpusIngest design, ported: a batch of bands the index has never
-  // seen is DEFINITELY candidate-free and skips the bands-table join
-  // entirely, so the common fresh-daily-batch case opens none of the
-  // index's data files; shared machinery in BloomSidecar, same FP-only /
+  // CorpusIngest design, ported: bands the sketch rules out are
+  // DEFINITELY candidate-free, shrinking the LSH join's probe side to
+  // true hits + ~fpp, and an all-miss batch skips the bands table
+  // outright; shared machinery in BloomSidecar, same FP-only /
   // bloom-ahead / replay / per-bucket-saturation contracts)
   // ---------------------------------------------------------------------
 
