@@ -100,6 +100,13 @@ object StreamingQueries {
     "llm_dedup_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("dedup_incr")
       val docs = Tables.documents(s, d)
+      // capacity sized to the rehearsal corpus (the conf is read once, at
+      // manifest CREATION, and persisted in the sidecar meta): the 2^18
+      // default targets production bucket populations and makes the
+      // sketch build/write the dominant per-batch constant at sf≤10 —
+      // 2^16/bucket holds ~1M digests before saturation, plenty for the
+      // decade, at 1/4 the sidecar bytes
+      s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString)
       CorpusIngest.ingestBatch(
         docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
       new org.apache.hadoop.fs.Path(s"$base/today")
@@ -157,6 +164,7 @@ object StreamingQueries {
     // plan contracts live in FuzzyIngestSpec.
     "llm_dedup_fuzzy_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("fuzzy_incr")
+      s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString) // see above
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("text"), col("lang"))
       def nearDup(src: org.apache.spark.sql.DataFrame, off: Long, pad: String) =
