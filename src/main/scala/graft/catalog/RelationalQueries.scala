@@ -293,6 +293,30 @@ object RelationalQueries {
         .orderBy(col("p_brand"))
     }),
 
+    // Aggregate-pushdown band join (r11) — the scale path when the consumer
+    // of a banded range join only wants per-group aggregates, which is the
+    // shape of BOTH range-join keys above. Pair enumeration (the ×100-per-
+    // decade output term both scale decades adjudicated on the pair forms)
+    // is skipped entirely: a domain-bounded per-cent prefix-sum index
+    // answers each part row with two binary searches — O(|L| + |P| log D)
+    // where the pair forms are O(pairs). Band semantics are the exact cent
+    // lattice (|l_cents - p_cents| <= 500), stated identically in the
+    // oracle, so no float-boundary ambiguity exists on either side. See
+    // Joins.bandAggJoin for the 100 TB cost argument.
+    "join_range_agg" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_brand"), col("p_retailprice"))
+      val l = Tables.lineitem(s, d).select(col("l_extendedprice"))
+      Joins.bandAggJoin(p, "p_retailprice", l, "l_extendedprice",
+          "l_extendedprice", 5.0)
+        .groupBy(col("p_brand"))
+        .agg(sum(col("band_n")).as("n"),
+          graft.functions.Rounding.roundTo(
+            sum(col("band_sum_cents")).cast("double") / 100.0 /
+              sum(col("band_n")).cast("double"), 2).as("avg_price"))
+        .where(col("n") > 0)
+        .orderBy(col("p_brand"))
+    }),
+
     // Two-level skew salting driven by the skew profile: ONLY keys at/above
     // the hot threshold are salted (broadcast hot-key probe, no extra
     // shuffle); cold keys join plain. Right-side inflation is
@@ -1130,6 +1154,18 @@ object RelationalQueries {
                       / 100.0 / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS avg_price
          FROM lineitem JOIN part
            ON abs(l_extendedprice - p_retailprice) <= 5.0
+         GROUP BY p_brand ORDER BY p_brand""",
+
+    // the pushdown's contract is the exact cent lattice; the twin states
+    // the same integer predicate, so both engines agree bit-for-bit at
+    // band boundaries (no double-subtraction rounding on either side)
+    "join_range_agg" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / 100.0 / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS avg_price
+         FROM lineitem JOIN part
+           ON abs(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) <= 500
          GROUP BY p_brand ORDER BY p_brand""",
 
     "join_asof" ->

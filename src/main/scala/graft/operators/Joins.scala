@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Join operators beyond plain `Dataset.join`.
   *
@@ -267,5 +268,125 @@ object Joins {
     l.join(r, Seq("__bkt"))
       .filter(abs(col(leftVal) - col(rightVal)) <= band)
       .drop("__bkt")
+  }
+
+  /** Aggregate-pushdown band join: for every probe row, the COUNT and SUM
+    * of a build-side measure over all build rows within `band` of the
+    * probe value — WITHOUT enumerating the matching pairs.
+    *
+    * [[bandedRangeJoin]] is the right operator when the caller needs the
+    * pairs themselves; when the caller only aggregates them (n / sum /
+    * avg per probe group — the shape of every range-join query in this
+    * catalog), pair enumeration is pure waste, and it is what made the
+    * band joins the output-bound entries of the scale decades: the true
+    * pair count grows ×100 per ×10 data decade under a fixed band over a
+    * fixed value domain (BENCH_decade2_r10.json adjudication; 1.59/1.57
+    * exponents under skew in BENCH_skew_decade_r11.json). This operator
+    * computes the same aggregates in O(|build| + |probe|·log D):
+    *
+    *  1. quantize both sides to the cent lattice (`floor(x·100 + 0.5)`,
+    *     exact for 2-decimal money columns); the band becomes the EXACT
+    *     integer predicate |b_cents − p_cents| <= band·100 — no
+    *     float-boundary ambiguity, and the oracle twin states the same
+    *     lattice predicate;
+    *  2. filter the build side to the probe min/max ± band (the filter is
+    *     on the RAW column, so it pushes to the parquet scan) and
+    *     partial-aggregate per cent value — one map-side-combined shuffle
+    *     whose output is bounded by the value DOMAIN (D distinct cents),
+    *     not by the data volume;
+    *  3. prefix-sum the per-cent frame into three sorted arrays on the
+    *     driver (domain-bounded collect, same legitimacy class as the IVF
+    *     centroid collect), broadcast them, and answer every probe row
+    *     with two binary searches: n = cum(c+W) − cum(c−W−1).
+    *
+    * At 100 TB the build side costs one shuffle of a domain-bounded frame
+    * and the probe side a shuffle-free mapPartitions — exponent ~1 in
+    * both inputs where the pair join is pair-bound. The driver index
+    * holds at most the whole domain at 24 bytes/cent; the
+    * `maxIndexCents` guard (default 8M cents = an $80k span) throws with
+    * a pointer back to [[bandedRangeJoin]] rather than silently
+    * collecting an unbounded frame.
+    *
+    * Output: all probe columns + `band_n` (match count) +
+    * `band_sum_cents` (sum of `measureCol` in cents over the matches;
+    * build rows with a NULL measure count toward `band_n` but add 0).
+    * Probe rows with no match keep band_n = 0 — callers reproducing
+    * inner-join semantics filter `band_n > 0`; probe rows with a NULL
+    * value match nothing (join semantics).
+    */
+  def bandAggJoin(probe: DataFrame, probeCol: String,
+      build: DataFrame, buildCol: String, measureCol: String,
+      band: Double, maxIndexCents: Long = 8000000L): DataFrame = {
+    require(band > 0.0, s"band must be > 0, got $band")
+    val bandC = math.round(band * 100.0)
+    def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+
+    val outSchema = StructType(probe.schema.fields :+
+      StructField("band_n", LongType, nullable = false) :+
+      StructField("band_sum_cents", LongType, nullable = false))
+    val bounds = probe
+      .agg(min(cents(col(probeCol))), max(cents(col(probeCol)))).head()
+    if (bounds.isNullAt(0))
+      return probe.sparkSession.createDataFrame(
+        probe.sparkSession.sparkContext.emptyRDD[Row], outSchema)
+    val loC = bounds.getLong(0) - bandC
+    val hiC = bounds.getLong(1) + bandC
+    require(hiC - loC + 1 <= maxIndexCents,
+      s"band domain spans ${hiC - loC + 1} cents > maxIndexCents=" +
+        s"$maxIndexCents; the prefix-sum index would not be domain-small " +
+        "— use bandedRangeJoin + groupBy for this shape")
+
+    // Per-cent partial aggregate of the build side, domain-filtered. The
+    // raw-column range filter (±1 cent slack for the quantization) is the
+    // one that reaches PushedFilters; the exact lattice bound re-checks.
+    val perCent = build
+      .filter(col(buildCol) >= (loC.toDouble - 1.0) / 100.0 &&
+        col(buildCol) <= (hiC.toDouble + 1.0) / 100.0)
+      .select(cents(col(buildCol)).as("__c"),
+        coalesce(cents(col(measureCol)), lit(0L)).as("__m"))
+      .filter(col("__c").between(loC, hiC))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).as("__n"), sum(col("__m")).as("__s"))
+      .collect()
+      .sortBy(_.getLong(0))
+
+    val d = perCent.length
+    val cs = new Array[Long](d)
+    val cumN = new Array[Long](d + 1)
+    val cumS = new Array[Long](d + 1)
+    var i = 0
+    while (i < d) {
+      cs(i) = perCent(i).getLong(0)
+      cumN(i + 1) = cumN(i) + perCent(i).getLong(1)
+      cumS(i + 1) = cumS(i) + perCent(i).getLong(2)
+      i += 1
+    }
+    val bc = probe.sparkSession.sparkContext.broadcast((cs, cumN, cumS))
+    val probeIdx = probe.schema.fieldIndex(probeCol)
+    probe.mapPartitions { it =>
+      val (cs, cumN, cumS) = bc.value
+      // insertion point: number of index cents <= x
+      def upTo(x: Long): Int = {
+        var lo = 0
+        var hi = cs.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (cs(mid) <= x) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      it.map { r =>
+        val v = r.get(probeIdx)
+        if (v == null) Row.fromSeq(r.toSeq :+ 0L :+ 0L)
+        else {
+          val c = math.floor(
+            v.asInstanceOf[Number].doubleValue * 100.0 + 0.5).toLong
+          val hiI = upTo(c + bandC)
+          val loI = upTo(c - bandC - 1)
+          Row.fromSeq(r.toSeq :+ (cumN(hiI) - cumN(loI)) :+
+            (cumS(hiI) - cumS(loI)))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 }

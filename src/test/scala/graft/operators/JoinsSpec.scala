@@ -165,4 +165,62 @@ class JoinsSpec extends SparkSpec {
       .select("asof_o_orderkey").as[Long].collect()
     assert(out.toSeq == Seq(7L))
   }
+
+  test("bandAggJoin equals the enumerated pair join on the cent lattice") {
+    import org.apache.spark.sql.functions.{abs, col, count, floor, lit, sum => fsum}
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c * 100.0 + 0.5).cast("long")
+    val p = graft.Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"))
+    val l = graft.Tables.lineitem(spark, sfDir).select(col("l_extendedprice"))
+
+    val got = Joins.bandAggJoin(p, "p_retailprice", l, "l_extendedprice",
+        "l_extendedprice", 5.0)
+      .select(col("p_partkey"), col("band_n"), col("band_sum_cents"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // brute-force twin: enumerate pairs under the SAME lattice predicate
+    val brute = p.join(l,
+        abs(cents(col("l_extendedprice")) - cents(col("p_retailprice"))) <= 500L)
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n"), fsum(cents(col("l_extendedprice"))).as("s"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(got.nonEmpty && got.exists(_._2._1 > 0L))
+    brute.foreach { case (k, v) =>
+      assert(got(k) == v, s"part $k: pushdown ${got(k)} != brute $v")
+    }
+    // parts absent from brute matched nothing: pushdown must report 0
+    (got.keySet -- brute.keySet).foreach { k =>
+      assert(got(k) == ((0L, 0L)), s"unmatched part $k got ${got(k)}")
+    }
+  }
+
+  test("bandAggJoin: null probe values match nothing; empty probe is empty") {
+    import org.apache.spark.sql.functions.lit
+    val probe = Seq(Some(10.0), None, Some(999.0)).toDF("v")
+    val build = Seq(10.02, 10.05, 9.97, 50.0).toDF("b")
+    val out = Joins.bandAggJoin(probe, "v", build, "b", "b", 0.05)
+      .select("band_n").as[Long].collect().sorted.toSeq
+    // 10.05 is ON the lattice boundary (|1005-1000| = 5 <= 5): included
+    assert(out == Seq(0L, 0L, 3L)) // null and 999.0 match nothing
+
+    val empty = Joins.bandAggJoin(probe.where(lit(false)), "v", build,
+      "b", "b", 0.05)
+    assert(empty.columns.toSeq ==
+      probe.columns.toSeq ++ Seq("band_n", "band_sum_cents"))
+    assert(empty.count() == 0L)
+  }
+
+  test("bandAggJoin refuses a domain wider than the index guard") {
+    val probe = Seq(0.0, 1.0e6).toDF("v")
+    val build = Seq(1.0).toDF("b")
+    val e = intercept[IllegalArgumentException] {
+      Joins.bandAggJoin(probe, "v", build, "b", "b", 5.0,
+        maxIndexCents = 1000L)
+    }
+    assert(e.getMessage.contains("bandedRangeJoin"))
+  }
 }
