@@ -44,12 +44,18 @@ import org.apache.spark.sql.types._
   * (`main.rs:240-247`: invalid bytes → `""`), lifted to records.
   *
   * Supported Avro subset (mapped in [[sparkType]]): boolean/int/long/
-  * float/double/string/bytes, `union[null, T]` as nullable T, arrays and
+  * float/double/string/bytes, `union[null, T]` as nullable T,
+  * MULTI-branch unions (numeric promotion pairs int|long → long and
+  * float|double → double; anything else as a struct of nullable
+  * `memberN` fields, one per non-null branch — spark-avro's convention;
+  * encode-side branch choice follows Avro's own runtime resolveUnion, so
+  * branches must be runtime-distinguishable, the Avro rule), arrays and
   * string-keyed maps of those, enums (as strings), fixed (as bytes),
-  * records nested to any depth, and the common logical types — decimal
-  * (over bytes or fixed), date, timestamp-millis/micros (r11, ADVICE:
-  * the first cut stopped at flat primitive records). Anything else
-  * (duration, local-timestamp, multi-branch unions) throws at
+  * `duration` (fixed-12 → a months/days/millis struct), uuid
+  * (canonicalized lowercase string; malformed → null field), records
+  * nested to any depth, and the common logical types — decimal (over
+  * bytes or fixed), date, timestamp-millis/micros,
+  * local-timestamp-millis/micros. Anything outside throws at
   * schema-translation time with the unsupported type named.
   */
 object AvroWire {
@@ -97,6 +103,38 @@ object AvroWire {
     }
   }
 
+  /** Avro `duration` is a 12-byte fixed carrying three little-endian
+    * uint32s; Avro-Java has no LogicalTypes class for it, so it is
+    * detected by the raw schema property.
+    */
+  private def isDuration(s: Schema): Boolean =
+    s.getType == Schema.Type.FIXED && s.getFixedSize == 12 &&
+      "duration" == s.getProp("logicalType")
+
+  /** Spark shape of a duration: Spark has no interval COLUMN type, so the
+    * three spec components travel as a struct (unsigned-int values that
+    * exceed Int.MaxValue — 24 billion years of months — are out of scope).
+    */
+  val DurationStruct: StructType = StructType(Seq(
+    StructField("months", IntegerType, nullable = true),
+    StructField("days", IntegerType, nullable = true),
+    StructField("millis", IntegerType, nullable = true)))
+
+  private def unionBranches(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+
+  /** Multi-branch unions map like spark-avro's convention: the two
+    * numeric-promotion pairs collapse to the wider type; anything else
+    * becomes a struct with one nullable `memberN` field per non-null
+    * branch (exactly one is set per value).
+    */
+  private def unionShape(branches: Seq[Schema]): Either[DataType, Unit] = {
+    val ts = branches.map(_.getType).toSet
+    if (ts == Set(Schema.Type.INT, Schema.Type.LONG)) Left(LongType)
+    else if (ts == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) Left(DoubleType)
+    else Right(())
+  }
+
   /** Spark type for the supported Avro subset; throws naming the
     * unsupported type otherwise. Logical types take precedence over
     * their carrier primitive (a decimal is a decimal, not bytes).
@@ -117,14 +155,19 @@ object AvroWire {
       case Schema.Type.STRING => StringType
       case Schema.Type.BYTES => BinaryType
       case Schema.Type.ENUM => StringType
-      case Schema.Type.FIXED => BinaryType
+      case Schema.Type.FIXED =>
+        if (isDuration(avro)) DurationStruct else BinaryType
       case Schema.Type.ARRAY => ArrayType(sparkType(avro.getElementType))
       case Schema.Type.MAP => MapType(StringType, sparkType(avro.getValueType))
       case Schema.Type.UNION =>
-        val nonNull = avro.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-        if (nonNull.size != 1) throw new IllegalArgumentException(
-          s"unsupported Avro union (only [null, T]): $avro")
-        sparkType(nonNull.head)
+        val nonNull = unionBranches(avro)
+        if (nonNull.size == 1) sparkType(nonNull.head)
+        else unionShape(nonNull) match {
+          case Left(promoted) => promoted
+          case Right(()) => StructType(nonNull.zipWithIndex.map {
+            case (b, i) => StructField(s"member$i", sparkType(b), nullable = true)
+          })
+        }
       case Schema.Type.RECORD => StructType(avro.getFields.asScala.toSeq.map(f =>
         StructField(f.name, sparkType(f.schema), nullable = true)))
       case other => throw new IllegalArgumentException(
@@ -150,8 +193,33 @@ object AvroWire {
     */
   private def toSpark(datum: Any, schema: Schema): Any = {
     if (datum == null) return null
+    if (schema.getType == Schema.Type.UNION) {
+      val branches = unionBranches(schema)
+      if (branches.size > 1) return unionShape(branches) match {
+        case Left(LongType) => datum.asInstanceOf[Number].longValue
+        case Left(_) => datum.asInstanceOf[Number].doubleValue
+        case Right(()) =>
+          // which branch this datum took (Avro's own runtime resolution),
+          // mapped to its member slot among the non-null branches
+          val branch = schema.getTypes.get(
+            GenericData.get().resolveUnion(schema, datum))
+          val slot = branches.indexOf(branch)
+          Row.fromSeq(branches.indices.map(i =>
+            if (i == slot) toSpark(datum, branch) else null))
+      }
+    }
     val rs = nonNullBranch(schema)
+    if (isDuration(rs)) {
+      val b = datum.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()
+      def le(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+      return Row(le(0), le(4), le(8))
+    }
     rs.getLogicalType match {
+      case _: LogicalTypes.Uuid =>
+        // canonical lowercase form; a malformed uuid is a poison FIELD
+        try java.util.UUID.fromString(datum.toString).toString
+        catch { case _: IllegalArgumentException => null }
       case d: LogicalTypes.Decimal =>
         val unscaled = datum match {
           case b: ByteBuffer => bufBytes(b)
@@ -205,8 +273,37 @@ object AvroWire {
     */
   private def toAvro(value: Any, schema: Schema): Any = {
     if (value == null) return null
+    if (schema.getType == Schema.Type.UNION) {
+      val branches = unionBranches(schema)
+      if (branches.size > 1) return unionShape(branches) match {
+        case Left(LongType) => java.lang.Long.valueOf(
+          value.asInstanceOf[Number].longValue)
+        case Left(_) => java.lang.Double.valueOf(
+          value.asInstanceOf[Number].doubleValue)
+        case Right(()) =>
+          // struct-of-members: the single set member picks the branch; the
+          // converted datum's runtime type then drives Avro's own
+          // resolveUnion at write time
+          val row = value.asInstanceOf[Row]
+          val slot = branches.indices.find(i => !row.isNullAt(i))
+          slot.map(i => toAvro(row.get(i), branches(i))).orNull
+      }
+    }
     val rs = nonNullBranch(schema)
+    if (isDuration(rs)) {
+      val row = value.asInstanceOf[Row]
+      val b = new Array[Byte](12)
+      def le(o: Int, v: Int): Unit = {
+        b(o) = v.toByte; b(o + 1) = (v >>> 8).toByte
+        b(o + 2) = (v >>> 16).toByte; b(o + 3) = (v >>> 24).toByte
+      }
+      def cmp(i: Int): Int = if (row.isNullAt(i)) 0 else row.getInt(i)
+      le(0, cmp(0)); le(4, cmp(1)); le(8, cmp(2))
+      return new GenericData.Fixed(rs, b)
+    }
     rs.getLogicalType match {
+      case _: LogicalTypes.Uuid =>
+        java.util.UUID.fromString(value.toString).toString
       case d: LogicalTypes.Decimal =>
         val bd = value.asInstanceOf[java.math.BigDecimal].setScale(d.getScale)
         ByteBuffer.wrap(bd.unscaledValue().toByteArray)

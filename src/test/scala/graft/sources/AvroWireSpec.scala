@@ -46,10 +46,20 @@ class AvroWireSpec extends SparkSpec {
       StructField("d", DoubleType), StructField("s", StringType),
       StructField("y", BinaryType), StructField("ns", StringType),
       StructField("a", ArrayType(LongType)))))
+    // multi-branch unions joined the subset in the r11 extension:
+    // numeric-promotion pairs collapse, everything else is member-struct
+    assert(AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
+      """["int","long"]""")) === LongType)
+    assert(AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
+      """["null","float","double"]""")) === DoubleType)
+    assert(AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
+      """["int","string"]""")) === StructType(Seq(
+      StructField("member0", IntegerType), StructField("member1", StringType))))
+    // a genuinely unmapped type still throws by name
     val e = intercept[IllegalArgumentException](
       AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(
-        """["int","string"]"""))) // multi-branch union: still out of subset
-    assert(e.getMessage.contains("union"))
+        """"null"""")))
+    assert(e.getMessage.toLowerCase.contains("null"))
   }
 
   test("extended subset mapping: map/enum/fixed/nested record/logical types") {
@@ -140,6 +150,84 @@ class AvroWireSpec extends SparkSpec {
       .select(col("avro.c"), col("avro.p")).collect().head
     assert(out.getString(0) === "BLUE")
     assert(out.getDecimal(1) === new java.math.BigDecimal("1234.567"))
+  }
+
+  test("multi-branch unions: member-struct and numeric promotion roundtrip") {
+    val json =
+      """{"type":"record","name":"mb","fields":[
+           {"name":"u","type":["null","string","long"],"default":null},
+           {"name":"p","type":["int","long"]},
+           {"name":"q","type":["null","float","double"],"default":null}]}"""
+    val reg = freshRegistry(9 -> json)
+    // u: string branch / null / long branch; p promotes to long; q to double
+    val src = Seq(
+      (1L, Some("txt"), None: Option[Long], 5L, Some(1.5)),
+      (2L, None, Some(42L), 7L, None),
+      (3L, None, None, 8L, Some(2.25))
+    ).toDF("row_id", "m0", "m1", "p", "q")
+      .select(col("row_id"),
+        when(col("m0").isNotNull || col("m1").isNotNull,
+          struct(col("m0").as("member0"), col("m1").as("member1"))).as("u"),
+        col("p"), col("q"))
+    val framed = AvroWire.encode(src, reg, 9)
+      .select(col("row_id"), col("value"))
+    val back = AvroWire.decode(framed, "value", reg, 9)
+      .select(col("row_id"), col("avro.u.member0"), col("avro.u.member1"),
+        col("avro.p"), col("avro.q"))
+      .as[(Long, Option[String], Option[Long], Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(back(1L) === ((Some("txt"), None, 5L, Some(1.5))))
+    assert(back(2L) === ((None, Some(42L), 7L, None)))
+    assert(back(3L) === ((None, None, 8L, Some(2.25))))
+  }
+
+  test("duration fixed-12 roundtrips as months/days/millis, little-endian on the wire") {
+    val json =
+      """{"type":"record","name":"dr","fields":[
+           {"name":"d","type":{"type":"fixed","name":"dur12","size":12,"logicalType":"duration"}}]}"""
+    assert(AvroWire.sparkType(new org.apache.avro.Schema.Parser().parse(json))
+      === StructType(Seq(StructField("d", AvroWire.DurationStruct))))
+    val reg = freshRegistry(11 -> json)
+    val src = spark.sql(
+      "SELECT named_struct('months', 14, 'days', 3, 'millis', 16909060) AS d")
+    val framed = AvroWire.encode(src, reg, 11).select(col("value"))
+    // wire bytes after the 5-byte frame ARE the fixed: three LE uint32s
+    // (16909060 = 0x01020304 → bytes 04 03 02 01)
+    val raw = framed.as[Array[Byte]].head().drop(5)
+    assert(raw.toSeq === Seq[Byte](14, 0, 0, 0, 3, 0, 0, 0, 4, 3, 2, 1))
+    val out = AvroWire.decode(framed, "value", reg, 11)
+      .select(col("avro.d.months"), col("avro.d.days"), col("avro.d.millis"))
+      .as[(Int, Int, Int)].head()
+    assert(out === ((14, 3, 16909060)))
+  }
+
+  test("uuid canonicalizes to lowercase; a malformed uuid nulls the FIELD only") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val json =
+      """{"type":"record","name":"uu","fields":[
+           {"name":"id","type":"long"},
+           {"name":"g","type":{"type":"string","logicalType":"uuid"}}]}"""
+    val reg = freshRegistry(13 -> json)
+    val up = "123E4567-E89B-12D3-A456-426614174000"
+    val rt = AvroWire.decode(
+        AvroWire.encode(Seq((7L, up)).toDF("id", "g"), reg, 13)
+          .select(col("value")), "value", reg, 13)
+      .select(col("avro.id"), col("avro.g")).as[(Long, String)].head()
+    assert(rt === ((7L, up.toLowerCase)))
+    // foreign writer emits a non-uuid string: the field nulls, the record survives
+    val schema = new org.apache.avro.Schema.Parser().parse(json)
+    val rec = new GenericData.Record(schema)
+    rec.put("id", java.lang.Long.valueOf(8L))
+    rec.put("g", "not-a-uuid")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0x00); bos.write(0); bos.write(0); bos.write(0); bos.write(13)
+    val enc = org.apache.avro.io.EncoderFactory.get().directBinaryEncoder(bos, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val bad = AvroWire.decode(
+        Seq(Tuple1(bos.toByteArray)).toDF("value"), "value", reg, 13)
+      .select(col("avro.id"), col("avro.g").isNull).as[(Long, Boolean)].head()
+    assert(bad === ((8L, true)))
   }
 
   test("encode->decode identity roundtrip, nulls through the union branch") {
