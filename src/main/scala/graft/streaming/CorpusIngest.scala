@@ -126,12 +126,18 @@ object CorpusIngest {
     */
   private def digested(batch: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("__h"), col("__len")).orderBy(col("doc_id"))
+    // __grp = this digest's group size, carried so docsIn never needs a
+    // separate full pass over the raw batch (same shuffle as the dedup
+    // window; r11 constant-shave). Dropped before anything is written.
+    val wAll = Window.partitionBy(col("__h"), col("__len"))
     batch
       .withColumn("__h", xxhash64(coalesce(col("text"), lit(""))))
       .withColumn("__len", coalesce(length(col("text")), lit(-1)))
       .withColumn("__rn", row_number().over(w))
+      .withColumn("__grp", count(lit(1)).over(wAll))
       .filter(col("__rn") === 1).drop("__rn")
-      .select(col("doc_id"), col("lang"), col("__h"), col("__len"))
+      .select(col("doc_id"), col("lang"), col("__h"), col("__len"),
+        col("__grp"))
   }
 
   /** The digest's manifest bucket id — MUST be one expression used by
@@ -350,12 +356,18 @@ object CorpusIngest {
     val s = batch.sparkSession
     val tbl = tableName(s, manifestDir)
     val manifestExists = reconcileTable(s, manifestDir)
-    val docsIn = batch.count()
     // persisted: reused by the bloom build, the probable/definite split,
     // and the final write; unpersisted deterministically below (ADVICE r9)
-    val b = digested(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val bg = digested(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val uniqueIn = b.count()
+      // ONE materializing action delivers both observability counts:
+      // docsIn = Σ group sizes (replaces the former raw batch.count()
+      // pass), uniqueIn = retained digests
+      val cnts = bg.agg(coalesce(sum(col("__grp")), lit(0L)),
+        count(lit(1))).head()
+      val docsIn = cnts.getLong(0)
+      val uniqueIn = cnts.getLong(1)
+      val b = bg.drop("__grp")
       val st = if (manifestExists) loadBloomState(s, manifestDir) else None
       var bloomProbable = -1L
       val survivors =
@@ -409,7 +421,7 @@ object CorpusIngest {
         }
       IngestEvents.post(IngestEvents.IngestProgress("corpus_ingest",
         manifestDir, batchId, docsIn, uniqueIn, appended, bloomProbable))
-    } finally b.unpersist()
+    } finally bg.unpersist()
   }
 
   /** Consolidate every manifest partition with `batch <= upToBatch`

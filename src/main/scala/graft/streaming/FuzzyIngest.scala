@@ -273,23 +273,37 @@ object FuzzyIngest {
       s"batch id ${CorpusIngest.CompactedBatch} is reserved for compacted history")
     val s = batch.sparkSession
     val exists = reconcile(s, indexDir)
-    val docsIn = batch.count()
-    // within-batch EXACT dedup (min doc_id per text), then sign
+    // within-batch EXACT dedup (min doc_id per text), then sign. __grp =
+    // group size, carried so docsIn needs no separate raw-batch pass
+    // (same shuffle; r11 constant-shave) — only ever read driver-side.
     val w = Window.partitionBy(col("__h"), col("__len")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("__h"), col("__len"))
     val uniq = batch
       .withColumn("__h", xxhash64(coalesce(col("text"), lit(""))))
       .withColumn("__len", coalesce(length(col("text")), lit(-1)))
       .withColumn("__rn", row_number().over(w))
+      .withColumn("__grp", count(lit(1)).over(wAll))
       .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(col("doc_id"), col("lang"), col("text"), col("__grp"))
     val signed = Dedup
       .minhashSignatures(uniq, "text", "doc_id", NumHashes, NumBands)
-      .join(uniq.select(col("doc_id"), col("lang")), "doc_id")
+      .join(uniq.select(col("doc_id"), col("lang"), col("__grp")), "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs =
         if (collapseWithinBatch) collapseBatch(signed, simThreshold) else signed
-      val uniqueIn = sigs.count()
+      // default path: ONE action for both counts; the collapse path must
+      // count docsIn PRE-collapse (dropped members' groups still arrived)
+      val (docsIn, uniqueIn) =
+        if (collapseWithinBatch) {
+          val d = signed.agg(coalesce(sum(col("__grp")), lit(0L))).head()
+            .getLong(0)
+          (d, sigs.count())
+        } else {
+          val r = sigs.agg(coalesce(sum(col("__grp")), lit(0L)),
+            count(lit(1))).head()
+          (r.getLong(0), r.getLong(1))
+        }
       val st = if (exists) loadBloomState(s, indexDir) else None
       var bloomProbable = -1L
       val survivors =
@@ -303,13 +317,12 @@ object FuzzyIngest {
           val probed = st match {
             case Some(bs) =>
               val probable = newBands.filter(probeColumn(s, bs))
-              // skip-decision via limit(1) (cheap); the distinct doc count
-              // (for observability) is paid only when the join runs anyway
-              if (probable.isEmpty) { bloomProbable = 0L; None }
-              else {
-                bloomProbable = probable.select(col("doc_id")).distinct().count()
-                Some(probable)
-              }
+              // ONE job decides the skip AND yields the observability
+              // count (bands come off the persisted sigs — the distinct
+              // shuffle is batch-sized; r11: this replaced a separate
+              // limit(1) emptiness probe + count pair)
+              bloomProbable = probable.select(col("doc_id")).distinct().count()
+              if (bloomProbable == 0) None else Some(probable)
             case None => Some(newBands)
           }
           probed match {
