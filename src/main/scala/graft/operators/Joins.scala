@@ -324,8 +324,16 @@ object Joins {
     val outSchema = StructType(probe.schema.fields :+
       StructField("band_n", LongType, nullable = false) :+
       StructField("band_sum_cents", LongType, nullable = false))
+    // domain bounds over FINITE probe values only: a NaN/±Inf probe row
+    // matches nothing (kernel guard below) and must not widen — or, for
+    // Inf, infinitely blow — the index domain
+    val probeD = col(probeCol).cast("double")
+    val finiteProbe = when(isnan(probeD) ||
+      probeD === Double.PositiveInfinity ||
+      probeD === Double.NegativeInfinity, lit(null))
+      .otherwise(col(probeCol))
     val bounds = probe
-      .agg(min(cents(col(probeCol))), max(cents(col(probeCol)))).head()
+      .agg(min(cents(finiteProbe)), max(cents(finiteProbe))).head()
     if (bounds.isNullAt(0))
       return probe.sparkSession.createDataFrame(
         probe.sparkSession.sparkContext.emptyRDD[Row], outSchema)
@@ -377,10 +385,15 @@ object Joins {
       }
       it.map { r =>
         val v = r.get(probeIdx)
-        if (v == null) Row.fromSeq(r.toSeq :+ 0L :+ 0L)
+        val dv =
+          if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue
+        // null/NaN/±Inf probes match nothing — the SQL band predicate is
+        // false for all of them (NaN.toLong would quantize to lattice 0
+        // and spuriously match otherwise)
+        if (java.lang.Double.isNaN(dv) || java.lang.Double.isInfinite(dv))
+          Row.fromSeq(r.toSeq :+ 0L :+ 0L)
         else {
-          val c = math.floor(
-            v.asInstanceOf[Number].doubleValue * 100.0 + 0.5).toLong
+          val c = math.floor(dv * 100.0 + 0.5).toLong
           val hiI = upTo(c + bandC)
           val loI = upTo(c - bandC - 1)
           Row.fromSeq(r.toSeq :+ (cumN(hiI) - cumN(loI)) :+
