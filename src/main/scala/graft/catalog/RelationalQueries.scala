@@ -312,7 +312,11 @@ object RelationalQueries {
         .agg(sum(col("band_n")).as("n"),
           graft.functions.Rounding.roundTo(
             sum(col("band_sum_cents")).cast("double") / 100.0 /
-              sum(col("band_n")).cast("double"), 2).as("avg_price"))
+              sum(col("band_n")).cast("double"), 2).as("avg_price"),
+          // segment-tree min/max over the same index (r11): min/max
+          // ignore the NULL no-match rows, same as SQL over the pairs
+          (min(col("band_min_cents")).cast("double") / 100.0).as("min_price"),
+          (max(col("band_max_cents")).cast("double") / 100.0).as("max_price"))
         .where(col("n") > 0)
         .orderBy(col("p_brand"))
     }),
@@ -1162,7 +1166,9 @@ object RelationalQueries {
     "join_range_agg" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
                 floor(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                      / 100.0 / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS avg_price
+                      / 100.0 / CAST(count(*) AS DOUBLE) * 100.0 + 0.5) / 100.0 AS avg_price,
+                CAST(min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price,
+                CAST(max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
          FROM lineitem JOIN part
            ON abs(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
                 - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) <= 500

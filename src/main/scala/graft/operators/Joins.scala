@@ -309,7 +309,15 @@ object Joins {
     *
     * Output: all probe columns + `band_n` (match count) +
     * `band_sum_cents` (sum of `measureCol` in cents over the matches;
-    * build rows with a NULL measure count toward `band_n` but add 0).
+    * build rows with a NULL measure count toward `band_n` but add 0) +
+    * `band_min_cents`/`band_max_cents` (min/max of the measure over the
+    * matches, SQL semantics: NULL measures are ignored, and the columns
+    * are NULL when no match carries a non-null measure). Min/max ride a
+    * SEGMENT TREE over the same sorted per-cent index — a band is a
+    * CONTIGUOUS range of index positions, so range-min/max is two
+    * O(log d) descents per probe row at O(d) extra driver/broadcast
+    * memory (the "different index shape" the prefix sums can't answer;
+    * percentiles would need per-cent histograms and stay out of scope).
     * Probe rows with no match keep band_n = 0 — callers reproducing
     * inner-join semantics filter `band_n > 0`; probe rows with a NULL
     * value match nothing (join semantics).
@@ -323,7 +331,9 @@ object Joins {
 
     val outSchema = StructType(probe.schema.fields :+
       StructField("band_n", LongType, nullable = false) :+
-      StructField("band_sum_cents", LongType, nullable = false))
+      StructField("band_sum_cents", LongType, nullable = false) :+
+      StructField("band_min_cents", LongType, nullable = true) :+
+      StructField("band_max_cents", LongType, nullable = true))
     // domain bounds over FINITE probe values only: a NaN/±Inf probe row
     // matches nothing (kernel guard below) and must not widen — or, for
     // Inf, infinitely blow — the index domain
@@ -351,10 +361,12 @@ object Joins {
       .filter(col(buildCol) >= (loC.toDouble - 1.0) / 100.0 &&
         col(buildCol) <= (hiC.toDouble + 1.0) / 100.0)
       .select(cents(col(buildCol)).as("__c"),
-        coalesce(cents(col(measureCol)), lit(0L)).as("__m"))
+        coalesce(cents(col(measureCol)), lit(0L)).as("__m"),
+        cents(col(measureCol)).as("__mn")) // nullable: min/max ignore nulls
       .filter(col("__c").between(loC, hiC))
       .groupBy(col("__c"))
-      .agg(count(lit(1)).as("__n"), sum(col("__m")).as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__m")).as("__s"),
+        min(col("__mn")).as("__min"), max(col("__mn")).as("__max"))
       .collect()
       .sortBy(_.getLong(0))
 
@@ -362,17 +374,37 @@ object Joins {
     val cs = new Array[Long](d)
     val cumN = new Array[Long](d + 1)
     val cumS = new Array[Long](d + 1)
+    // iterative segment trees over index POSITIONS (a cent band is a
+    // contiguous position range of the sorted cs). Sentinels double as
+    // the all-NULL-measure group value; a query returning a sentinel
+    // means "no non-null measure in range" -> NULL out.
+    var size = 1
+    while (size < math.max(d, 1)) size <<= 1
+    val segMin = Array.fill(2 * size)(Long.MaxValue)
+    val segMax = Array.fill(2 * size)(Long.MinValue)
     var i = 0
     while (i < d) {
       cs(i) = perCent(i).getLong(0)
       cumN(i + 1) = cumN(i) + perCent(i).getLong(1)
       cumS(i + 1) = cumS(i) + perCent(i).getLong(2)
+      if (!perCent(i).isNullAt(3)) {
+        segMin(size + i) = perCent(i).getLong(3)
+        segMax(size + i) = perCent(i).getLong(4)
+      }
       i += 1
     }
-    val bc = probe.sparkSession.sparkContext.broadcast((cs, cumN, cumS))
+    i = size - 1
+    while (i >= 1) {
+      segMin(i) = math.min(segMin(2 * i), segMin(2 * i + 1))
+      segMax(i) = math.max(segMax(2 * i), segMax(2 * i + 1))
+      i -= 1
+    }
+    val bc = probe.sparkSession.sparkContext
+      .broadcast((cs, cumN, cumS, segMin, segMax))
     val probeIdx = probe.schema.fieldIndex(probeCol)
     probe.mapPartitions { it =>
-      val (cs, cumN, cumS) = bc.value
+      val (cs, cumN, cumS, segMin, segMax) = bc.value
+      val size = segMin.length / 2
       // insertion point: number of index cents <= x
       def upTo(x: Long): Int = {
         var lo = 0
@@ -383,6 +415,20 @@ object Joins {
         }
         lo
       }
+      // range min/max over positions [l, r) via the standard iterative
+      // bottom-up walk; sentinel result = no non-null measure in range
+      def rangeMinMax(l: Int, r: Int): (Long, Long) = {
+        var lo = l + size; var hi = r + size
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        while (lo < hi) {
+          if ((lo & 1) == 1) { mn = math.min(mn, segMin(lo))
+            mx = math.max(mx, segMax(lo)); lo += 1 }
+          if ((hi & 1) == 1) { hi -= 1; mn = math.min(mn, segMin(hi))
+            mx = math.max(mx, segMax(hi)) }
+          lo >>= 1; hi >>= 1
+        }
+        (mn, mx)
+      }
       it.map { r =>
         val v = r.get(probeIdx)
         val dv =
@@ -391,13 +437,18 @@ object Joins {
         // false for all of them (NaN.toLong would quantize to lattice 0
         // and spuriously match otherwise)
         if (java.lang.Double.isNaN(dv) || java.lang.Double.isInfinite(dv))
-          Row.fromSeq(r.toSeq :+ 0L :+ 0L)
+          Row.fromSeq(r.toSeq :+ 0L :+ 0L :+ null :+ null)
         else {
           val c = math.floor(dv * 100.0 + 0.5).toLong
           val hiI = upTo(c + bandC)
           val loI = upTo(c - bandC - 1)
+          val (mn, mx) =
+            if (loI < hiI) rangeMinMax(loI, hiI)
+            else (Long.MaxValue, Long.MinValue)
           Row.fromSeq(r.toSeq :+ (cumN(hiI) - cumN(loI)) :+
-            (cumS(hiI) - cumS(loI)))
+            (cumS(hiI) - cumS(loI)) :+
+            (if (mn == Long.MaxValue) null else java.lang.Long.valueOf(mn)) :+
+            (if (mx == Long.MinValue) null else java.lang.Long.valueOf(mx)))
         }
       }
     }(Encoders.row(outSchema))

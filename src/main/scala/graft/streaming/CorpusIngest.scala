@@ -315,7 +315,12 @@ object CorpusIngest {
     val pathExists = fs.exists(mPath)
     if (!pathExists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
     if (pathExists) {
-      sniffLegacy(s, fs, mPath)
+      // sniff only when the table is NOT yet registered: a registered
+      // entry was created by this object's own saveAsTable or registered
+      // here after a successful sniff, so re-reading the parquet schema
+      // every micro-batch is a per-batch listing+footer job for nothing
+      // (r11 constant-shave)
+      if (!s.catalog.tableExists(tbl)) sniffLegacy(s, fs, mPath)
       if (!s.catalog.tableExists(tbl) && firstDataFile(fs, mPath).isDefined) {
         s.sql(
           s"""CREATE TABLE `$tbl` (

@@ -158,7 +158,12 @@ object FuzzyIngest {
     */
   private def reconcile(s: SparkSession, indexDir: String): Boolean = {
     val (fs, _) = fsOf(s, indexDir)
-    sniffLegacy(s, fs, new Path(sigPath(indexDir)))
+    // sniff only when the sig table is NOT yet registered — a registered
+    // entry already passed the sniff (or came from this object's own
+    // saveAsTable); re-reading the schema per micro-batch is a wasted
+    // listing+footer job (r11 constant-shave, CorpusIngest twin)
+    if (!s.catalog.tableExists(sigTable(s, indexDir)))
+      sniffLegacy(s, fs, new Path(sigPath(indexDir)))
     def one(tbl: String, path: String, ddl: String): Boolean = {
       val exists = firstDataFile(fs, new Path(path)).isDefined
       if (!exists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")

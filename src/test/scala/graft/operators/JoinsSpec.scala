@@ -209,8 +209,8 @@ class JoinsSpec extends SparkSpec {
 
     val empty = Joins.bandAggJoin(probe.where(lit(false)), "v", build,
       "b", "b", 0.05)
-    assert(empty.columns.toSeq ==
-      probe.columns.toSeq ++ Seq("band_n", "band_sum_cents"))
+    assert(empty.columns.toSeq == probe.columns.toSeq ++
+      Seq("band_n", "band_sum_cents", "band_min_cents", "band_max_cents"))
     assert(empty.count() == 0L)
   }
 
@@ -243,11 +243,14 @@ class JoinsSpec extends SparkSpec {
       def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
       val got = Joins.bandAggJoin(
           probe.toDF("id", "v"), "v", build.toDF("b"), "b", "b", band)
-        .select("id", "band_n", "band_sum_cents")
-        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        .select("id", "band_n", "band_sum_cents", "band_min_cents",
+          "band_max_cents")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
       probe.foreach { case (id, v) =>
         val hits = build.filter(b => math.abs(cents(b) - cents(v)) <= bandC)
-        val want = (hits.size.toLong, hits.map(cents).sum)
+        val want = (hits.size.toLong, hits.map(cents).sum,
+          hits.map(cents).minOption, hits.map(cents).maxOption)
         assert(got(id) == want, s"trial $trial id=$id v=$v: ${got(id)} != $want")
       }
     }
@@ -263,6 +266,23 @@ class JoinsSpec extends SparkSpec {
         maxIndexCents = 1000L)
       .select("band_n").as[Long].collect().sorted.toSeq
     assert(out == Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("bandAggJoin min/max ignore NULL measures; all-null band yields NULL") {
+    val probe = Seq(10.0, 20.0).toDF("v")
+    // measures: the 10.0 band has one null + one non-null measure, the
+    // 20.0 band has ONLY null measures (SQL min/max over it is NULL,
+    // while band_n still counts the matching rows)
+    val build = Seq((10.01, Some(7.5)), (10.02, None),
+      (19.99, None), (20.01, None)).toDF("b", "m")
+    val out = Joins.bandAggJoin(probe, "v", build, "b", "m", 0.05)
+      .select("v", "band_n", "band_sum_cents", "band_min_cents",
+        "band_max_cents")
+      .as[(Double, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10.0, 2L, 750L, Some(750L), Some(750L)),
+      (20.0, 2L, 0L, None, None)))
   }
 
   test("bandAggJoin refuses a domain wider than the index guard") {
