@@ -102,15 +102,48 @@ object CorpusIngest {
   def tableName(s: SparkSession, manifestDir: String): String =
     "graft_manifest_" + IngestPaths.digest(s, manifestDir)
 
-  /** Streaming entry: every micro-batch runs [[ingestBatch]]. */
+  /** Streaming entry: every micro-batch runs [[ingestBatch]].
+    *
+    * `compactEvery` > 0 opts into AUTO-compaction: after every Nth batch
+    * the history strictly below it is consolidated ([[compact]]) in the
+    * same foreachBatch slot — the operational answer to minutes-cadence
+    * micro-batches, whose partition/file count otherwise grows O(batches)
+    * between manual compact calls. The just-ingested batch always stays
+    * in its own partition (foreachBatch may replay it), and a re-trigger
+    * with nothing new to merge is a metadata no-op ([[runCompaction]]'s
+    * fresh-partition guard), so compactEvery=1 costs O(new partitions),
+    * not O(manifest), per batch.
+    */
   def dedupIngest(docs: DataFrame, manifestDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch((batch: DataFrame, id: Long) =>
-        ingestBatch(batch, id, manifestDir))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, id, manifestDir)
+        maybeAutoCompact(batch.sparkSession, manifestDir, id, compactEvery)
+      }
       .start()
+
+  /** The auto-compaction decision — exactly what the foreachBatch hook
+    * runs after [[ingestBatch]]; exposed for batch-mode specs. A replayed
+    * trigger batch re-runs it harmlessly (compaction is idempotent and
+    * the fresh-partition guard makes the repeat a metadata no-op).
+    */
+  private[graft] def maybeAutoCompact(s: SparkSession, manifestDir: String,
+      batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      // NOT compact(): its manual-call guard compares upToBatch against
+      // max(batch) over ROWS, which a fully-suppressed newest batch never
+      // registers in — it would throw inside foreachBatch. Here
+      // upToBatch = batchId−1 < the current trigger id by construction,
+      // so run the same marker-guarded body directly.
+      val tbl = tableName(s, manifestDir)
+      require(s.catalog.tableExists(tbl), s"no manifest at $manifestDir")
+      writeCompactMarker(s, manifestDir, batchId - 1)
+      runCompaction(s, manifestDir, batchId - 1)
+      IngestPaths.clearMarker(s, manifestDir)
+    }
 
   private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -477,7 +510,15 @@ object CorpusIngest {
       upToBatch: Long): Unit = {
     val tbl = tableName(s, manifestDir)
     val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
-    if (toMerge.isEmpty) return
+    // fresh-partition guard: nothing below upToBatch outside the
+    // consolidated partition ⇒ re-consolidating would rewrite the whole
+    // history for zero layout change (auto-compaction would otherwise pay
+    // O(manifest) per trigger). Partition-pruned probe — reads at most
+    // one row. A roll-forward that crashed after the drops but before the
+    // bloom rebuild also lands here: safe, because compaction MOVES
+    // digests (never removes them), so the existing sketches stay valid
+    // (possibly still saturated until the next real compact).
+    if (toMerge.filter(col("batch") =!= CompactedBatch).isEmpty) return
     val w = Window.partitionBy(col("__h"), col("__len"))
       .orderBy(col("first_batch"), col("doc_id"))
     val staged = toMerge

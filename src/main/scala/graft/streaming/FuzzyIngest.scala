@@ -222,17 +222,38 @@ object FuzzyIngest {
   }
 
   /** Streaming entry: every micro-batch runs [[ingestBatch]] — the same
-    * foreachBatch shape as [[CorpusIngest.dedupIngest]].
+    * foreachBatch shape as [[CorpusIngest.dedupIngest]], including the
+    * opt-in `compactEvery` auto-compaction (see there for the contract:
+    * the current trigger batch always stays replayable, and a re-trigger
+    * with nothing new to merge is a metadata no-op).
     */
   def fuzzyIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
-      simThreshold: Double = 0.5, collapseWithinBatch: Boolean = false)
+      simThreshold: Double = 0.5, collapseWithinBatch: Boolean = false,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch((batch: DataFrame, id: Long) =>
-        ingestBatch(batch, id, indexDir, simThreshold, collapseWithinBatch))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestBatch(batch, id, indexDir, simThreshold, collapseWithinBatch)
+        maybeAutoCompact(batch.sparkSession, indexDir, id, compactEvery)
+      }
       .start()
+
+  /** The auto-compaction decision — the [[CorpusIngest.maybeAutoCompact]]
+    * twin (and like it, NOT via [[compact]]: the manual guard's
+    * max-over-rows check would throw on a fully-suppressed newest batch;
+    * upToBatch = batchId−1 < the trigger id holds by construction).
+    */
+  private[graft] def maybeAutoCompact(s: SparkSession, indexDir: String,
+      batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      require(s.catalog.tableExists(sigTable(s, indexDir)),
+        s"no fuzzy index at $indexDir")
+      IngestPaths.writeMarker(s, indexDir, batchId - 1)
+      runCompaction(s, indexDir, batchId - 1)
+      IngestPaths.clearMarker(s, indexDir)
+    }
 
   /** Minhash-position agreement fraction between two signature arrays —
     * the ONE similarity criterion, used by both the cross-batch verify
@@ -444,6 +465,18 @@ object FuzzyIngest {
       upToBatch: Long): Unit = {
     val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
     val sentinel = CorpusIngest.CompactedBatch
+    // fresh-partition guard (CorpusIngest twin): nothing below upToBatch
+    // outside the consolidated partition of EITHER table (a crash between
+    // the sigs and bands consolidations leaves stragglers only in bands —
+    // checking sigs alone would strand them) ⇒ metadata no-op, so
+    // auto-compaction costs O(new partitions) per trigger, not O(index).
+    // Bloom-rebuild skip is safe for the same reason as CorpusIngest:
+    // compaction moves bands, never removes them.
+    val fresh = Seq(sigT, bandT).exists { t =>
+      !s.table(t).filter(col("batch") <= upToBatch &&
+        col("batch") =!= sentinel).isEmpty
+    }
+    if (!fresh) return
 
     def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
         insertCols: String): Unit = {

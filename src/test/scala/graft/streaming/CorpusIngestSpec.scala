@@ -242,6 +242,52 @@ class CorpusIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("replay"))
   }
 
+  test("auto-compaction every N batches: layout bounded, results exact, replay safe") {
+    val dir = graft.util.Scratch.fresh("ingest_autocompact_spec")
+    // exactly what dedupIngest's foreachBatch hook runs per trigger
+    def step(id: Long, rows: (Long, String, String)*): Unit = {
+      CorpusIngest.ingestBatch(docs(rows: _*), id, dir)
+      CorpusIngest.maybeAutoCompact(spark, dir, id, 2)
+    }
+    step(0L, (1L, "alpha", "en"), (2L, "beta", "en"))
+    step(1L, (10L, "alpha", "de"), (11L, "gamma", "en"))
+    step(2L, (20L, "beta", "fr"), (21L, "delta", "en"))   // compacts <= 1
+    step(3L, (30L, "delta", "it"), (31L, "epsilon", "en"))
+    step(4L, (40L, "zeta", "en"))                          // compacts <= 3
+
+    def manifestSet() = CorpusIngest.manifest(spark, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val expected = Set((0L, 1L), (0L, 2L), (1L, 11L), (2L, 21L),
+      (3L, 31L), (4L, 40L))
+    assert(manifestSet() === expected)
+
+    // a FULLY-SUPPRESSED newest batch must not break the auto trigger
+    // (compact()'s manual guard reads max(batch) over rows, which an
+    // all-dup batch never registers in — the auto path bypasses it)
+    step(5L, (50L, "alpha", "en"))                         // all dups
+    step(6L, (60L, "beta", "en"))                          // all dups; compacts <= 5
+    assert(manifestSet() === expected)
+
+    // physical layout: nothing below the newest trigger survives outside
+    // the consolidated partition
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(v => v <= 5L && v != CorpusIngest.CompactedBatch)
+    assert(stale.isEmpty, s"stale partitions survived auto-compaction: ${stale.toSeq}")
+
+    // replay of the newest trigger re-runs ingest AND the auto-compact
+    // hook: idempotent (the fresh-partition guard makes the repeat a
+    // metadata no-op), nothing self-suppressed
+    step(6L, (60L, "beta", "en"))
+    assert(manifestSet() === expected,
+      "replaying the trigger incl. auto-compaction must be idempotent")
+  }
+
   test("per-bucket bloom probe is codegen might_contain; saturated buckets degrade alone") {
     val s2 = spark.newSession()
     s2.conf.set(CorpusIngest.CapacityConf, "8")

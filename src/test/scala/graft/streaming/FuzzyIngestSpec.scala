@@ -135,6 +135,47 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(idx === Seq((0L, 5L), (0L, 7L), (1L, 10L)))
   }
 
+  test("auto-compaction: layout bounded across triggers, suppression and replay intact") {
+    val dir = graft.util.Scratch.fresh("fuzzy_autocompact_spec")
+    // exactly what fuzzyIngest's foreachBatch hook runs per trigger
+    def step(id: Long, rows: (Long, String, String)*): Unit = {
+      FuzzyIngest.ingestBatch(docs(rows: _*), id, dir)
+      FuzzyIngest.maybeAutoCompact(spark, dir, id, 2)
+    }
+    step(0L, (1L, baseA, "en"))
+    step(1L, (10L, baseB, "en"))
+    step(2L, (20L, baseC, "en"))                       // compacts <= 1
+    // near-dup of a COMPACTED doc must still be suppressed; a
+    // fully-suppressed trigger that ALSO auto-compacts must not throw
+    step(3L, (30L, baseA + " tail", "de"))             // suppressed
+    step(4L, (40L, baseB.replace("beta7", "x"), "fr")) // suppressed; compacts <= 3
+
+    def idxSet() = FuzzyIngest.index(spark, dir)
+      .select(col("batch").cast("long"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val expected = Set((0L, 1L), (1L, 10L), (2L, 20L))
+    assert(idxSet() === expected, s"index after auto-compaction: ${idxSet()}")
+
+    // nothing below the newest trigger survives outside the consolidated
+    // partition, in EITHER table
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("sigs", "bands").foreach { sub =>
+      val stale = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .filter(v => v <= 3L && v != CorpusIngest.CompactedBatch)
+      assert(stale.isEmpty, s"$sub: stale partitions ${stale.toSeq}")
+    }
+
+    // replay of the newest trigger re-runs ingest + the auto hook:
+    // idempotent (fresh-partition guard), nothing self-suppressed
+    step(4L, (40L, baseB.replace("beta7", "x"), "fr"))
+    assert(idxSet() === expected,
+      "replaying the trigger incl. auto-compaction must be idempotent")
+  }
+
   test("compact consolidates both index tables; probe plan and suppression survive") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
