@@ -87,6 +87,29 @@ private[streaming] object BloomSidecar {
     }
   }
 
+  /** In-session cache of loaded sidecar state, keyed by dir and validated
+    * against the meta file's (mtime, length) on every [[load]] — ONE
+    * getFileStatus instead of 17 file reads per micro-batch when nothing
+    * changed. External changes (a test deleting the sidecar, a compaction
+    * rebuild, another driver's merge) replace or remove `_meta` — meta is
+    * written LAST (the commit record) — so a changed status always forces
+    * a reload. Staleness within one status check is covered by the
+    * pipelines' declared single-writer contract (the same scope as the
+    * compaction intent log); [[write]] refreshes the entry with exactly
+    * what it just committed, and a crash between an in-place merge and
+    * its write leaves the cached sketches with EXTRA bits only — FP-only,
+    * per the sidecar contract.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, State)]()
+
+  private def metaStatus(f: org.apache.hadoop.fs.FileSystem,
+      metaPath: Path): Option[(Long, Long)] =
+    try {
+      val st = f.getFileStatus(metaPath)
+      Some((st.getModificationTime, st.getLen))
+    } catch { case _: java.io.FileNotFoundException => None }
+
   /** Sidecar state, or None when no usable per-bucket state exists (fresh
     * table, deleted sidecar, partial layout) — callers then take their
     * always-correct join and a compaction rebuild restores the sketches.
@@ -94,6 +117,14 @@ private[streaming] object BloomSidecar {
   def load(s: SparkSession, dir: String, numBuckets: Int): Option[State] = {
     val f = fs(s, dir)
     val metaPath = new Path(dir, "_meta")
+    metaStatus(f, metaPath) match {
+      case None => cache.remove(dir); return None
+      case Some((mt, len)) =>
+        val hit = cache.get(dir)
+        if (hit != null && hit._1 == mt && hit._2 == len &&
+            hit._3.blooms.size == numBuckets)
+          return Some(hit._3)
+    }
     if (!f.exists(metaPath)) return None
     val in = f.open(metaPath)
     val meta = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -109,7 +140,14 @@ private[streaming] object BloomSidecar {
       val bin = f.open(p)
       try i -> BloomFilter.readFrom(bin) finally bin.close()
     }.toMap
-    Some(State(capacity, lastBatch, counts, blooms))
+    val st = State(capacity, lastBatch, counts, blooms)
+    // key the entry by the meta status we loaded UNDER (re-stat, not the
+    // pre-read one: a concurrent writer between stat and read would
+    // otherwise pin its bytes under our older key)
+    metaStatus(f, metaPath).foreach { case (mt, len) =>
+      cache.put(dir, (mt, len, st))
+    }
+    Some(st)
   }
 
   /** Write the full per-bucket state: blooms via temp-file + rename (a
@@ -139,6 +177,10 @@ private[streaming] object BloomSidecar {
     try out.write(meta.toString.getBytes("UTF-8")) finally out.close()
     f.delete(dst, false)
     if (!f.rename(tmp, dst)) sys.error(s"bloom meta rename failed: $dst")
+    // refresh the in-session cache with exactly what was committed
+    metaStatus(f, dst).foreach { case (mt, len) =>
+      cache.put(dir, (mt, len, st))
+    }
   }
 
   /** Merge a batch's keys (`__b`, `__k` frame) into the sketches
