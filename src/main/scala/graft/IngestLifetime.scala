@@ -85,10 +85,15 @@ object IngestLifetime {
       }
       val ingestSec = (System.nanoTime() - t0) / 1e9
       val tC = System.nanoTime()
+      // the SHIPPED cadence: exactly what dedupIngest/fuzzyIngest's
+      // foreachBatch hook runs when compactEvery is set (r11 — the probe
+      // previously drove compact() by hand)
       val compacted = compactEvery > 0 && b > 0 && b % compactEvery == 0
-      if (compacted) pipeline match {
-        case "corpus" => CorpusIngest.compact(spark, state, b - 1L)
-        case _ => FuzzyIngest.compact(spark, state, b - 1L)
+      pipeline match {
+        case "corpus" =>
+          CorpusIngest.maybeAutoCompact(spark, state, b.toLong, compactEvery)
+        case _ =>
+          FuzzyIngest.maybeAutoCompact(spark, state, b.toLong, compactEvery)
       }
       val compactSec = (System.nanoTime() - tC) / 1e9
       val (parts, files) = stateStats()
