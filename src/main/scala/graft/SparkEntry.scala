@@ -59,5 +59,9 @@ object SparkEntry {
       """SELECT l_returnflag,
                 CAST(count(DISTINCT l_orderkey) AS BIGINT) AS est_orders
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", 0.05)),
+    "agg_countmin" -> ((
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS est_n
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""", 0.05)),
   )
 }

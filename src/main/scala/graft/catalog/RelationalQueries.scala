@@ -639,6 +639,38 @@ object RelationalQueries {
           .as("est_orders"))
         .orderBy(col("l_returnflag"))),
 
+    // Count-Min point-frequency sketch (r11): one sketch per shard of the
+    // stream built by Spark's own count_min_sketch aggregate (partial
+    // aggregation = the map-side mergeability a 1000-executor count
+    // relies on), merged DRIVER-side — O(sketch bytes), the HLL/IVF
+    // legitimacy class, never the rows — and point-queried per event
+    // type. CMS never underestimates and overcounts by at most eps·N
+    // w.p. `confidence` (both unit-asserted in AggregatesSpec); the
+    // driver checks ±5% vs exact counts via tolerance_oracle. Fixed seed
+    // + commutative counter merges ⇒ deterministic across partitionings
+    // and merge orders.
+    "agg_countmin" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
+      val shards = ev
+        .groupBy(pmod(col("user_id"), lit(8)).as("__shard"))
+        .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cms"))
+        .select(col("cms")).collect()
+      val types = ev.select(col("event_type")).distinct()
+        .as[String].collect().sorted.toSeq
+      if (shards.isEmpty) types.map(t => (t, 0L)) // no rows, nothing counted
+        .toDF("event_type", "est_n")
+      else {
+        val merged = shards.map(r =>
+          org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+          .reduce { (a, b) => a.mergeInPlace(b); a }
+        types.map(t => (t, merged.estimateCount(t)))
+          .toDF("event_type", "est_n")
+          .orderBy(col("event_type"))
+      }
+    }),
+
     "agg_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))

@@ -69,6 +69,36 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("count-min: merged shard sketches never underestimate, stay within " +
+      "eps*N, and match the single global sketch") {
+    val ev = Tables.events(spark, sfDir).filter(col("event_type").isNotNull)
+    val exact = ev.groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val got = graft.catalog.RelationalQueries
+      .queries("agg_countmin")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet === exact.keySet)
+    val slack = math.ceil(0.001 * n).toLong // the query's eps
+    got.foreach { case (t, est) =>
+      assert(est >= exact(t), s"$t: CMS must never underestimate " +
+        s"($est < ${exact(t)})")
+      assert(est <= exact(t) + slack,
+        s"$t: $est exceeds exact ${exact(t)} + eps*N $slack")
+    }
+    // merge-order independence: the driver-merged shard sketches answer
+    // exactly like ONE globally-built sketch (counter sums commute)
+    val globalBytes = ev
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val global = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(globalBytes))
+    got.foreach { case (t, est) =>
+      assert(est === global.estimateCount(t),
+        s"$t: shard-merged $est != global ${global.estimateCount(t)}")
+    }
+  }
+
   // The oracled agg_collect_set query serializes to STRING (the driver's
   // comparator can't hash list cells); this keeps the ARRAY-typed form itself
   // under test: numeric sort order, distinctness, and agreement with the
