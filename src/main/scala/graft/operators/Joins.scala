@@ -317,23 +317,41 @@ object Joins {
     * CONTIGUOUS range of index positions, so range-min/max is two
     * O(log d) descents per probe row at O(d) extra driver/broadcast
     * memory (the "different index shape" the prefix sums can't answer;
-    * percentiles would need per-cent histograms and stay out of scope).
+    * percentiles of an ARBITRARY measure would need per-cent histograms
+    * and stay out of scope — but see `keyPercentiles`).
     * Probe rows with no match keep band_n = 0 — callers reproducing
     * inner-join semantics filter `band_n > 0`; probe rows with a NULL
     * value match nothing (join semantics).
+    *
+    * `keyPercentiles`: EXACT percentiles of the JOIN KEY over the band
+    * matches (the "median competitor price within ±band" shape, where
+    * the measure IS the key) — answerable from the same per-cent count
+    * prefix sums with one extra binary search each: the p-th percentile
+    * is the smallest cent whose cumulative in-band count reaches
+    * ⌈p·n⌉ (the classic lower/"disc" quantile — an element of the data,
+    * no interpolation; p must be in (0, 1]). Adds one nullable
+    * `band_key_p<percent>` LongType column (cents) per requested p,
+    * NULL when the band is empty. Per-probe cost O(log d) per
+    * percentile, no extra index memory.
     */
   def bandAggJoin(probe: DataFrame, probeCol: String,
       build: DataFrame, buildCol: String, measureCol: String,
-      band: Double, maxIndexCents: Long = 8000000L): DataFrame = {
+      band: Double, maxIndexCents: Long = 8000000L,
+      keyPercentiles: Seq[Double] = Nil): DataFrame = {
+    require(keyPercentiles.forall(p => p > 0.0 && p <= 1.0),
+      s"keyPercentiles must be in (0, 1], got $keyPercentiles")
     require(band > 0.0, s"band must be > 0, got $band")
     val bandC = math.round(band * 100.0)
     def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
 
+    val pctNames = keyPercentiles.map(p =>
+      s"band_key_p${math.round(p * 100)}")
     val outSchema = StructType(probe.schema.fields :+
       StructField("band_n", LongType, nullable = false) :+
       StructField("band_sum_cents", LongType, nullable = false) :+
       StructField("band_min_cents", LongType, nullable = true) :+
-      StructField("band_max_cents", LongType, nullable = true))
+      StructField("band_max_cents", LongType, nullable = true) :++
+      pctNames.map(StructField(_, LongType, nullable = true)))
     // domain bounds over FINITE probe values only: a NaN/±Inf probe row
     // matches nothing (kernel guard below) and must not widen — or, for
     // Inf, infinitely blow — the index domain
@@ -402,6 +420,7 @@ object Joins {
     val bc = probe.sparkSession.sparkContext
       .broadcast((cs, cumN, cumS, segMin, segMax))
     val probeIdx = probe.schema.fieldIndex(probeCol)
+    val ps = keyPercentiles.toArray
     probe.mapPartitions { it =>
       val (cs, cumN, cumS, segMin, segMax) = bc.value
       val size = segMin.length / 2
@@ -437,18 +456,36 @@ object Joins {
         // false for all of them (NaN.toLong would quantize to lattice 0
         // and spuriously match otherwise)
         if (java.lang.Double.isNaN(dv) || java.lang.Double.isInfinite(dv))
-          Row.fromSeq(r.toSeq :+ 0L :+ 0L :+ null :+ null)
+          Row.fromSeq(r.toSeq :+ 0L :+ 0L :+ null :+ null :++
+            ps.map(_ => null))
         else {
           val c = math.floor(dv * 100.0 + 0.5).toLong
           val hiI = upTo(c + bandC)
           val loI = upTo(c - bandC - 1)
+          val n = cumN(hiI) - cumN(loI)
           val (mn, mx) =
             if (loI < hiI) rangeMinMax(loI, hiI)
             else (Long.MaxValue, Long.MinValue)
-          Row.fromSeq(r.toSeq :+ (cumN(hiI) - cumN(loI)) :+
+          // p-th key percentile: smallest index cent whose cumulative
+          // in-band count reaches ceil(p*n) — binary search over cumN
+          // positions in [loI, hiI)
+          val pcts = ps.map { p =>
+            if (n == 0) null
+            else {
+              val target = cumN(loI) + math.ceil(p * n).toLong
+              var lo = loI; var hi = hiI - 1
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (cumN(mid + 1) >= target) hi = mid else lo = mid + 1
+              }
+              java.lang.Long.valueOf(cs(lo))
+            }
+          }
+          Row.fromSeq(r.toSeq :+ n :+
             (cumS(hiI) - cumS(loI)) :+
             (if (mn == Long.MaxValue) null else java.lang.Long.valueOf(mn)) :+
-            (if (mx == Long.MinValue) null else java.lang.Long.valueOf(mx)))
+            (if (mx == Long.MinValue) null else java.lang.Long.valueOf(mx)) :++
+            pcts)
         }
       }
     }(Encoders.row(outSchema))

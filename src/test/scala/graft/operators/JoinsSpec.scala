@@ -242,15 +242,22 @@ class JoinsSpec extends SparkSpec {
       val build = Seq.fill(300)(price())
       def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
       val got = Joins.bandAggJoin(
-          probe.toDF("id", "v"), "v", build.toDF("b"), "b", "b", band)
+          probe.toDF("id", "v"), "v", build.toDF("b"), "b", "b", band,
+          keyPercentiles = Seq(0.25, 0.5, 1.0))
         .select("id", "band_n", "band_sum_cents", "band_min_cents",
-          "band_max_cents")
-        .as[(Long, Long, Long, Option[Long], Option[Long])].collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+          "band_max_cents", "band_key_p25", "band_key_p50", "band_key_p100")
+        .as[(Long, Long, Long, Option[Long], Option[Long],
+          Option[Long], Option[Long], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
       probe.foreach { case (id, v) =>
         val hits = build.filter(b => math.abs(cents(b) - cents(v)) <= bandC)
+        val sorted = hits.map(cents).sorted
+        // lower/"disc" quantile: the element at rank ceil(p*n)
+        def q(p: Double): Option[Long] =
+          if (sorted.isEmpty) None
+          else Some(sorted(math.ceil(p * sorted.size).toInt - 1))
         val want = (hits.size.toLong, hits.map(cents).sum,
-          hits.map(cents).minOption, hits.map(cents).maxOption)
+          sorted.headOption, sorted.lastOption, q(0.25), q(0.5), q(1.0))
         assert(got(id) == want, s"trial $trial id=$id v=$v: ${got(id)} != $want")
       }
     }
