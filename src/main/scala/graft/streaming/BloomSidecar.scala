@@ -103,6 +103,11 @@ private[streaming] object BloomSidecar {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, State)]()
 
+  /** Diagnostics: [[load]] calls served from the cache (spec-observable;
+    * not part of any query contract).
+    */
+  private[streaming] val cacheHits = new java.util.concurrent.atomic.AtomicLong
+
   private def metaStatus(f: org.apache.hadoop.fs.FileSystem,
       metaPath: Path): Option[(Long, Long)] =
     try {
@@ -122,8 +127,10 @@ private[streaming] object BloomSidecar {
       case Some((mt, len)) =>
         val hit = cache.get(dir)
         if (hit != null && hit._1 == mt && hit._2 == len &&
-            hit._3.blooms.size == numBuckets)
+            hit._3.blooms.size == numBuckets) {
+          cacheHits.incrementAndGet()
           return Some(hit._3)
+        }
     }
     if (!f.exists(metaPath)) return None
     val in = f.open(metaPath)

@@ -242,6 +242,38 @@ class CorpusIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("replay"))
   }
 
+  test("bloom cache is stat-validated: unchanged serves from memory, " +
+      "foreign meta rewrite forces reload, deletion drops the entry") {
+    val dir = graft.util.Scratch.fresh("bloom_cache_spec")
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en")), 0L, dir)
+    val h0 = BloomSidecar.cacheHits.get()
+    assert(CorpusIngest.loadBloomState(spark, dir).exists(_.lastBatch == 0L))
+    assert(BloomSidecar.cacheHits.get() == h0 + 1,
+      "an unchanged sidecar must be served from the in-session cache")
+
+    // foreign writer: rewrite _meta directly with DIFFERENT length (the
+    // single-writer contract's escape hatch — the stat must catch it);
+    // the next load re-reads instead of serving the cached state
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"${dir}_bloom", "_meta")
+    val in = fs.open(metaPath)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val out = fs.create(metaPath, true)
+    try out.write(meta.replace("lastBatch=0", "lastBatch=77")
+      .getBytes("UTF-8")) finally out.close()
+    val h1 = BloomSidecar.cacheHits.get()
+    assert(CorpusIngest.loadBloomState(spark, dir).exists(_.lastBatch == 77L),
+      "a foreign meta rewrite must be re-read, never served stale")
+    assert(BloomSidecar.cacheHits.get() == h1,
+      "the forced reload must not count as a cache hit")
+
+    // deletion drops the entry entirely
+    graft.util.Scratch.delete(s"${dir}_bloom")
+    assert(CorpusIngest.loadBloomState(spark, dir).isEmpty)
+  }
+
   test("auto-compaction every N batches: layout bounded, results exact, replay safe") {
     val dir = graft.util.Scratch.fresh("ingest_autocompact_spec")
     // exactly what dedupIngest's foreachBatch hook runs per trigger
