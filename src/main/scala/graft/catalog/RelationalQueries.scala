@@ -146,14 +146,23 @@ object RelationalQueries {
     // AVRO logical-type round-trip (r11): decimal-over-bytes, date, and
     // timestamp-micros through the same wire framing — the typed-payload
     // half of the registry surface (a real topic's records carry money
-    // and event times, not just strings). Identity roundtrip, so the
-    // oracle is a plain typed SELECT — any scale drift, tz shift, or
-    // precision loss in the carrier mapping breaks the hash.
+    // and event times, not just strings). Identity roundtrip through the
+    // TYPED carriers (any scale drift, tz shift, or precision loss in the
+    // decimal/timestamp/date mapping changes the values); the FINAL
+    // projection then normalizes to the surface's hash-stable convention
+    // (double 2dp / epoch-micros BIGINT / date-as-string) because this is
+    // the only query whose raw output would carry DECIMAL/TIMESTAMP/DATE
+    // columns into the driver's hasher (VERDICT r11 item 1: the r11 red
+    // row was representational — value-for-value identical in DuckDB).
     "sink_roundtrip_avro_logical" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("sink_roundtrip_avro_logical")
       val src = Tables.orders(s, d).select(
         col("o_orderkey"),
-        col("o_totalprice").cast("decimal(15,2)").as("price"),
+        // cents-exact before the decimal cast: the decimal(15,2) carrier
+        // then roundtrips a value with no ties at scale 2, so the DuckDB
+        // twin (floor-cents on the raw double) is bit-identical
+        (floor(col("o_totalprice") * 100.0 + 0.5).cast("long") / 100.0)
+          .cast("decimal(15,2)").as("price"),
         col("o_orderdate").as("ts"),
         col("o_orderdate").cast("date").as("day"))
       val reg0 = s"$base/registry"
@@ -164,8 +173,10 @@ object RelationalQueries {
         .write.mode("overwrite").parquet(s"$base/topic")
       AvroWire.decode(s.read.parquet(s"$base/topic"), "value", reg, 7)
         .select(col("avro.o_orderkey").as("o_orderkey"),
-          col("avro.price").as("price"), col("avro.ts").as("ts"),
-          col("avro.day").as("day"))
+          graft.functions.Rounding.roundTo(col("avro.price").cast("double"), 2)
+            .as("price"),
+          unix_micros(col("avro.ts").cast("timestamp")).as("ts_us"),
+          col("avro.day").cast("string").as("day"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -1449,10 +1460,14 @@ object RelationalQueries {
       "SELECT doc_id, text, lang FROM documents ORDER BY doc_id",
 
     // typed identity roundtrip: decimal/date/timestamp survive the Avro
-    // logical-type carriers bit-exactly
+    // logical-type carriers bit-exactly; the final projection normalizes
+    // to the surface's hash-stable convention (double 2dp / epoch-micros
+    // / date-as-string) so the driver hasher sees no typed columns
     "sink_roundtrip_avro_logical" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(15,2)) AS price,
-                o_orderdate AS ts, CAST(o_orderdate AS DATE) AS day
+      """SELECT o_orderkey,
+                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) / 100.0 AS price,
+                epoch_us(o_orderdate) AS ts_us,
+                CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day
          FROM orders ORDER BY o_orderkey""",
 
     "agg_skew_profile" ->
