@@ -362,9 +362,18 @@ object Joins {
       .otherwise(col(probeCol))
     val bounds = probe
       .agg(min(cents(finiteProbe)), max(cents(finiteProbe))).head()
-    if (bounds.isNullAt(0))
-      return probe.sparkSession.createDataFrame(
-        probe.sparkSession.sparkContext.emptyRDD[Row], outSchema)
+    if (bounds.isNullAt(0)) {
+      // no finite probe value ⇒ no index to build, but preserve the probe
+      // rows exactly as the kernel's per-row non-finite path would
+      // (band_n=0, sum=0, NULL min/max/percentiles) — ADVICE r11: the
+      // former empty-frame return dropped rows that a probe side with at
+      // least one finite value would have kept
+      val psN = keyPercentiles.toArray
+      return probe.mapPartitions { it =>
+        it.map(r => Row.fromSeq(r.toSeq :+ 0L :+ 0L :+ null :+ null :++
+          psN.map(_ => null)))
+      }(Encoders.row(outSchema))
+    }
     val loC = bounds.getLong(0) - bandC
     val hiC = bounds.getLong(1) + bandC
     require(hiC - loC + 1 <= maxIndexCents,

@@ -122,7 +122,7 @@ private[streaming] object BloomSidecar {
   def load(s: SparkSession, dir: String, numBuckets: Int): Option[State] = {
     val f = fs(s, dir)
     val metaPath = new Path(dir, "_meta")
-    metaStatus(f, metaPath) match {
+    val preStat = metaStatus(f, metaPath) match {
       case None => cache.remove(dir); return None
       case Some((mt, len)) =>
         val hit = cache.get(dir)
@@ -131,6 +131,7 @@ private[streaming] object BloomSidecar {
           cacheHits.incrementAndGet()
           return Some(hit._3)
         }
+        (mt, len)
     }
     if (!f.exists(metaPath)) return None
     val in = f.open(metaPath)
@@ -148,12 +149,17 @@ private[streaming] object BloomSidecar {
       try i -> BloomFilter.readFrom(bin) finally bin.close()
     }.toMap
     val st = State(capacity, lastBatch, counts, blooms)
-    // key the entry by the meta status we loaded UNDER (re-stat, not the
-    // pre-read one: a concurrent writer between stat and read would
-    // otherwise pin its bytes under our older key)
-    metaStatus(f, metaPath).foreach { case (mt, len) =>
-      cache.put(dir, (mt, len, st))
-    }
+    // Key the entry by the PRE-read stat, and only cache when a re-stat
+    // confirms nothing moved while we were reading (ADVICE r11 medium):
+    // keying by the post-read stat would pin a torn read — sketches from
+    // before a foreign commit, status from after — under the NEW key,
+    // serving stale blooms (false NEGATIVES) on every later load. With
+    // the pre-read key, a writer landing mid-read changes the re-stat →
+    // we skip caching and the next load re-reads under the fresh status.
+    // Residual window (mtime-granularity same-length rewrite) remains
+    // covered by the declared single-writer contract only.
+    if (metaStatus(f, metaPath).contains(preStat))
+      cache.put(dir, (preStat._1, preStat._2, st))
     Some(st)
   }
 

@@ -139,10 +139,14 @@ object CorpusIngest {
       // upToBatch = batchId−1 < the current trigger id by construction,
       // so run the same marker-guarded body directly.
       val tbl = tableName(s, manifestDir)
-      require(s.catalog.tableExists(tbl), s"no manifest at $manifestDir")
-      writeCompactMarker(s, manifestDir, batchId - 1)
-      runCompaction(s, manifestDir, batchId - 1)
-      IngestPaths.clearMarker(s, manifestDir)
+      // silent no-op before the first non-empty batch creates the table
+      // (ADVICE r11: a require here would fail the whole streaming query
+      // when the compaction trigger fires during an all-empty prefix)
+      if (s.catalog.tableExists(tbl)) {
+        writeCompactMarker(s, manifestDir, batchId - 1)
+        runCompaction(s, manifestDir, batchId - 1)
+        IngestPaths.clearMarker(s, manifestDir)
+      }
     }
 
   private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
@@ -518,7 +522,17 @@ object CorpusIngest {
     // bloom rebuild also lands here: safe, because compaction MOVES
     // digests (never removes them), so the existing sketches stay valid
     // (possibly still saturated until the next real compact).
-    if (toMerge.filter(col("batch") =!= CompactedBatch).isEmpty) return
+    if (toMerge.filter(col("batch") =!= CompactedBatch).isEmpty) {
+      // …but a manual compact() is also the DOCUMENTED recovery path for
+      // a deleted or saturated bloom sidecar (ADVICE r11): when the
+      // sketches are absent or any bucket is saturated, rebuild them even
+      // though the row layout has nothing to do.
+      val st = loadBloomState(s, manifestDir)
+      if (st.isEmpty ||
+          st.exists(b => (0 until ManifestBuckets).exists(b.saturated)))
+        rebuildBlooms(s, manifestDir)
+      return
+    }
     val w = Window.partitionBy(col("__h"), col("__len"))
       .orderBy(col("first_batch"), col("doc_id"))
     val staged = toMerge

@@ -248,11 +248,14 @@ object FuzzyIngest {
   private[graft] def maybeAutoCompact(s: SparkSession, indexDir: String,
       batchId: Long, compactEvery: Int): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      require(s.catalog.tableExists(sigTable(s, indexDir)),
-        s"no fuzzy index at $indexDir")
-      IngestPaths.writeMarker(s, indexDir, batchId - 1)
-      runCompaction(s, indexDir, batchId - 1)
-      IngestPaths.clearMarker(s, indexDir)
+      // silent no-op before the first non-empty batch creates the tables
+      // (ADVICE r11: a require would fail the streaming query when the
+      // trigger fires during an all-empty prefix) — CorpusIngest twin
+      if (s.catalog.tableExists(sigTable(s, indexDir))) {
+        IngestPaths.writeMarker(s, indexDir, batchId - 1)
+        runCompaction(s, indexDir, batchId - 1)
+        IngestPaths.clearMarker(s, indexDir)
+      }
     }
 
   /** Minhash-position agreement fraction between two signature arrays —
@@ -318,18 +321,16 @@ object FuzzyIngest {
     try {
       val sigs =
         if (collapseWithinBatch) collapseBatch(signed, simThreshold) else signed
-      // default path: ONE action for both counts; the collapse path must
-      // count docsIn PRE-collapse (dropped members' groups still arrived)
-      val (docsIn, uniqueIn) =
-        if (collapseWithinBatch) {
-          val d = signed.agg(coalesce(sum(col("__grp")), lit(0L))).head()
-            .getLong(0)
-          (d, sigs.count())
-        } else {
-          val r = sigs.agg(coalesce(sum(col("__grp")), lit(0L)),
-            count(lit(1))).head()
-          (r.getLong(0), r.getLong(1))
-        }
+      // Both counts come from `uniq`, BEFORE the signature join (ADVICE
+      // r11: counting the joined frame undercounts null doc_ids and
+      // double-counts a doc_id shared by two text groups — the arrival
+      // counts must reflect what the batch delivered, not what survived
+      // the join). Still ONE action on the default path; the collapse
+      // path separately counts post-collapse survivors.
+      val arrived = uniq.agg(coalesce(sum(col("__grp")), lit(0L)),
+        count(lit(1))).head()
+      val docsIn = arrived.getLong(0)
+      val uniqueIn = if (collapseWithinBatch) sigs.count() else arrived.getLong(1)
       val st = if (exists) loadBloomState(s, indexDir) else None
       var bloomProbable = -1L
       val survivors =
@@ -476,7 +477,16 @@ object FuzzyIngest {
       !s.table(t).filter(col("batch") <= upToBatch &&
         col("batch") =!= sentinel).isEmpty
     }
-    if (!fresh) return
+    if (!fresh) {
+      // manual compact() is the documented recovery path for a deleted or
+      // saturated bloom sidecar (ADVICE r11; CorpusIngest twin): rebuild
+      // the sketches when unusable even though the row layout is final
+      val st = loadBloomState(s, indexDir)
+      if (st.isEmpty ||
+          st.exists(b => (0 until IndexBuckets).exists(b.saturated)))
+        rebuildBlooms(s, indexDir)
+      return
+    }
 
     def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
         insertCols: String): Unit = {
@@ -520,6 +530,15 @@ object FuzzyIngest {
     // rebuild the band sketches from the consolidated table (sized to
     // bucket population, clearing saturation — the CorpusIngest twin;
     // also the upgrade path for a pre-bloom index)
+    rebuildBlooms(s, indexDir)
+  }
+
+  /** Rebuild the per-bucket band sketches from the current bands table —
+    * the tail of [[runCompaction]] and the fresh-guard's sidecar-recovery
+    * path.
+    */
+  private def rebuildBlooms(s: SparkSession, indexDir: String): Unit = {
+    val bandT = bandTable(s, indexDir)
     val maxAfter = s.table(bandT).agg(max(col("batch"))).head().getAs[Number](0)
     if (maxAfter != null)
       BloomSidecar.rebuild(s, bloomDir(indexDir), IndexBuckets,

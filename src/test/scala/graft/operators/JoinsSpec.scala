@@ -214,6 +214,24 @@ class JoinsSpec extends SparkSpec {
     assert(empty.count() == 0L)
   }
 
+  test("bandAggJoin: an ALL-null/non-finite probe side keeps its rows with band_n=0") {
+    // ADVICE r11: this branch used to return an EMPTY frame, dropping
+    // rows the per-row non-finite path (mixed probe) would have kept —
+    // the two paths must agree on row preservation
+    val probe = Seq(Option.empty[Double], Some(Double.NaN),
+      Some(Double.PositiveInfinity)).toDF("v")
+    val build = Seq(10.02, 50.0).toDF("b")
+    val out = Joins.bandAggJoin(probe, "v", build, "b", "b", 0.05,
+      keyPercentiles = Seq(0.5))
+    assert(out.count() == 3L, "all-non-finite probe rows must survive")
+    val rows = out.select("band_n", "band_sum_cents", "band_min_cents",
+      "band_max_cents", "band_key_p50").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == 0L && r.getLong(1) == 0L &&
+        r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4), s"bad row $r")
+    }
+  }
+
   test("join_range_agg plan: no join operator anywhere; probe feeds the kernel") {
     val df = graft.catalog.RelationalQueries
       .queries("join_range_agg")(spark, sfDir)

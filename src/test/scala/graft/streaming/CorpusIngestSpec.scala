@@ -320,6 +320,43 @@ class CorpusIngestSpec extends SparkSpec {
       "replaying the trigger incl. auto-compaction must be idempotent")
   }
 
+  test("auto-compaction trigger before any manifest exists is a silent no-op") {
+    // ADVICE r11: an all-empty batch prefix reaches the compaction
+    // trigger before ingestBatch ever creates the table — a require here
+    // would fail the whole streaming query
+    val dir = graft.util.Scratch.fresh("ingest_autocompact_fresh_spec")
+    CorpusIngest.maybeAutoCompact(spark, dir, 2L, 2) // must not throw
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en")), 3L, dir)
+    CorpusIngest.maybeAutoCompact(spark, dir, 4L, 2) // and still works after
+    val m = CorpusIngest.manifest(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(m === Seq(1L))
+  }
+
+  test("manual compact() restores a deleted bloom sidecar on consolidated history") {
+    // ADVICE r11: the fresh-partition guard used to return BEFORE the
+    // bloom rebuild, so the documented recovery path (compact() after a
+    // sidecar deletion) silently no-opped
+    val dir = graft.util.Scratch.fresh("ingest_bloomrecover_spec")
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en"), (2L, "beta", "en")), 0L, dir)
+    CorpusIngest.ingestBatch(docs((10L, "gamma", "en")), 1L, dir)
+    CorpusIngest.compact(spark, dir, 0L)
+    assert(CorpusIngest.loadBloomState(spark, dir).isDefined)
+    graft.util.Scratch.delete(s"${dir}_bloom")
+    assert(CorpusIngest.loadBloomState(spark, dir).isEmpty)
+    // history <= 0 is fully consolidated: the guard finds nothing fresh,
+    // but the rebuild must still run
+    CorpusIngest.compact(spark, dir, 0L)
+    val st = CorpusIngest.loadBloomState(spark, dir)
+    assert(st.isDefined, "compact() must rebuild a missing sidecar")
+    // and the restored sketches are live: a re-ingest of a known text is
+    // still suppressed (probe + anti-join agree)
+    CorpusIngest.ingestBatch(docs((20L, "alpha", "fr"), (21L, "delta", "en")), 2L, dir)
+    val m = CorpusIngest.manifest(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(m === Set(1L, 2L, 10L, 21L))
+  }
+
   test("per-bucket bloom probe is codegen might_contain; saturated buckets degrade alone") {
     val s2 = spark.newSession()
     s2.conf.set(CorpusIngest.CapacityConf, "8")

@@ -176,6 +176,38 @@ class FuzzyIngestSpec extends SparkSpec {
       "replaying the trigger incl. auto-compaction must be idempotent")
   }
 
+  test("auto-compaction trigger before any index exists is a silent no-op") {
+    // ADVICE r11 (CorpusIngest twin): an all-empty batch prefix reaches
+    // the trigger before ingestBatch creates the tables
+    val dir = graft.util.Scratch.fresh("fuzzy_autocompact_fresh_spec")
+    FuzzyIngest.maybeAutoCompact(spark, dir, 2L, 2) // must not throw
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), 3L, dir)
+    FuzzyIngest.maybeAutoCompact(spark, dir, 4L, 2)
+    val ids = FuzzyIngest.index(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSeq
+    assert(ids === Seq(1L))
+  }
+
+  test("manual compact() restores a deleted band sidecar on consolidated history") {
+    // ADVICE r11 (CorpusIngest twin): the fresh-partition guard used to
+    // skip the bloom rebuild, stranding the documented recovery path
+    val dir = graft.util.Scratch.fresh("fuzzy_bloomrecover_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), 0L, dir)
+    FuzzyIngest.ingestBatch(docs((10L, baseB, "en")), 1L, dir)
+    FuzzyIngest.compact(spark, dir, 0L)
+    assert(FuzzyIngest.loadBloomState(spark, dir).isDefined)
+    graft.util.Scratch.delete(s"$dir/bands_bloom")
+    assert(FuzzyIngest.loadBloomState(spark, dir).isEmpty)
+    FuzzyIngest.compact(spark, dir, 0L)
+    assert(FuzzyIngest.loadBloomState(spark, dir).isDefined,
+      "compact() must rebuild a missing band sidecar")
+    // restored sketches still suppress a near-dup of a compacted doc
+    FuzzyIngest.ingestBatch(docs((20L, baseA + " tail", "de")), 2L, dir)
+    val ids = FuzzyIngest.index(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ids === Set(1L, 10L))
+  }
+
   test("compact consolidates both index tables; probe plan and suppression survive") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
@@ -249,6 +281,15 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(ev.map(_.batchId) === Seq(0L, 1L))
     assert(ev(0).docsIn === 2 && ev(0).uniqueIn === 1 && ev(0).appended === 1)
     assert(ev(1).docsIn === 1 && ev(1).appended === 0 && ev(1).suppressed === 1)
+
+    // ADVICE r11: arrival counts come from the pre-join frame — a doc_id
+    // shared by two distinct text groups must count twice, not four times
+    // (the doc_id join used to double-count the shared id)
+    val dir2 = graft.util.Scratch.fresh("fuzzy_events_dupid_spec")
+    FuzzyIngest.ingestBatch(docs((7L, baseB, "en"), (7L, baseC, "en")), 0L, dir2)
+    val ev2 = IngestEvents.recent(Some(dir2))
+    assert(ev2(0).docsIn === 2 && ev2(0).uniqueIn === 2,
+      s"pre-join arrival counts: ${ev2(0).line}")
   }
 
   test("band bloom: a fresh batch skips the bands join; near-dups still route through it") {
