@@ -32,36 +32,19 @@ object SparkEntry {
     RelationalQueries.oracle ++ FunctionQueries.oracle ++
       StreamingQueries.oracle ++ LlmQueries.oracle
 
-  /** Exact-SQL counterparts + relative tolerance for the APPROX queries
-    * (VERDICT r8 item 7): keys deliberately absent from [[oracleSql]]
-    * because their output is sketch-dependent (HLL, t-digest), but whose
-    * values are checkable against the exact aggregate within a band.
-    * Verify dumps this as `tolerance_oracle.json` next to
-    * `oracle_sql.json`; the adoption contract for a checker (implemented
-    * in tools/check_oracle.py as the driver-side reference): sort
-    * columns by name, zip rows in query order, non-numeric values must
-    * be equal, numeric values pass when
-    * |spark − exact| <= tolerance · max(|exact|, 1). The same ±5% bands
-    * are unit-asserted in AggregatesSpec, so this hook adds a
-    * driver-visible check, not the only check.
+  /** Exact-SQL counterparts + relative tolerance for sketch-valued
+    * queries the hash oracle cannot cover (VERDICT r8 item 7; checker
+    * contract in tools/check_oracle.py: sort columns by name, zip rows
+    * in query order, non-numeric equal, numeric pass when
+    * |spark − exact| <= tolerance · max(|exact|, 1)).
+    *
+    * EMPTY since r12: the four former entries (agg_approx_distinct,
+    * agg_approx_percentile, agg_hll_partitioned, agg_countmin) now hash
+    * their EXACT aggregate plus an in-query `tol_ok` verdict over the
+    * sketch estimate, so they live in [[oracleSql]] and the driver's own
+    * hash compare pins the ±5% band (VERDICT r11 item 2). The hook and
+    * checker stay for any future query whose estimate cannot ride the
+    * in-query-verdict pattern.
     */
-  def toleranceOracle: Map[String, (String, Double)] = Map(
-    "agg_approx_distinct" -> ((
-      """SELECT l_returnflag,
-                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS approx_orders
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", 0.05)),
-    "agg_approx_percentile" -> ((
-      """SELECT l_returnflag,
-                quantile_cont(l_extendedprice, 0.5) AS p50_approx,
-                quantile_cont(l_extendedprice, 0.9) AS p90_approx
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", 0.05)),
-    "agg_hll_partitioned" -> ((
-      """SELECT l_returnflag,
-                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS est_orders
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""", 0.05)),
-    "agg_countmin" -> ((
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS est_n
-         FROM events WHERE event_type IS NOT NULL
-         GROUP BY event_type ORDER BY event_type""", 0.05)),
-  )
+  def toleranceOracle: Map[String, (String, Double)] = Map()
 }

@@ -618,16 +618,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))),
 
     // approx: HLL++ at rsd 0.02 — the DEFAULT rsd (0.05) measured 8.6%
-    // off exact on one sf0.01 group, outside the declared ±5% band the
-    // tolerance oracle + AggregatesSpec enforce; 2% target keeps real
-    // error well inside it for ~4x sketch memory (still KB-scale,
-    // mergeable map-side). Sketch-valued → tolerance_oracle.json, not
-    // oracle_sql.json.
+    // off exact on one sf0.01 group, outside the declared ±5% band; 2%
+    // target keeps real error well inside it for ~4x sketch memory
+    // (still KB-scale, mergeable map-side). r12 (VERDICT item 2): the
+    // hashed output carries the EXACT count plus `tol_ok`, the in-query
+    // |approx − exact| ≤ 5%·max(|exact|,1) verdict — the driver's hash
+    // compare now pins the sketch's band directly (a regressed sketch
+    // flips tol_ok → red row) instead of a declared rows-only check.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
-          .as("approx_orders"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("n_orders"),
+          (abs(col("__approx") - col("n_orders")) <=
+            lit(0.05) * greatest(abs(col("n_orders")), lit(1)))
+            .cast("long").as("tol_ok"))
         .orderBy(col("l_returnflag"))),
 
     // The two-level MERGEABLE-sketch pattern a 100 TB rollup actually
@@ -637,18 +643,28 @@ object RelationalQueries {
     // consumer with hll_union_agg — distinct-count re-aggregation
     // without rereading the fact table, which COUNT(DISTINCT) can never
     // do (it is not algebraic). lgK=14 keeps the ~±1.6% HLL band well
-    // inside the declared ±5% tolerance oracle. Sketch-valued →
-    // tolerance_oracle.json, not oracle_sql.json; merge-consistency
-    // (union of partials ≈ direct per-group sketch) is unit-asserted in
-    // AggregatesSpec.
-    "agg_hll_partitioned" -> ((s, d) =>
-      Tables.lineitem(s, d)
+    // inside the declared ±5% band. r12 (VERDICT item 2): hashed output =
+    // exact count + in-query `tol_ok` verdict over the merged-sketch
+    // estimate (the 3-row exact side broadcast-joins onto the estimate);
+    // merge-consistency (union of partials ≈ direct per-group sketch)
+    // stays unit-asserted in AggregatesSpec.
+    "agg_hll_partitioned" -> ((s, d) => {
+      val est = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(hll_sketch_agg(col("l_orderkey"), lit(14)).as("sk"))
         .groupBy(col("l_returnflag"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-          .as("est_orders"))
-        .orderBy(col("l_returnflag"))),
+          .as("__est"))
+      val exact = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      est.join(broadcast(exact), "l_returnflag")
+        .select(col("l_returnflag"), col("n_orders"),
+          (abs(col("__est") - col("n_orders")) <=
+            lit(0.05) * greatest(abs(col("n_orders")), lit(1)))
+            .cast("long").as("tol_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Count-Min point-frequency sketch (r11): one sketch per shard of the
     // stream built by Spark's own count_min_sketch aggregate (partial
@@ -656,30 +672,24 @@ object RelationalQueries {
     // relies on), merged DRIVER-side — O(sketch bytes), the HLL/IVF
     // legitimacy class, never the rows — and point-queried per event
     // type. CMS never underestimates and overcounts by at most eps·N
-    // w.p. `confidence` (both unit-asserted in AggregatesSpec); the
-    // driver checks ±5% vs exact counts via tolerance_oracle. Fixed seed
-    // + commutative counter merges ⇒ deterministic across partitionings
-    // and merge orders.
+    // w.p. `confidence` (both unit-asserted in AggregatesSpec). Fixed
+    // seed + commutative counter merges ⇒ deterministic across
+    // partitionings and merge orders. r12 (VERDICT item 2): hashed
+    // output = exact per-type count + in-query `tol_ok` verdict over the
+    // merged-sketch point estimate (eps·N ≈ 0.1% of rows ≪ the 5% band).
     "agg_countmin" -> ((s, d) => {
       import s.implicits._
-      val ev = Tables.events(s, d).filter(col("event_type").isNotNull)
-      val shards = ev
-        .groupBy(pmod(col("user_id"), lit(8)).as("__shard"))
-        .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cms"))
-        .select(col("cms")).collect()
-      val types = ev.select(col("event_type")).distinct()
-        .as[String].collect().sorted.toSeq
-      if (shards.isEmpty) types.map(t => (t, 0L)) // no rows, nothing counted
-        .toDF("event_type", "est_n")
-      else {
-        val merged = shards.map(r =>
-          org.apache.spark.util.sketch.CountMinSketch.readFrom(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
-          .reduce { (a, b) => a.mergeInPlace(b); a }
-        types.map(t => (t, merged.estimateCount(t)))
-          .toDF("event_type", "est_n")
-          .orderBy(col("event_type"))
-      }
+      val ev = Tables.events(s, d)
+      val estimates =
+        Aggregates.countMinEstimates(ev, "event_type", "user_id")
+      val exact = ev.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      exact.join(broadcast(estimates.toDF("event_type", "__est")), "event_type")
+        .select(col("event_type"), col("n"),
+          (abs(col("__est") - col("n")) <=
+            lit(0.05) * greatest(abs(col("n")), lit(1)))
+            .cast("long").as("tol_ok"))
+        .orderBy(col("event_type"))
     }),
 
     "agg_rollup" -> ((s, d) =>
@@ -882,16 +892,28 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))),
 
     // Approximate percentiles: the unbounded-cardinality scale path for
-    // agg_median (t-digest-style sketch, mergeable map-side — constant
-    // memory per group where exact percentile buffers every value).
-    // Sketch-dependent output → rows-only; error vs exact asserted ±5% in
-    // AggregatesSpec.
+    // agg_median (GK summary, mergeable map-side — bounded memory per
+    // group where exact percentile buffers every value). r12 (VERDICT
+    // item 2): hashed output = exact percentiles (agg_median convention)
+    // + in-query `tol_ok` verdict on the GK estimates — the deterministic
+    // rank bound N/accuracy ≈ 20 ranks leaves the 5% value band huge
+    // margin, and a regressed sketch flips tol_ok → red driver row.
     "agg_approx_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("p90_approx"))
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
+            .as("__ap"),
+          expr("percentile(l_extendedprice, 0.5)").as("__e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("__e90"))
+        .select(col("l_returnflag"),
+          graft.functions.Rounding.roundTo(col("__e50"), 2).as("p50_price"),
+          graft.functions.Rounding.roundTo(col("__e90"), 2).as("p90_price"),
+          ((abs(col("__ap").getItem(0) - col("__e50")) <=
+              lit(0.05) * greatest(abs(col("__e50")), lit(1))) &&
+            (abs(col("__ap").getItem(1) - col("__e90")) <=
+              lit(0.05) * greatest(abs(col("__e90")), lit(1))))
+            .cast("long").as("tol_ok"))
         .orderBy(col("l_returnflag"))),
 
     // Ordered-funnel depth per user (the product-analytics windowFunnel):
@@ -1488,6 +1510,34 @@ object RelationalQueries {
                 floor(quantile_cont(l_quantity, 0.5) * 100.0 + 0.5) / 100.0 AS med_qty,
                 floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
                 floor(quantile_cont(l_discount, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // sketch queries (r12): the hashed surface is the EXACT aggregate
+    // plus the Spark-side tolerance verdict — the oracle asserts the
+    // verdict is 1, so a regressed sketch reddens the driver row
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                CAST(1 AS BIGINT) AS tol_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_hll_partitioned" ->
+      """SELECT l_returnflag,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+                CAST(1 AS BIGINT) AS tol_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_countmin" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(1 AS BIGINT) AS tol_ok
+         FROM events WHERE event_type IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+
+    "agg_approx_percentile" ->
+      """SELECT l_returnflag,
+                floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0 AS p50_price,
+                floor(quantile_cont(l_extendedprice, 0.9) * 100.0 + 0.5) / 100.0 AS p90_price,
+                CAST(1 AS BIGINT) AS tol_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_custom_typed" ->

@@ -32,4 +32,37 @@ object Aggregates {
 
   /** `weighted_mean(value, weight)` as a DataFrame-usable UDAF. */
   val weightedMean: UserDefinedFunction = udaf(WeightedMean)
+
+  /** Count-Min point-frequency estimates for every distinct value of
+    * `valueCol` (non-null rows only): one sketch per `shards` hash shard
+    * of the input built by Spark's own `count_min_sketch` aggregate
+    * (partial aggregation = map-side mergeability), merged DRIVER-side —
+    * O(sketch bytes), never the rows. Fixed seed + commutative counter
+    * merges ⇒ deterministic across partitionings and merge orders (the
+    * shard split exists to PROVE mergeability; AggregatesSpec pins
+    * shard-merged == one global sketch). Backs `agg_countmin`.
+    */
+  def countMinEstimates(df: org.apache.spark.sql.DataFrame, valueCol: String,
+      shardCol: String, shards: Int = 8, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{col, expr, lit, pmod}
+    val s = df.sparkSession
+    import s.implicits._
+    val ev = df.filter(col(valueCol).isNotNull)
+    val sketches = ev
+      .groupBy(pmod(col(shardCol), lit(shards)).as("__shard"))
+      .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
+        .as("cms"))
+      .select(col("cms")).collect()
+    val values = ev.select(col(valueCol)).distinct()
+      .as[String].collect().sorted.toSeq
+    if (sketches.isEmpty) values.map(v => (v, 0L))
+    else {
+      val merged = sketches.map(r =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      values.map(v => (v, merged.estimateCount(v)))
+    }
+  }
 }

@@ -23,9 +23,9 @@ class AggregatesSpec extends SparkSpec {
   }
 
   test("approx_count_distinct at rsd 0.02 tracks exact distinct within 5% per group") {
-    // the band the tolerance oracle declares (SparkEntry.toleranceOracle);
-    // the DEFAULT rsd 0.05 sketch measured 8.6% off on one sf0.01 group,
-    // which is why the query pins rsd = 0.02
+    // the band the query's tol_ok verdict declares; the DEFAULT rsd 0.05
+    // sketch measured 8.6% off on one sf0.01 group, which is why the
+    // query pins rsd = 0.02
     val rows = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a"),
@@ -75,9 +75,9 @@ class AggregatesSpec extends SparkSpec {
     val exact = ev.groupBy(col("event_type")).count()
       .as[(String, Long)].collect().toMap
     val n = exact.values.sum
-    val got = graft.catalog.RelationalQueries
-      .queries("agg_countmin")(spark, sfDir)
-      .as[(String, Long)].collect().toMap
+    val got = Aggregates
+      .countMinEstimates(Tables.events(spark, sfDir), "event_type", "user_id")
+      .toMap
     assert(got.keySet === exact.keySet)
     val slack = math.ceil(0.001 * n).toLong // the query's eps
     got.foreach { case (t, est) =>
@@ -96,6 +96,20 @@ class AggregatesSpec extends SparkSpec {
     got.foreach { case (t, est) =>
       assert(est === global.estimateCount(t),
         s"$t: shard-merged $est != global ${global.estimateCount(t)}")
+    }
+  }
+
+  test("the four sketch queries report tol_ok=1 on every row (r12 hashed verdict)") {
+    // the driver-green contract: each query's hashed output carries the
+    // exact aggregate + the in-query tolerance verdict, so this is the
+    // same condition the oracle hash pins — kept here so a sketch
+    // regression fails fast in the suite, not only at the driver
+    Seq("agg_approx_distinct", "agg_hll_partitioned", "agg_countmin",
+      "agg_approx_percentile").foreach { q =>
+      val out = graft.catalog.RelationalQueries.queries(q)(spark, sfDir)
+      val bad = out.filter(col("tol_ok") =!= 1L).count()
+      assert(bad == 0L, s"$q: $bad rows outside the tolerance band")
+      assert(out.count() > 0, s"$q: empty output")
     }
   }
 
