@@ -104,31 +104,131 @@ object Similarity {
     * interpreted per-row HOF [[nearestCid]] used by the small-k IVF
     * index would be the hot path); only k×dim partial sums cross to the
     * driver per partition, never vectors.
+    *
+    * Past `maxCells` (r12, VERDICT r11 item 3 — the former hard 4096 cap
+    * re-grew cells linearly beyond ~8M vectors): the quantizer switches
+    * to a PRODUCT of two half-dimension codebooks ([[productAssign]]),
+    * keeping cell count ∝ n at O(√kTotal) assignment cost per row.
     */
   def annSimilarityJoin(emb: DataFrame, blockCol: String, threshold: Double,
-      targetCellSize: Long = 2000, mProbe: Int = 2, iters: Int = 2): DataFrame = {
+      targetCellSize: Long = 2000, mProbe: Int = 2, iters: Int = 2,
+      maxCells: Int = 4096): DataFrame =
+    cellAssignments(emb, blockCol, targetCellSize, mProbe, iters, maxCells) match {
+      case None =>
+        // one cell (or a degenerate corpus): the index adds nothing — run
+        // the exact all-pairs form; this IS the small-scale recall contract
+        blockedSimilarityJoin(emb, blockCol, threshold)
+      case Some(asg) =>
+        val a = asg.as("a"); val b = asg.as("b")
+        a.join(b, col("a.__blk") === col("b.__blk") &&
+            col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+          .withColumn("sim",
+            dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+          .filter(col("sim") >= threshold)
+          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+            graft.functions.Rounding.roundTo(col("sim"), 4).as("sim"))
+          // a pair sharing several probed cells appears once per shared
+          // cell; sim is deterministic per pair, so id-keyed dedup is exact
+          .dropDuplicates("a_id", "b_id")
+    }
+
+  /** The multi-probe cell assignment behind [[annSimilarityJoin]]:
+    * (vec_id, __blk, embedding, nrm, cid) with `mProbe` rows per vector,
+    * or None when no usable index exists (≤1 cell). Exposed to the spec
+    * so cell-count and cell-size boundedness are directly observable.
+    */
+  private[operators] def cellAssignments(emb: DataFrame, blockCol: String,
+      targetCellSize: Long, mProbe: Int, iters: Int,
+      maxCells: Int): Option[DataFrame] = {
+    require(maxCells >= 2, s"maxCells must be >= 2, got $maxCells")
     val n = emb.count()
-    val k = math.min(math.max(1L, (n + targetCellSize - 1) / targetCellSize), 4096L).toInt
-    val seeds = if (k <= 1) Array.empty[(Long, Array[Double])]
-                else farthestFirstSeeds(emb, k)
-    if (seeds.length <= 1)
-      // one cell (or a degenerate corpus): the index adds nothing — run
-      // the exact all-pairs form; this IS the small-scale recall contract
-      return blockedSimilarityJoin(emb, blockCol, threshold)
-
-    var cents = unitRows(seeds.map(_._2))
-    for (_ <- 1 to iters) cents = lloydStepKernel(emb, cents)
-
-    val sp = emb.sparkSession
-    val bc = sp.sparkContext.broadcast(cents)
-    val m = math.min(mProbe, cents.length)
+    val kTotal = math.max(1L, (n + targetCellSize - 1) / targetCellSize)
     val withNorm = emb.select(col("vec_id"), col(blockCol).as("__blk"),
       col("embedding"), norm(col("embedding")).as("nrm"))
     val outSchema = org.apache.spark.sql.types.StructType(
       withNorm.schema.fields :+ org.apache.spark.sql.types.StructField(
         "cid", org.apache.spark.sql.types.IntegerType, nullable = false))
-    // top-m cell assignment: compiled kernel, one pass, no shuffle
-    val assigned = withNorm.mapPartitions { it =>
+
+    def flatCells(k: Int): Option[DataFrame] = {
+      val seeds = if (k <= 1) Array.empty[(Long, Array[Double])]
+                  else farthestFirstSeeds(emb, k)
+      if (seeds.length <= 1) None
+      else {
+        var cents = unitRows(seeds.map(_._2))
+        for (_ <- 1 to iters) cents = lloydStepKernel(emb, cents)
+        Some(flatAssign(withNorm, outSchema, cents, mProbe))
+      }
+    }
+
+    if (kTotal <= maxCells) flatCells(kTotal.toInt)
+    else {
+        // Beyond the flat cap the single quantizer would turn quadratic
+        // BOTH ways (k frozen at maxCells ⇒ cells regrow linearly;
+        // k = kTotal ⇒ the O(n·k·dim) assignment scan explodes). Product
+        // quantization over the two dimension halves (inverted
+        // multi-index, Babenko & Lempitsky CVPR'12) keeps both linear:
+        // cid = (cellA, cellB) from two √kTotal-sized codebooks, so cell
+        // COUNT still tracks ⌈n/targetCellSize⌉ while assignment costs
+        // O(n·√kTotal·dim) — capacity maxCells²·targetCellSize ≈ 33e9
+        // vectors at defaults before saturating again.
+        val dimBox = emb.agg(max(size(col("embedding")))).head().getAs[Number](0)
+        val dim = if (dimBox == null) 0 else dimBox.intValue
+        val h = math.max(dim / 2, 1)
+        val ka = math.min(math.ceil(math.sqrt(kTotal.toDouble)).toLong,
+          maxCells.toLong).toInt
+        val kb = math.min((kTotal + ka - 1) / ka, maxCells.toLong).toInt
+        val embA = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, h).as("embedding"))
+        val embB = emb.select(col("vec_id"),
+          slice(col("embedding"), h + 1, math.max(dim - h, 1)).as("embedding"))
+        var centsA = unitRows(farthestFirstSeeds(embA, ka).map(_._2))
+        var centsB = unitRows(farthestFirstSeeds(embB, kb).map(_._2))
+        if (centsA.length <= 1 && centsB.length <= 1) flatCells(maxCells)
+        else {
+          // a degenerate half (e.g. all-zero dims) contributes one
+          // constant cell; the other half still partitions
+          if (centsA.isEmpty) centsA = Array(new Array[Double](h))
+          if (centsB.isEmpty) centsB = Array(new Array[Double](math.max(dim - h, 1)))
+          for (_ <- 1 to iters) {
+            if (centsA.length > 1) centsA = lloydStepKernel(embA, centsA)
+            if (centsB.length > 1) centsB = lloydStepKernel(embB, centsB)
+          }
+          Some(productAssign(withNorm, outSchema, centsA, centsB, h, mProbe))
+        }
+    }
+  }
+
+  /** Top-`m` indices of `sims` by descending value, first-index tiebreak —
+    * the multi-probe selection both assignment kernels share.
+    */
+  private def topIdx(sims: Array[Double], m: Int): Array[Int] = {
+    val kk = sims.length
+    val picked = new Array[Int](m)
+    var p = 0
+    while (p < m) {
+      var best = -1; var bestS = Double.NegativeInfinity
+      var q = 0
+      while (q < kk) {
+        var already = false; var t = 0
+        while (t < p) { if (picked(t) == q) already = true; t += 1 }
+        if (!already && sims(q) > bestS) { bestS = sims(q); best = q }
+        q += 1
+      }
+      picked(p) = best; p += 1
+    }
+    picked
+  }
+
+  /** Top-m single-codebook cell assignment: compiled kernel, one pass,
+    * no shuffle. `withNorm` columns: (vec_id, __blk, embedding, nrm).
+    */
+  private def flatAssign(withNorm: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType,
+      cents: Array[Array[Double]], mProbe: Int): DataFrame = {
+    val sp = withNorm.sparkSession
+    val bc = sp.sparkContext.broadcast(cents)
+    val m = math.min(mProbe, cents.length)
+    withNorm.mapPartitions { it =>
       val cs = bc.value; val kk = cs.length
       it.flatMap { r =>
         val v = r.getSeq[Float](2)
@@ -140,35 +240,59 @@ object Similarity {
           while (i < lim) { s += v(i) * cs(j)(i); i += 1 }
           sims(j) = s; j += 1
         }
-        val picked = new Array[Int](m)
-        var p = 0
-        while (p < m) {
-          var best = -1; var bestS = Double.NegativeInfinity
-          var q = 0
-          while (q < kk) {
-            var already = false; var t = 0
-            while (t < p) { if (picked(t) == q) already = true; t += 1 }
-            if (!already && sims(q) > bestS) { bestS = sims(q); best = q }
-            q += 1
-          }
-          picked(p) = best; p += 1
-        }
-        picked.iterator.map(cid =>
+        topIdx(sims, m).iterator.map(cid =>
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
-    val a = assigned.as("a"); val b = assigned.as("b")
-    a.join(b, col("a.__blk") === col("b.__blk") &&
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("sim") >= threshold)
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        graft.functions.Rounding.roundTo(col("sim"), 4).as("sim"))
-      // a pair sharing several probed cells appears once per shared cell;
-      // sim is deterministic per pair, so id-keyed dedup is exact
-      .dropDuplicates("a_id", "b_id")
+  /** Product (two-codebook) cell assignment: `cid = cellA·|B| + cellB`
+    * where cellA quantizes dims [0,h) against `centsA` and cellB dims
+    * [h,len) against `centsB`. Multi-probe takes the top-`mProbe`
+    * (A,B) combinations by summed half-similarity from the top-mProbe
+    * candidates of EACH half — mProbe² scored combos per row, still
+    * O(|A|+|B|) dot products. Deterministic: ties break to the lower cid.
+    */
+  private def productAssign(withNorm: DataFrame,
+      outSchema: org.apache.spark.sql.types.StructType,
+      centsA: Array[Array[Double]], centsB: Array[Array[Double]],
+      h: Int, mProbe: Int): DataFrame = {
+    val sp = withNorm.sparkSession
+    val bcA = sp.sparkContext.broadcast(centsA)
+    val bcB = sp.sparkContext.broadcast(centsB)
+    withNorm.mapPartitions { it =>
+      val ca = bcA.value; val cb = bcB.value
+      val ka = ca.length; val kb = cb.length
+      val mA = math.min(mProbe, ka); val mB = math.min(mProbe, kb)
+      val mOut = math.min(mProbe, mA * mB)
+      it.flatMap { r =>
+        val v = r.getSeq[Float](2)
+        val simsA = new Array[Double](ka)
+        var j = 0
+        while (j < ka) {
+          var s = 0.0; var i = 0
+          val lim = math.min(ca(j).length, math.min(h, v.length))
+          while (i < lim) { s += v(i) * ca(j)(i); i += 1 }
+          simsA(j) = s; j += 1
+        }
+        val simsB = new Array[Double](kb)
+        j = 0
+        while (j < kb) {
+          var s = 0.0; var i = h
+          while (i < v.length && (i - h) < cb(j).length) {
+            s += v(i) * cb(j)(i - h); i += 1
+          }
+          simsB(j) = s; j += 1
+        }
+        val topA = topIdx(simsA, mA); val topB = topIdx(simsB, mB)
+        val combos = for (a <- topA; b <- topB)
+          yield (simsA(a) + simsB(b), a * kb + b)
+        combos.sortBy { case (score, cid) => (-score, cid) }
+          .take(mOut).iterator.map { case (_, cid) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ cid)
+          }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   private def unitRows(cents: Array[Array[Double]]): Array[Array[Double]] =

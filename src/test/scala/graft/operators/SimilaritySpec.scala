@@ -337,4 +337,63 @@ class SimilaritySpec extends SparkSpec {
     // targetCellSize=40 → 15 cells (annSimilarityJoin would equal exact
     // only if recall were 1.0 anyway, which the bound above allows)
   }
+
+  test("ANN join beyond maxCells: product quantizer keeps cell count growing and cells bounded") {
+    // VERDICT r11 item 3: the former hard 4096-cell cap re-grew cells
+    // linearly past ~8M vectors. Shrunken replica: 600 vectors,
+    // targetCellSize=10 → kTotal=60 > maxCells=8 forces the product
+    // (two-half-codebook) path, whose cell count (ka·kb = 64) exceeds
+    // what the flat cap could ever index — pinned by observing the
+    // assignment directly.
+    val dim = 16
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(dim) { d =>
+        var h = seed * 0x9E3779B97F4A7C15L + d * 0xC2B2AE3D27D4EB4FL
+        h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+        h ^= (h >>> 27)
+        ((h & 0xFFFF).toDouble / 0xFFFF.toDouble - 0.5).toFloat
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until 12
+      p <- 0 until 50
+    } yield {
+      val center = unit(c + 1L)
+      val pert = unit(1000L + c * 50 + p)
+      val eps = 0.25f
+      val v = center.zip(pert).map { case (a, b) => a + eps * b }
+      ((c * 50 + p).toLong, 0, v)
+    }
+    val data = rows.toDF("vec_id", "label", "embedding")
+      .withColumn("blk", col("label"))
+
+    val asg = Similarity.cellAssignments(data, "blk",
+      targetCellSize = 10, mProbe = 2, iters = 2, maxCells = 8).get
+    val perCell = asg.groupBy(col("cid")).count()
+      .as[(Int, Long)].collect()
+    // cell count must exceed the flat cap (proves the product path ran
+    // and the index kept subdividing past maxCells)
+    assert(perCell.length > 8,
+      s"only ${perCell.length} cells — flat cap still in effect")
+    // boundedness: no cell swallows the corpus (600 rows × mProbe=2 →
+    // 1200 assignments; a degenerate quantizer puts ~all in one cell).
+    // Clusters are size 50, so a healthy cell is O(cluster), not O(n).
+    val maxCell = perCell.map(_._2).max
+    assert(maxCell <= 300,
+      s"largest cell holds $maxCell of 1200 assignments — not subdividing")
+
+    // recall on the planted clusters through the product path
+    val threshold = 0.7
+    val exact = Similarity.blockedSimilarityJoin(data, "blk", threshold)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    val ann = Similarity.annSimilarityJoin(data, "blk", threshold,
+        targetCellSize = 10, mProbe = 2, maxCells = 8)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(exact), "verified candidates can never be wrong pairs")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.9, f"product-path recall $recall%.4f < 0.9 " +
+      s"(${exact.size - ann.size} of ${exact.size} pairs missed)")
+  }
 }
