@@ -149,6 +149,14 @@ object CorpusIngest {
       }
     }
 
+  /** Orderly writer-lease handover after this process is done with the
+    * manifest (see [[IngestPaths.acquireLease]] — every ingest/compact
+    * call acquires or refreshes the lease and REFUSES a dir held by
+    * another live writer). Only this process's own lease is removed.
+    */
+  def releaseWriterLease(s: SparkSession, manifestDir: String): Unit =
+    IngestPaths.releaseLease(s, manifestDir)
+
   private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
@@ -396,6 +404,7 @@ object CorpusIngest {
     require(batchId != CompactedBatch,
       s"batch id $CompactedBatch is reserved for compacted history")
     val s = batch.sparkSession
+    IngestPaths.acquireLease(s, manifestDir)
     val tbl = tableName(s, manifestDir)
     val manifestExists = reconcileTable(s, manifestDir)
     // persisted: reused by the bloom build, the probable/definite split,
@@ -492,6 +501,7 @@ object CorpusIngest {
     * object's API.
     */
   def compact(s: SparkSession, manifestDir: String, upToBatch: Long): Unit = {
+    IngestPaths.acquireLease(s, manifestDir)
     require(reconcileTable(s, manifestDir), s"no manifest at $manifestDir")
     val tbl = tableName(s, manifestDir)
     s.catalog.refreshTable(tbl)

@@ -294,6 +294,12 @@ object FuzzyIngest {
   private def stageView(s: SparkSession, indexDir: String): String =
     "graft_fuzzy_stage_" + IngestPaths.digest(s, indexDir)
 
+  /** Orderly writer-lease handover — the [[CorpusIngest.releaseWriterLease]]
+    * twin for the fuzzy index dir.
+    */
+  def releaseWriterLease(s: SparkSession, indexDir: String): Unit =
+    IngestPaths.releaseLease(s, indexDir)
+
   /** One fuzzy ingest merge (batch mode; the streaming form above). */
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, simThreshold: Double = 0.5,
@@ -301,6 +307,7 @@ object FuzzyIngest {
     require(batchId != CorpusIngest.CompactedBatch,
       s"batch id ${CorpusIngest.CompactedBatch} is reserved for compacted history")
     val s = batch.sparkSession
+    IngestPaths.acquireLease(s, indexDir)
     val exists = reconcile(s, indexDir)
     // within-batch EXACT dedup (min doc_id per text), then sign. __grp =
     // group size, carried so docsIn needs no separate raw-batch pass
@@ -445,6 +452,7 @@ object FuzzyIngest {
     * ever observes the duplicate-rows window.
     */
   def compact(s: SparkSession, indexDir: String, upToBatch: Long): Unit = {
+    IngestPaths.acquireLease(s, indexDir)
     require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
     val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
     s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)

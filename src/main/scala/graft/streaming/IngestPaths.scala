@@ -75,4 +75,97 @@ private[streaming] object IngestPaths {
     val p = markerPath(dir)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
   }
+
+  // ---------------------------------------------------------------------
+  // Writer lease — the multi-writer guard (VERDICT r11 item 5)
+  // ---------------------------------------------------------------------
+
+  /** Lease TTL config key (ms). A writer that has not touched the state
+    * dir for longer than this is presumed dead and its lease stealable.
+    */
+  val LeaseTtlConf = "spark.graft.ingest.leaseTtlMs"
+  val DefaultLeaseTtlMs = 15L * 60L * 1000L
+
+  /** This process's writer identity. One UUID per JVM: the single-writer
+    * contract is per writer PROCESS (a streaming query's micro-batches and
+    * its auto-compactions share the lease; two driver JVMs do not).
+    */
+  private[streaming] val leaseOwner: String =
+    java.util.UUID.randomUUID().toString
+
+  /** SIBLING of the state dir (like the `_bloom` sidecar), never inside
+    * it: the reconcile paths infer state from the dir's existence, which
+    * an early lease write must not fabricate.
+    */
+  def leasePath(dir: String): Path =
+    new Path(new Path(dir).toString + "_lease")
+
+  private def writeLease(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      owner: String): Unit = {
+    val dst = leasePath(dir)
+    val tmp = new Path(dst.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"owner=$owner\nts=${System.currentTimeMillis()}\n"
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) sys.error(s"writer lease rename failed: $dst")
+  }
+
+  private[streaming] def readLease(s: SparkSession,
+      dir: String): Option[(String, Long)] = {
+    val p = leasePath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val kv = txt.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v.trim }.toMap
+    for (o <- kv.get("owner"); t <- kv.get("ts")) yield (o, t.toLong)
+  }
+
+  /** Acquire or refresh this process's writer lease on `dir`, failing
+    * LOUDLY when another live writer holds it (ADVICE r11 / VERDICT r11
+    * item 5: two sessions interleaving ingest/compact on one state dir
+    * previously raced silently — the declared single-writer contract is
+    * now asserted, not assumed). Best-effort by design: a cooperative
+    * guard over a filesystem without compare-and-swap can narrow the
+    * interleaving window to one stat-to-rename race, not remove it; a
+    * transaction-log table format is the airtight fix.
+    *
+    * Protocol per writing operation (ingest batch, compaction):
+    * absent → create; ours → refresh ts; foreign+fresh → throw; foreign+
+    * expired (> [[LeaseTtlConf]] since its last refresh) → steal, so a
+    * crashed writer never bricks the table.
+    */
+  def acquireLease(s: SparkSession, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ttl = s.conf.getOption(LeaseTtlConf).map(_.toLong)
+      .getOrElse(DefaultLeaseTtlMs)
+    readLease(s, dir) match {
+      case None => writeLease(fs, dir, leaseOwner)
+      case Some((owner, _)) if owner == leaseOwner =>
+        writeLease(fs, dir, leaseOwner) // refresh
+      case Some((owner, ts)) =>
+        val age = System.currentTimeMillis() - ts
+        if (age <= ttl)
+          throw new IllegalStateException(
+            s"state dir $dir is held by writer $owner " +
+              s"(lease ${age}ms old, ttl ${ttl}ms). Concurrent writers " +
+              "would interleave compaction with appends and corrupt the " +
+              "manifest; stop the other writer or, if it is dead, wait " +
+              s"out the ttl / delete ${leasePath(dir)}.")
+        writeLease(fs, dir, leaseOwner) // expired: steal
+    }
+  }
+
+  /** Orderly lease handover: delete OUR lease (a foreign lease is left
+    * untouched). Safe to call when no lease exists.
+    */
+  def releaseLease(s: SparkSession, dir: String): Unit = {
+    val p = leasePath(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (readLease(s, dir).exists(_._1 == leaseOwner)) fs.delete(p, false)
+  }
 }

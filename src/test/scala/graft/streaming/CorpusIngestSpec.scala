@@ -357,6 +357,69 @@ class CorpusIngestSpec extends SparkSpec {
     assert(m === Set(1L, 2L, 10L, 21L))
   }
 
+  test("writer lease: a second live writer is refused, an expired one is stolen") {
+    // VERDICT r11 item 5: the single-writer contract is now asserted, not
+    // assumed — interleaved sessions fail loudly instead of corrupting
+    // the manifest. A "foreign session" is simulated by planting a lease
+    // with a different owner id (the protocol is pure file state).
+    val dir = graft.util.Scratch.fresh("ingest_lease_spec")
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en")), 0L, dir)
+    val leaseP = IngestPaths.leasePath(dir)
+    val fs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(leaseP), "first ingest must acquire the lease")
+
+    // foreign + fresh ⇒ both ingest and compact refuse
+    def plantForeign(ageMs: Long): Unit = {
+      val out = fs.create(leaseP, true)
+      try out.write(
+        s"owner=other-writer\nts=${System.currentTimeMillis() - ageMs}\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    plantForeign(ageMs = 0L)
+    val e1 = intercept[IllegalStateException](
+      CorpusIngest.ingestBatch(docs((2L, "beta", "en")), 1L, dir))
+    assert(e1.getMessage.contains("other-writer"), e1.getMessage)
+    intercept[IllegalStateException](CorpusIngest.compact(spark, dir, 0L))
+    // the refused write left no trace
+    assert(CorpusIngest.manifest(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSeq === Seq(1L))
+
+    // foreign + expired ⇒ stolen, ingest proceeds (crashed writers never
+    // brick the table)
+    spark.conf.set(IngestPaths.LeaseTtlConf, "50")
+    try {
+      plantForeign(ageMs = 10000L)
+      CorpusIngest.ingestBatch(docs((2L, "beta", "en")), 1L, dir)
+    } finally spark.conf.unset(IngestPaths.LeaseTtlConf)
+    assert(IngestPaths.readLease(spark, dir).exists(
+      _._1 == IngestPaths.leaseOwner), "expired lease must be stolen")
+    assert(CorpusIngest.manifest(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet === Set(1L, 2L))
+
+    // orderly release removes only our own lease
+    CorpusIngest.releaseWriterLease(spark, dir)
+    assert(!fs.exists(leaseP))
+    plantForeign(ageMs = 0L)
+    CorpusIngest.releaseWriterLease(spark, dir) // must not delete a foreign lease
+    assert(fs.exists(leaseP))
+    fs.delete(leaseP, false)
+
+    // FuzzyIngest twin: same protocol on the index dir
+    val fdir = graft.util.Scratch.fresh("fuzzy_lease_spec")
+    val longText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    FuzzyIngest.ingestBatch(docs((1L, longText, "en")), 0L, fdir)
+    val fLease = IngestPaths.leasePath(fdir)
+    val out = fs.create(fLease, true)
+    try out.write(
+      s"owner=other-writer\nts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+    intercept[IllegalStateException](
+      FuzzyIngest.ingestBatch(docs((2L, "short new", "en")), 1L, fdir))
+    FuzzyIngest.releaseWriterLease(spark, fdir) // foreign: left in place
+    assert(fs.exists(fLease))
+  }
+
   test("per-bucket bloom probe is codegen might_contain; saturated buckets degrade alone") {
     val s2 = spark.newSession()
     s2.conf.set(CorpusIngest.CapacityConf, "8")
