@@ -281,6 +281,56 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("bandAggJoin measurePercentiles: digest quantiles within rank tolerance of brute force") {
+    // VERDICT r11 item 7: approximate percentiles of an ARBITRARY measure
+    // (not the join key) via per-cent t-digests. The digest's k0 scale
+    // bounds rank error; the spec asserts each reported quantile lies
+    // between the exact order statistics at p ± 5% — a rank band, the
+    // right test for a value-interpolating sketch.
+    val rnd = new scala.util.Random(23)
+    def price(): Double = rnd.nextInt(2000) / 100.0 + 10.0
+    def weight(): Double = rnd.nextInt(100000) / 100.0
+    val probe = Seq.tabulate(30)(i => (i.toLong, price()))
+    val build = Seq.fill(5000)((price(), weight()))
+    def cents(x: Double): Long = math.floor(x * 100.0 + 0.5).toLong
+    val band = 0.5; val bandC = math.round(band * 100.0)
+    val got = Joins.bandAggJoin(
+        probe.toDF("id", "v"), "v",
+        build.toDF("b", "w"), "b", "w", band,
+        measurePercentiles = Seq(0.1, 0.5, 0.9))
+      .select("id", "band_n", "band_msr_p10", "band_msr_p50", "band_msr_p90")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    var checked = 0
+    probe.foreach { case (id, v) =>
+      val hits = build.filter { case (b, _) =>
+        math.abs(cents(b) - cents(v)) <= bandC }.map(_._2).sorted
+      val (n, p10, p50, p90) = got(id)
+      assert(n == hits.size, s"id=$id band_n $n != ${hits.size}")
+      if (hits.isEmpty) {
+        assert(p10.isEmpty && p50.isEmpty && p90.isEmpty, s"id=$id")
+      } else {
+        def rankBand(p: Double, q: Double): Unit = {
+          val loR = math.max(math.floor((p - 0.05) * hits.size).toInt, 0)
+          val hiR = math.min(math.ceil((p + 0.05) * hits.size).toInt,
+            hits.size - 1)
+          assert(q >= hits(loR) - 1e-9 && q <= hits(hiR) + 1e-9,
+            s"id=$id p=$p q=$q outside [${hits(loR)}, ${hits(hiR)}] " +
+              s"(n=${hits.size})")
+        }
+        rankBand(0.1, p10.get); rankBand(0.5, p50.get); rankBand(0.9, p90.get)
+        checked += 1
+      }
+    }
+    assert(checked >= 20, s"fixture too sparse: only $checked non-empty bands")
+
+    // the guard trips instead of building an unbounded digest tree
+    val e = intercept[IllegalArgumentException](Joins.bandAggJoin(
+      probe.toDF("id", "v"), "v", build.toDF("b", "w"), "b", "w", band,
+      measurePercentiles = Seq(0.5), maxDigestCents = 3))
+    assert(e.getMessage.contains("maxDigestCents"), e.getMessage)
+  }
+
   test("bandAggJoin: NaN/Inf probe values match nothing and never widen the domain") {
     val probe = Seq(10.0, Double.NaN, Double.PositiveInfinity,
       Double.NegativeInfinity).toDF("v")
