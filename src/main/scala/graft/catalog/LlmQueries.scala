@@ -974,15 +974,32 @@ object LlmQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
-    // Content-hash stratified sample (layout-independent membership —
-    // xxhash64-specific, no SQL twin → rows-only; reproducibility and
-    // fraction accuracy unit-asserted in SamplingSpec).
-    "llm_sample_stratified" -> ((s, d) =>
-      Sampling.stratifiedById(Tables.documents(s, d), "lang", "doc_id",
-        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 1.0))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
-        .orderBy(col("lang"))),
+    // Content-hash stratified sample (layout-independent membership).
+    // The MEMBERSHIP is xxhash64-specific (no SQL twin), so the hashed
+    // surface is the r12 verdict pattern (VERDICT r11 item 2): exact
+    // per-stratum population + `tol_ok` — the realized sample rate must
+    // sit within 4σ of its target (σ = √(f(1−f)/n), +1/n slack for the
+    // lattice; a fraction-1.0 stratum must sample EXACTLY n). A biased
+    // or non-reproducible sampler flips tol_ok → red driver row;
+    // reproducibility itself stays unit-asserted in SamplingSpec.
+    "llm_sample_stratified" -> ((s, d) => {
+      val fr = Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.25, "fr" -> 1.0)
+      val docs = Tables.documents(s, d)
+      val fCol = fr.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+        when(col("lang") === k, lit(v)).otherwise(acc)
+      }
+      val sampled = Sampling.stratifiedById(docs, "lang", "doc_id", fr)
+        .groupBy(col("lang")).agg(count(lit(1)).as("__ns"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
+        .join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_pop"),
+          (abs(coalesce(col("__ns"), lit(0L)).cast("double") / col("n_pop")
+              - fCol) <=
+            lit(4.0) * sqrt(fCol * (lit(1.0) - fCol) / col("n_pop"))
+              + lit(1.0) / col("n_pop"))
+            .cast("long").as("tol_ok"))
+        .orderBy(col("lang"))
+    }),
 
     // Per-label centroids (the k-means/IVF building block, here oracled);
     // map-side-combining + exact integer micro-unit sums — see
@@ -1798,6 +1815,13 @@ object LlmQueries {
                                          ORDER BY md5(text) NULLS FIRST, doc_id) AS rk
                FROM documents)
          WHERE rk <= 3 ORDER BY source NULLS FIRST, rk""",
+
+    // the sample membership is xxhash64-specific; the hashed surface is
+    // the exact per-stratum population + the Spark-side 4σ rate verdict
+    "llm_sample_stratified" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_pop,
+                CAST(1 AS BIGINT) AS tol_ok
+         FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_doc_shard" ->
       """SELECT substr(md5(text), 1, 1) AS shard,
