@@ -625,16 +625,25 @@ object RelationalQueries {
     // |approx − exact| ≤ 5%·max(|exact|,1) verdict — the driver's hash
     // compare now pins the sketch's band directly (a regressed sketch
     // flips tol_ok → red row) instead of a declared rows-only check.
-    "agg_approx_distinct" -> ((s, d) =>
+    // exact and approx in SEPARATE aggregations joined on the 3-row
+    // group key: mixing countDistinct with another aggregate in one agg
+    // forces an Expand plan (every row duplicated per distinct spec) —
+    // measured 3.3s vs 1.25s for this split shape at sf0.1
+    "agg_approx_distinct" -> ((s, d) => {
+      val approx = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("__approx"))
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("__approx"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .join(broadcast(approx), "l_returnflag")
         .select(col("l_returnflag"), col("n_orders"),
           (abs(col("__approx") - col("n_orders")) <=
             lit(0.05) * greatest(abs(col("n_orders")), lit(1)))
             .cast("long").as("tol_ok"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // The two-level MERGEABLE-sketch pattern a 100 TB rollup actually
     // ships: partial Datasketches-HLL sketches built per fine partition
