@@ -382,6 +382,13 @@ object LlmQueries {
     // degenerates to one cell — output identical to the all-pairs twin
     // (recall 1.0); pruning recall ≥ 0.95 is asserted on planted
     // clusters in SimilaritySpec → declared rows-only.
+    // Oracled since r12: at the correctness-gate scale (n ≤
+    // targetCellSize) the index degenerates and this IS the exact
+    // all-pairs join — so the oracle both hash-checks the output AND
+    // pins the unit-scale recall contract in the driver (an index that
+    // wrongly engaged and dropped pairs at small n reddens the row).
+    // At bench/production scales the pruned path is approximate by
+    // declared design (recall specs in SimilaritySpec).
     "llm_similarity_ann_join" -> ((s, d) =>
       Similarity.annSimilarityJoin(
         Tables.embeddings(s, d).withColumn("blk", col("label")), "blk", 0.2)
@@ -1456,6 +1463,25 @@ object LlmQueries {
          ORDER BY sim DESC, vec_id LIMIT 10""",
 
     "llm_similarity_join" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings
+         )
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                floor(list_sum(list_transform(range(1, 65),
+                        i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                      (a.nrm * b.nrm) * 10000.0 + 0.5) / 10000.0 AS sim
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(range(1, 65),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+               (a.nrm * b.nrm) >= 0.2
+         ORDER BY a_id, b_id""",
+
+    // identical twin SQL: at oracle scale the ANN join's unit-scale
+    // contract makes it the exact all-pairs join, so the same oracle
+    // pins both the values and the contract (see the query's comment)
+    "llm_similarity_ann_join" ->
       """WITH e AS (
            SELECT vec_id, label, embedding,
                   sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
