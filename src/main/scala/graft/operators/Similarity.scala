@@ -109,6 +109,12 @@ object Similarity {
     * re-grew cells linearly beyond ~8M vectors): the quantizer switches
     * to a PRODUCT of two half-dimension codebooks ([[productAssign]]),
     * keeping cell count ∝ n at O(√kTotal) assignment cost per row.
+    * Measured ([[graft.AnnProbe]], `BENCH_ann_product_r12.json`): the
+    * speedup over an uncapped flat codebook widens with kTotal (1.2× at
+    * k=1200 → 2.8× at k=2000) exactly per the asymptotics. The combo
+    * space fragments near codebook boundaries, so on the product path
+    * set `mProbe` to ~2× the flat setting for recall parity (planted
+    * recall 0.82 at mProbe=2 vs 0.97 at mProbe=4 on the probe corpus).
     */
   def annSimilarityJoin(emb: DataFrame, blockCol: String, threshold: Double,
       targetCellSize: Long = 2000, mProbe: Int = 2, iters: Int = 2,
@@ -135,9 +141,10 @@ object Similarity {
   /** The multi-probe cell assignment behind [[annSimilarityJoin]]:
     * (vec_id, __blk, embedding, nrm, cid) with `mProbe` rows per vector,
     * or None when no usable index exists (≤1 cell). Exposed to the spec
-    * so cell-count and cell-size boundedness are directly observable.
+    * and the [[graft.AnnProbe]] cost probe so cell-count and cell-size
+    * boundedness are directly observable.
     */
-  private[operators] def cellAssignments(emb: DataFrame, blockCol: String,
+  private[graft] def cellAssignments(emb: DataFrame, blockCol: String,
       targetCellSize: Long, mProbe: Int, iters: Int,
       maxCells: Int): Option[DataFrame] = {
     require(maxCells >= 2, s"maxCells must be >= 2, got $maxCells")
