@@ -371,8 +371,26 @@ object LlmQueries {
     // IVF ANN: approximate by construction → rows-only; recall asserted
     // vs brute force in the unit suite. Runs against the materialized
     // partitionBy(cid) index — the probe scan prunes to nProbe partitions.
-    "llm_similarity_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(s, Tables.embeddings(s, d), queryId = 1L, k = 10)),
+    // Oracled since r12 (verdict pattern): the IVF answer is approximate
+    // (probes prune to nProbe/nCentroids of the corpus — the point), so
+    // the hashed surface is the EXACT brute-force top-k plus `recall_ok`,
+    // computed from the IVF run's overlap with it (the suite's "usable"
+    // bound, ≥ 4 of 10). The index build, materialization, and pruned
+    // probe all still execute — a broken index flips the verdict and
+    // reddens the driver row. Both frames are k=10 rows (TakeOrdered
+    // class), so the driver-side overlap count is O(k).
+    "llm_similarity_ivf" -> ((s, d) => {
+      import s.implicits._
+      val ivfIds = Similarity
+        .ivfTopK(s, Tables.embeddings(s, d), queryId = 1L, k = 10)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val exact = Similarity
+        .bruteForceTopK(Tables.embeddings(s, d), queryId = 1L, k = 10)
+      val exactIds = exact.select(col("vec_id")).as[Long].collect().toSet
+      val recall = if (exactIds.isEmpty) 1.0
+        else exactIds.count(ivfIds).toDouble / exactIds.size
+      exact.withColumn("recall_ok", lit(if (recall >= 0.4) 1L else 0L))
+    }),
 
     // The SHIPPED scale path for the similarity-join contract (clears the
     // r10 weak): same (a_id, b_id, sim ≥ threshold) output as
@@ -1459,6 +1477,21 @@ object LlmQueries {
                   (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
                    sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))))
                   * 10000.0 + 0.5) / 10000.0 AS sim
+         FROM embeddings, q WHERE vec_id <> 1
+         ORDER BY sim DESC, vec_id LIMIT 10""",
+
+    // exact brute-force top-k (the hashable half) + the Spark-side IVF
+    // recall verdict — see the query's comment
+    "llm_similarity_ivf" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         SELECT vec_id,
+                floor(
+                  list_sum(list_transform(range(1, 65),
+                    i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) /
+                  (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) *
+                   sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE))))
+                  * 10000.0 + 0.5) / 10000.0 AS sim,
+                CAST(1 AS BIGINT) AS recall_ok
          FROM embeddings, q WHERE vec_id <> 1
          ORDER BY sim DESC, vec_id LIMIT 10""",
 
