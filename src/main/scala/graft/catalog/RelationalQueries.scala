@@ -907,6 +907,10 @@ object RelationalQueries {
     // + in-query `tol_ok` verdict on the GK estimates — the deterministic
     // rank bound N/accuracy ≈ 20 ranks leaves the 5% value band huge
     // margin, and a regressed sketch flips tol_ok → red driver row.
+    // (measured r12: splitting the GK and exact aggs into two scans +
+    // broadcast join saved only 0.3s of 3.0 locally — inside variance —
+    // while doubling the 100 TB scan cost; the single-scan form stays.
+    // No Expand risk here: none of the three aggregates is DISTINCT.)
     "agg_approx_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
