@@ -19,15 +19,16 @@ class PlanSweepSpec extends SparkSpec {
     *  - join_cross: the declared cartesian (tiny dim × tiny dim);
     *  - llm_ngram_lm / llm_ccnet_buckets / llm_text_topterms /
     *    llm_vocab_coverage / fn_sql_subquery / llm_similarity_topk /
-    *    llm_cluster_stats: a ONE-ROW corpus-total / scalar-aggregate /
-    *    query-vector frame crossed into the stream — the
-    *    degenerate-broadcast scalar-join form, cost O(|rows|), not a pair
-    *    explosion.
+    *    llm_similarity_ivf / llm_cluster_stats: a ONE-ROW corpus-total /
+    *    scalar-aggregate / query-vector frame crossed into the stream —
+    *    the degenerate-broadcast scalar-join form, cost O(|rows|), not a
+    *    pair explosion (the ivf entry inherits llm_similarity_topk's
+    *    shape since r12: its hashed half IS the brute-force top-k).
     */
   private val bnljAllowed = Set(
     "join_theta_range", "join_cross", "llm_ngram_lm", "llm_ccnet_buckets",
     "llm_text_topterms", "llm_vocab_coverage", "fn_sql_subquery",
-    "llm_similarity_topk", "llm_cluster_stats")
+    "llm_similarity_topk", "llm_similarity_ivf", "llm_cluster_stats")
 
   test("plan sweep: zero CartesianProduct, BNLJ only in the by-design spots") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
