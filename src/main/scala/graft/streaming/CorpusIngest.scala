@@ -557,6 +557,12 @@ object CorpusIngest {
         s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$CompactedBatch)
            |SELECT doc_id, lang, `__h`, `__len`, first_batch FROM `$view`""".stripMargin)
       finally s.catalog.dropTempView(view)
+      // re-assert the writer lease before the DESTRUCTIVE phase: a
+      // consolidation that outlived the TTL could have been stolen by a
+      // new writer — refresh when still ours, abort loudly when not (the
+      // intent marker then lets the new owner roll this compaction
+      // forward; nothing has been dropped yet)
+      IngestPaths.acquireLease(s, manifestDir)
       // files first (manifest() is a path read and must not resurrect
       // merged rows), then catalog metadata; both idempotent on re-run
       val (fs, mPath) = fsOf(s, manifestDir)

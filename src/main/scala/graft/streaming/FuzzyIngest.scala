@@ -507,6 +507,11 @@ object FuzzyIngest {
         try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
                      |SELECT $insertCols FROM `$view`""".stripMargin)
         finally s.catalog.dropTempView(view)
+        // re-assert the writer lease before the destructive drop phase
+        // (CorpusIngest twin): refresh when ours, abort loudly if a
+        // TTL-expiry steal happened mid-consolidation — the intent
+        // marker lets the new owner roll forward
+        IngestPaths.acquireLease(s, indexDir)
         val (fs, p) = fsOf(s, path)
         fs.listStatus(p).filter(_.isDirectory).foreach { st =>
           val n = st.getPath.getName
