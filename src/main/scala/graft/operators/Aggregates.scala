@@ -44,7 +44,8 @@ object Aggregates {
     */
   def countMinEstimates(df: org.apache.spark.sql.DataFrame, valueCol: String,
       shardCol: String, shards: Int = 8, eps: Double = 0.001,
-      confidence: Double = 0.99, seed: Int = 42): Seq[(String, Long)] = {
+      confidence: Double = 0.99, seed: Int = 42,
+      maxValues: Int = 100000): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.{col, expr, lit, pmod}
     val s = df.sparkSession
     import s.implicits._
@@ -54,8 +55,19 @@ object Aggregates {
       .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
         .as("cms"))
       .select(col("cms")).collect()
+    // point-query enumeration is driver-side BY DESIGN (the sketch is the
+    // distributed object; queries are O(1) lookups) — guard the value
+    // domain so a high-cardinality column fails loudly instead of
+    // collecting an unbounded distinct set (r12 scale-hardening; the
+    // IVF-centroid / prefix-sum-index legitimacy class is domain-BOUNDED
+    // collects only)
     val values = ev.select(col(valueCol)).distinct()
+      .limit(maxValues + 1)
       .as[String].collect().sorted.toSeq
+    require(values.size <= maxValues,
+      s"countMinEstimates: > $maxValues distinct $valueCol values — " +
+        "point-querying every value no longer makes sense at this " +
+        "cardinality; query the sketch directly for the keys you need")
     if (sketches.isEmpty) values.map(v => (v, 0L))
     else {
       val merged = sketches.map(r =>
