@@ -113,6 +113,25 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("the tolerance verdict is FALSIFIABLE: a degenerate sketch fails the same band") {
+    // guards the r12 verdict pattern against the tautology critique: the
+    // identical |est − exact| ≤ 5%·max(exact,1) check the queries hash
+    // must reject a sketch that is actually broken. eps=0.9 → a ~4-cell
+    // Count-Min where the event types collide and point estimates absorb
+    // other types' counts wholesale.
+    val ev = Tables.events(spark, sfDir).filter(col("event_type").isNotNull)
+    val exact = ev.groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    val degenerate = Aggregates
+      .countMinEstimates(Tables.events(spark, sfDir), "event_type", "user_id",
+        eps = 0.9)
+      .toMap
+    val outOfBand = degenerate.count { case (t, e) =>
+      math.abs(e - exact(t)).toDouble > 0.05 * math.max(exact(t), 1L) }
+    assert(outOfBand > 0,
+      s"a ~4-cell sketch must overcount beyond the 5% band: $degenerate vs $exact")
+  }
+
   // The oracled agg_collect_set query serializes to STRING (the driver's
   // comparator can't hash list cells); this keeps the ARRAY-typed form itself
   // under test: numeric sort order, distinctness, and agreement with the
