@@ -292,10 +292,17 @@ object CorpusIngest {
 
   /** Complete a crashed [[compact]] (no-op without a pending marker).
     * Assumes the manifest table is registered — called from
-    * [[reconcileTable]] right after registration.
+    * [[reconcileTable]] right after registration. The roll-forward is a
+    * WRITE, and this path is reachable from pure readers ([[manifest]]) —
+    * so it takes the writer lease FIRST (r12): with the crashed writer's
+    * lease expired it steals and completes the compaction; with a LIVE
+    * foreign writer mid-compaction it refuses loudly instead of
+    * interleaving a second consolidation under the writer's feet (that
+    * writer clears the marker itself moments later).
     */
   private def rollForward(s: SparkSession, manifestDir: String): Unit =
     IngestPaths.readMarker(s, manifestDir).foreach { upToBatch =>
+      IngestPaths.acquireLease(s, manifestDir)
       val tbl = tableName(s, manifestDir)
       if (s.catalog.tableExists(tbl)) {
         s.catalog.refreshTable(tbl)

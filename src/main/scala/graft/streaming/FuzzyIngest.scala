@@ -196,6 +196,11 @@ object FuzzyIngest {
     */
   private def rollForward(s: SparkSession, indexDir: String): Unit =
     IngestPaths.readMarker(s, indexDir).foreach { upToBatch =>
+      // the roll-forward is a WRITE reachable from readers — take the
+      // lease first (steal a crashed writer's expired lease; refuse a
+      // LIVE one's, which will clear the marker itself) — CorpusIngest
+      // twin, r12
+      IngestPaths.acquireLease(s, indexDir)
       if (s.catalog.tableExists(sigTable(s, indexDir)) &&
           s.catalog.tableExists(bandTable(s, indexDir))) {
         s.catalog.refreshTable(sigTable(s, indexDir))

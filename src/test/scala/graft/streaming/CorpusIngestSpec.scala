@@ -420,6 +420,44 @@ class CorpusIngestSpec extends SparkSpec {
     assert(fs.exists(fLease))
   }
 
+  test("roll-forward takes the lease: live foreign writer refused, crashed one stolen") {
+    // r12: the crashed-compact roll-forward is a WRITE reachable from
+    // pure readers (manifest()) — it must not interleave a second
+    // consolidation under a LIVE writer, and must still complete a
+    // genuinely crashed writer's compaction
+    val dir = graft.util.Scratch.fresh("ingest_rollfwd_lease_spec")
+    CorpusIngest.ingestBatch(docs((1L, "alpha", "en")), 0L, dir)
+    CorpusIngest.ingestBatch(docs((10L, "beta", "en")), 1L, dir)
+    CorpusIngest.releaseWriterLease(spark, dir)
+    // simulate a foreign writer that crashed (or is live) mid-compact:
+    // its intent marker is pending and its lease file present
+    CorpusIngest.writeCompactMarker(spark, dir, 0L)
+    val leaseP = IngestPaths.leasePath(dir)
+    val fs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(ageMs: Long): Unit = {
+      val out = fs.create(leaseP, true)
+      try out.write(
+        s"owner=other-writer\nts=${System.currentTimeMillis() - ageMs}\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    plant(0L) // LIVE foreign writer → the reader must refuse, not write
+    val e = intercept[IllegalStateException](
+      CorpusIngest.manifest(spark, dir).collect())
+    assert(e.getMessage.contains("other-writer"), e.getMessage)
+    // crashed foreign writer (stale lease) → steal, roll forward, serve
+    spark.conf.set(IngestPaths.LeaseTtlConf, "50")
+    try {
+      plant(10000L)
+      val m = CorpusIngest.manifest(spark, dir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(m === Set(1L, 10L))
+    } finally spark.conf.unset(IngestPaths.LeaseTtlConf)
+    assert(IngestPaths.readMarker(spark, dir).isEmpty,
+      "the stolen roll-forward must clear the crashed writer's marker")
+    CorpusIngest.releaseWriterLease(spark, dir)
+  }
+
   test("per-bucket bloom probe is codegen might_contain; saturated buckets degrade alone") {
     val s2 = spark.newSession()
     s2.conf.set(CorpusIngest.CapacityConf, "8")
