@@ -208,6 +208,40 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(ids === Set(1L, 10L))
   }
 
+  test("roll-forward takes the lease: a live foreign writer blocks the reader (twin)") {
+    // CorpusIngest twin of the r12 roll-forward lease rule on the fuzzy
+    // index: index() hitting a pending marker under a LIVE foreign lease
+    // must refuse rather than interleave a second consolidation
+    val dir = graft.util.Scratch.fresh("fuzzy_rollfwd_lease_spec")
+    FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), 0L, dir)
+    FuzzyIngest.ingestBatch(docs((10L, baseB, "en")), 1L, dir)
+    FuzzyIngest.releaseWriterLease(spark, dir)
+    IngestPaths.writeMarker(spark, dir, 0L)
+    val leaseP = IngestPaths.leasePath(dir)
+    val fs = leaseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(leaseP, true)
+    try out.write(
+      s"owner=other-writer\nts=${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException](
+      FuzzyIngest.index(spark, dir).collect())
+    assert(e.getMessage.contains("other-writer"), e.getMessage)
+    // stale lease → stolen, rolled forward, served — marker cleared
+    spark.conf.set(IngestPaths.LeaseTtlConf, "50")
+    try {
+      val out2 = fs.create(leaseP, true)
+      try out2.write(
+        s"owner=other-writer\nts=${System.currentTimeMillis() - 10000}\n"
+          .getBytes("UTF-8"))
+      finally out2.close()
+      val ids = FuzzyIngest.index(spark, dir)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(ids === Set(1L, 10L))
+    } finally spark.conf.unset(IngestPaths.LeaseTtlConf)
+    assert(IngestPaths.readMarker(spark, dir).isEmpty)
+    FuzzyIngest.releaseWriterLease(spark, dir)
+  }
+
   test("compact consolidates both index tables; probe plan and suppression survive") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
