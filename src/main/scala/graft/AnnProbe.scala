@@ -65,7 +65,10 @@ object AnnProbe {
         targetCellSize = target, mProbe = mProbe, maxCells = maxCells)
         .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
       val sec = (System.nanoTime() - t0) / 1e9
-      val asg = Similarity.cellAssignments(data, "blk", target, mProbe, 2, maxCells).get
+      val asg = Similarity.cellAssignments(data, "blk", target, mProbe, 2, maxCells)
+        .getOrElse(sys.error(
+          s"degenerate probe: n=$n <= targetCellSize=$target builds no " +
+            "index — raise nClusters*perCluster or lower targetCellSize"))
       val maxCell = asg.groupBy(col("cid")).count().agg(max(col("count")))
         .head().getLong(0)
       val cells = asg.select(col("cid")).distinct().count()

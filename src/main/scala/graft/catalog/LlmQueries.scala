@@ -384,8 +384,12 @@ object LlmQueries {
       val ivfIds = Similarity
         .ivfTopK(s, Tables.embeddings(s, d), queryId = 1L, k = 10)
         .select(col("vec_id")).as[Long].collect().toSet
+      // cached: the recall collect and the returned frame's
+      // materialization would otherwise each pay the full scan+top-k
+      // (r12 review); Verify clears the cache after every query
       val exact = Similarity
         .bruteForceTopK(Tables.embeddings(s, d), queryId = 1L, k = 10)
+        .cache()
       val exactIds = exact.select(col("vec_id")).as[Long].collect().toSet
       val recall = if (exactIds.isEmpty) 1.0
         else exactIds.count(ivfIds).toDouble / exactIds.size
@@ -1015,13 +1019,19 @@ object LlmQueries {
       }
       val sampled = Sampling.stratifiedById(docs, "lang", "doc_id", fr)
         .groupBy(col("lang")).agg(count(lit(1)).as("__ns"))
+      // the 1/n lattice slack applies only to FRACTIONAL strata: at
+      // f = 1.0 (and f = 0.0) σ is 0 and the membership predicate is
+      // deterministic, so the verdict demands EXACTness — a sampler that
+      // drops one of n rows at f=1.0 must flip tol_ok (r12 review; the
+      // earlier unconditional +1/n let an off-by-one pass)
+      val slack = when(fCol > 0.0 && fCol < 1.0,
+        lit(4.0) * sqrt(fCol * (lit(1.0) - fCol) / col("n_pop"))
+          + lit(1.0) / col("n_pop")).otherwise(lit(0.0))
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
         .join(sampled, Seq("lang"), "left")
         .select(col("lang"), col("n_pop"),
           (abs(coalesce(col("__ns"), lit(0L)).cast("double") / col("n_pop")
-              - fCol) <=
-            lit(4.0) * sqrt(fCol * (lit(1.0) - fCol) / col("n_pop"))
-              + lit(1.0) / col("n_pop"))
+              - fCol) <= slack)
             .cast("long").as("tol_ok"))
         .orderBy(col("lang"))
     }),

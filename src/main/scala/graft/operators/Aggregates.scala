@@ -49,6 +49,14 @@ object Aggregates {
     import org.apache.spark.sql.functions.{col, expr, lit, pmod}
     val s = df.sparkSession
     import s.implicits._
+    // STRING-only by contract (r12 review): the sketch hashes typed
+    // values, so enumerating a casted representation would point-query
+    // with the WRONG type and silently return 0s — refuse loudly instead
+    require(df.schema(valueCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"countMinEstimates: $valueCol is ${df.schema(valueCol).dataType}; " +
+        "this helper enumerates string values — query the sketch " +
+        "directly for non-string columns")
     val ev = df.filter(col(valueCol).isNotNull)
     val sketches = ev
       .groupBy(pmod(col(shardCol), lit(shards)).as("__shard"))

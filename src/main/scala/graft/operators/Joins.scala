@@ -408,13 +408,21 @@ object Joins {
     // raw-column range filter (±1 cent slack for the quantization) is the
     // one that reaches PushedFilters; the exact lattice bound re-checks.
     val msrEnabled = measurePercentiles.nonEmpty
+    // digest input: non-finite measures are EXCLUDED like NULLs (r12
+    // review: one NaN would poison the merged centroid means and make
+    // every covering probe's band_msr_p* NaN; Inf would destroy the
+    // interpolation ends)
+    val msrD = col(measureCol).cast("double")
+    val finiteMsr = when(isnan(msrD) ||
+      msrD === Double.PositiveInfinity ||
+      msrD === Double.NegativeInfinity, lit(null)).otherwise(msrD)
     val perCentBase = build
       .filter(col(buildCol) >= (loC.toDouble - 1.0) / 100.0 &&
         col(buildCol) <= (hiC.toDouble + 1.0) / 100.0)
       .select(cents(col(buildCol)).as("__c"),
         coalesce(cents(col(measureCol)), lit(0L)).as("__m"),
         cents(col(measureCol)).as("__mn"), // nullable: min/max ignore nulls
-        col(measureCol).cast("double").as("__v"))
+        finiteMsr.as("__v"))
       .filter(col("__c").between(loC, hiC))
       .groupBy(col("__c"))
     val aggCols = Seq(count(lit(1)).as("__n"), sum(col("__m")).as("__s"),

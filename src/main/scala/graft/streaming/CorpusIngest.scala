@@ -302,13 +302,21 @@ object CorpusIngest {
     */
   private def rollForward(s: SparkSession, manifestDir: String): Unit =
     IngestPaths.readMarker(s, manifestDir).foreach { upToBatch =>
+      // release after the roll-forward when this call TOOK the lease
+      // (reader path / steal): a pure reader must not sit on a stolen
+      // lease for the whole TTL and block the replacement writer (r12
+      // review); a writer that already owned it keeps it
+      val ownedBefore = IngestPaths.readLease(s, manifestDir)
+        .exists(_._1 == IngestPaths.leaseOwner)
       IngestPaths.acquireLease(s, manifestDir)
-      val tbl = tableName(s, manifestDir)
-      if (s.catalog.tableExists(tbl)) {
-        s.catalog.refreshTable(tbl)
-        runCompaction(s, manifestDir, upToBatch)
-      }
-      IngestPaths.clearMarker(s, manifestDir)
+      try {
+        val tbl = tableName(s, manifestDir)
+        if (s.catalog.tableExists(tbl)) {
+          s.catalog.refreshTable(tbl)
+          runCompaction(s, manifestDir, upToBatch)
+        }
+        IngestPaths.clearMarker(s, manifestDir)
+      } finally if (!ownedBefore) IngestPaths.releaseLease(s, manifestDir)
     }
 
   // ---------------------------------------------------------------------
@@ -508,8 +516,11 @@ object CorpusIngest {
     * object's API.
     */
   def compact(s: SparkSession, manifestDir: String, upToBatch: Long): Unit = {
-    IngestPaths.acquireLease(s, manifestDir)
+    // validate BEFORE taking the lease: a compact() against a wrong dir
+    // must not strand a lease file that blocks that path's future first
+    // writer for a TTL (r12 review)
     require(reconcileTable(s, manifestDir), s"no manifest at $manifestDir")
+    IngestPaths.acquireLease(s, manifestDir)
     val tbl = tableName(s, manifestDir)
     s.catalog.refreshTable(tbl)
     val maxBatch = s.table(tbl).agg(max(col("batch"))).head().getAs[Number](0)

@@ -198,16 +198,21 @@ object FuzzyIngest {
     IngestPaths.readMarker(s, indexDir).foreach { upToBatch =>
       // the roll-forward is a WRITE reachable from readers — take the
       // lease first (steal a crashed writer's expired lease; refuse a
-      // LIVE one's, which will clear the marker itself) — CorpusIngest
-      // twin, r12
+      // LIVE one's, which will clear the marker itself), and RELEASE it
+      // afterwards when this call took it (a reader must not block the
+      // replacement writer for a TTL) — CorpusIngest twin, r12
+      val ownedBefore = IngestPaths.readLease(s, indexDir)
+        .exists(_._1 == IngestPaths.leaseOwner)
       IngestPaths.acquireLease(s, indexDir)
-      if (s.catalog.tableExists(sigTable(s, indexDir)) &&
-          s.catalog.tableExists(bandTable(s, indexDir))) {
-        s.catalog.refreshTable(sigTable(s, indexDir))
-        s.catalog.refreshTable(bandTable(s, indexDir))
-        runCompaction(s, indexDir, upToBatch)
-      }
-      IngestPaths.clearMarker(s, indexDir)
+      try {
+        if (s.catalog.tableExists(sigTable(s, indexDir)) &&
+            s.catalog.tableExists(bandTable(s, indexDir))) {
+          s.catalog.refreshTable(sigTable(s, indexDir))
+          s.catalog.refreshTable(bandTable(s, indexDir))
+          runCompaction(s, indexDir, upToBatch)
+        }
+        IngestPaths.clearMarker(s, indexDir)
+      } finally if (!ownedBefore) IngestPaths.releaseLease(s, indexDir)
     }
 
   /** The bucket-local LSH probe: every (band, bh) of `newBands` that the
@@ -457,8 +462,9 @@ object FuzzyIngest {
     * ever observes the duplicate-rows window.
     */
   def compact(s: SparkSession, indexDir: String, upToBatch: Long): Unit = {
-    IngestPaths.acquireLease(s, indexDir)
+    // validate before taking the lease (CorpusIngest twin, r12 review)
     require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
+    IngestPaths.acquireLease(s, indexDir)
     val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
     s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
     val maxBatch = s.table(sigT).agg(max(col("batch"))).head().getAs[Number](0)

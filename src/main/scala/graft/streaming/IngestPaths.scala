@@ -122,7 +122,12 @@ private[streaming] object IngestPaths {
     finally in.close()
     val kv = txt.linesIterator.map(_.split("=", 2))
       .collect { case Array(k, v) => k -> v.trim }.toMap
-    for (o <- kv.get("owner"); t <- kv.get("ts")) yield (o, t.toLong)
+    // a corrupt/truncated lease (torn write on a store without atomic
+    // rename) parses to None — treated as ABSENT by acquireLease, so it
+    // gets overwritten instead of bricking every reader and writer with
+    // a NumberFormatException (r12 review)
+    for (o <- kv.get("owner"); t <- kv.get("ts");
+         tl <- scala.util.Try(t.toLong).toOption) yield (o, tl)
   }
 
   /** Acquire or refresh this process's writer lease on `dir`, failing

@@ -331,6 +331,28 @@ class JoinsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxDigestCents"), e.getMessage)
   }
 
+  test("bandAggJoin measurePercentiles: NaN/Inf measures excluded like NULLs (ansi off)") {
+    // Under ANSI (the suite default) a non-finite measure already fails
+    // LOUDLY in the cent-scaled sum — the declared float-edges contract.
+    // With ansi OFF the sum silently folds the bad row, so the DIGEST
+    // must exclude it too or one NaN poisons every covering probe's
+    // percentiles (r12 review); this runs the ansi-off path.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.ansi.enabled", "false")
+    import s2.implicits._
+    val probe = Seq((1L, 10.0)).toDF("id", "v")
+    val build = Seq((10.0, 1.0), (10.0, 2.0), (10.0, 3.0),
+      (10.0, Double.NaN), (10.0, Double.PositiveInfinity)).toDF("b", "w")
+    val row = Joins.bandAggJoin(probe, "v", build, "b", "w", 0.05,
+        measurePercentiles = Seq(0.5))
+      .select("band_n", "band_msr_p50").as[(Long, Option[Double])]
+      .collect().head
+    assert(row._1 == 5L, s"band_n counts every matched row: $row")
+    val q = row._2.getOrElse(fail(s"percentile null: $row"))
+    assert(!q.isNaN && !q.isInfinite && q >= 1.0 && q <= 3.0,
+      s"digest must see only the finite measures: $q")
+  }
+
   test("bandAggJoin: NaN/Inf probe values match nothing and never widen the domain") {
     val probe = Seq(10.0, Double.NaN, Double.PositiveInfinity,
       Double.NegativeInfinity).toDF("v")

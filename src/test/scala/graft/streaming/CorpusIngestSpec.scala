@@ -455,7 +455,10 @@ class CorpusIngestSpec extends SparkSpec {
     } finally spark.conf.unset(IngestPaths.LeaseTtlConf)
     assert(IngestPaths.readMarker(spark, dir).isEmpty,
       "the stolen roll-forward must clear the crashed writer's marker")
-    CorpusIngest.releaseWriterLease(spark, dir)
+    // and the reader does NOT retain the stolen lease: a pure reader
+    // holding it for a TTL would block the replacement writer
+    assert(IngestPaths.readLease(spark, dir).isEmpty,
+      "reader-path roll-forward must release the lease it took")
   }
 
   test("per-bucket bloom probe is codegen might_contain; saturated buckets degrade alone") {

@@ -239,7 +239,8 @@ class FuzzyIngestSpec extends SparkSpec {
       assert(ids === Set(1L, 10L))
     } finally spark.conf.unset(IngestPaths.LeaseTtlConf)
     assert(IngestPaths.readMarker(spark, dir).isEmpty)
-    FuzzyIngest.releaseWriterLease(spark, dir)
+    assert(IngestPaths.readLease(spark, dir).isEmpty,
+      "reader-path roll-forward must release the lease it took")
   }
 
   test("compact consolidates both index tables; probe plan and suppression survive") {
