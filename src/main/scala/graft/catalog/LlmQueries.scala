@@ -192,11 +192,39 @@ object LlmQueries {
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("keep_id"))),
 
-    // MinHash-LSH bucket populations per doc (deterministic seeded hashes,
-    // but murmur3-specific → no SQL twin; rows-only + unit spec).
-    "llm_dedup_fuzzy" -> ((s, d) =>
-      Dedup.minhashBucketStats(Tables.documents(s, d), "text", "doc_id")
-        .orderBy(col("doc_id"))),
+    // Per-doc fuzzy near-dup profile. Hash-oracled since r13 (the IVF
+    // verdict pattern): the hashed surface is EXACT — per-doc partner
+    // count and max Jaccard over the corpus-global 3-shingle Jaccard
+    // >= 0.5 pair set (Dedup.shingleJaccardPairsGlobal; DuckDB twin =
+    // brute-force list_intersect Jaccard at oracle scale) — while the
+    // MinHash-LSH banding still runs in the same query:
+    // `lsh_recall_ok` pins the BAND-candidate recall against that exact
+    // pair set at >= 0.9. The data's true pairs sit at shingle-J >= 0.8
+    // where the 8-band/4-row catch probability is >= 0.96/pair, so the
+    // verdict holds with margin; a broken signature or banding kernel
+    // flips it and reddens the driver row (falsifiability spec-pinned).
+    // The two .count() actions are driver-side scalars (the allowed
+    // collect class); the exact pair set is cached so the recall probe
+    // and the returned frame share one SSJoin.
+    "llm_dedup_fuzzy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.shingleJaccardPairsGlobal(
+        docs.select(col("doc_id"), col("text")), n = 3, threshold = 0.5).cache()
+      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+      val nExact = exact.count()
+      val caught = exact.join(cand, Seq("a_id", "b_id"), "left_semi").count()
+      val recallOk = if (nExact == 0L || caught.toDouble / nExact >= 0.9) 1L else 0L
+      val deg = exact.select(col("a_id").as("doc_id"), col("jaccard"))
+        .unionByName(exact.select(col("b_id").as("doc_id"), col("jaccard")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("max_jaccard"))
+      docs.select(col("doc_id")).join(deg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+          coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+          lit(recallOk).as("lsh_recall_ok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // 64-bit SimHash fingerprints. md5-derived bits (= DuckDB
     // md5_number_upper) since r10, so this is hash-oracled like the rest
@@ -328,20 +356,47 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
-    // The COMPLETE fuzzy-dedup pipeline in one query: MinHash-LSH
-    // candidate pairs (band-bucket join, Jaccard-verified) → star-
-    // contraction connected components → drop non-min cluster members →
-    // per-lang survivor stats. MinHash-specific → rows-only; the
-    // composition is unit-asserted on planted near-dups (DedupSpec).
+    // The COMPLETE fuzzy-dedup pipeline in one query: near-dup pairs →
+    // star-contraction connected components → drop non-min cluster
+    // members → per-lang survivor stats. Hash-oracled since r13 (the
+    // IVF verdict pattern): the pair set feeding CC is now the EXACT
+    // corpus-global 3-shingle Jaccard >= 0.5 set (deterministic, DuckDB
+    // twin = brute-force Jaccard + recursive-CTE CC — the
+    // llm_dedup_keep oracle shape), while the full MinHash-LSH pipeline
+    // (band candidates ∧ token-Jaccard >= 0.5 verify) still runs in the
+    // same query: `lsh_pipeline_ok` pins the verified-LSH-pair recall
+    // against the exact pairs that clear the same token gate at >= 0.9.
+    // A broken band, signature, or verify stage flips the verdict and
+    // reddens the driver row (falsifiability spec-pinned).
     "llm_dedup_fuzzy_keep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
-      val dropped = Dedup.connectedComponents(pairs)
+      val exact = Dedup.shingleJaccardPairsGlobal(
+        docs.select(col("doc_id"), col("text")), n = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id")).cache()
+      // exact pairs through the SAME token-set gate minhashPairs verifies
+      // with — the denominator of the full-pipeline recall
+      val tokenSets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("ts"))
+      val gated = exact
+        .join(tokenSets.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("ts", "ta"), "a_id")
+        .join(tokenSets.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("ts", "tb"), "b_id")
+        .filter(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val lsh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val nGated = gated.count()
+      val caught = gated.join(lsh, Seq("a_id", "b_id"), "left_semi").count()
+      val pipeOk = if (nGated == 0L || caught.toDouble / nGated >= 0.9) 1L else 0L
+      val dropped = Dedup.connectedComponents(exact)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
       docs.join(dropped, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .withColumn("lsh_pipeline_ok", lit(pipeOk))
         .orderBy(col("lang"))
     }),
 
@@ -1274,6 +1329,59 @@ object LlmQueries {
          SELECT d.doc_id, CAST(coalesce(f.simhash, 0) AS BIGINT) AS simhash
          FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id
          ORDER BY d.doc_id""",
+
+    // exact corpus-global 3-shingle Jaccard pairs (same gram construction
+    // as llm_dedup_ngram's oracle, NO blocking) → per-doc degree + max;
+    // the verdict column is literal TRUE — the Spark side computes the
+    // real LSH band recall there, so a recall drop reddens the row
+    "llm_dedup_fuzzy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+               FROM t),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE AS j
+               FROM g a JOIN g b ON a.doc_id < b.doc_id),
+         e AS (SELECT * FROM p WHERE j >= 0.5),
+         deg AS (SELECT doc_id, count(*) AS n_near_dups, max(j) AS mx
+                 FROM (SELECT a_id AS doc_id, j FROM e
+                       UNION ALL SELECT b_id AS doc_id, j FROM e)
+                 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(deg.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+                coalesce(floor(deg.mx * 10000.0 + 0.5) / 10000.0, 0.0) AS max_jaccard,
+                CAST(1 AS BIGINT) AS lsh_recall_ok
+         FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+         ORDER BY d.doc_id""",
+
+    // same exact pair set → recursive-CTE connected components → drop
+    // non-min members → per-lang survivor stats (the llm_dedup_keep
+    // oracle shape); verdict literal TRUE as above
+    "llm_dedup_fuzzy_keep" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         g AS (SELECT doc_id,
+                 list_distinct([array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+               FROM t),
+         p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+               FROM g a JOIN g b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+                     len(list_distinct(list_concat(a.grams, b.grams)))::DOUBLE >= 0.5),
+         edges AS (SELECT a_id AS a, b_id AS b FROM p
+                   UNION SELECT b_id, a_id FROM p),
+         reach AS (SELECT a AS id, a AS lab FROM edges
+                   UNION
+                   SELECT eg.a, r.lab FROM edges eg JOIN reach r ON r.id = eg.b),
+         dropped AS (SELECT id FROM reach GROUP BY id HAVING id != min(lab))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                CAST(1 AS BIGINT) AS lsh_pipeline_ok
+         FROM documents WHERE doc_id NOT IN (SELECT id FROM dropped)
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "llm_dedup_ngram" ->
       """WITH g AS (

@@ -1,10 +1,12 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables
+import graft.operators.Dedup
 import graft.pipeline.{KafkaPipeline, PipelineConfig}
 import graft.streaming.{CorpusIngest, EventTime, FuzzyIngest}
 
@@ -158,10 +160,30 @@ object StreamingQueries {
     // one changed token must be suppressed even though its digest is
     // new). Seed = yesterday's corpus; delivery 0 = near-dup re-crawls
     // of the seed (one token appended, fresh doc_ids) + genuinely new
-    // docs; delivery 1 = near-dups of delivery-0 SURVIVORS + more new
-    // docs. Only genuinely new docs enter the index. MinHash is
-    // hash-family-specific → declared rows-only; suppression/replay/
-    // plan contracts live in FuzzyIngestSpec.
+    // docs; delivery 1 = near-dups of delivery-0 docs + more new docs.
+    // Only genuinely new docs enter the index.
+    //
+    // Hash-oracled since r13 (the IVF verdict pattern): the hashed
+    // surface is the EXACT REPLAY of the same batch protocol — per
+    // delivery, within-batch exact dedup (min doc_id per text, the
+    // ingestBatch rule), then a doc survives iff it has NO true
+    // 3-shingle-Jaccard >= 0.5 partner in (seed ∪ earlier survivors);
+    // that is precisely the quantity the index's minhash agreement
+    // fraction ESTIMATES, and it is deterministic SQL (the DuckDB twin
+    // reconstructs the deliveries and replays them with brute-force
+    // Jaccard at oracle scale). The persistent-index pipeline still
+    // runs in full: `fuzzy_agree_ok` pins the symmetric difference
+    // between the index's survivor set and the replay's at <= max(2,
+    // 2% of delivered uniques) — estimation noise lives only at the
+    // 0.5 agreement boundary, and the data's true pairs sit at
+    // shingle-J >= 0.9, so the sets agree up to degenerate-text edge
+    // rows (null-text docs sign as "" and can suppress each other in
+    // the index while the replay, like the twin's string_split(NULL),
+    // never pairs them — the adversarial fixtures exercise exactly
+    // this, inside the band). A broken band index, probe, or signature
+    // kernel flips the verdict and reddens the driver row
+    // (falsifiability spec-pinned). Suppression/replay/plan contracts
+    // stay in FuzzyIngestSpec.
     "llm_dedup_fuzzy_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("fuzzy_incr")
       s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString) // see above
@@ -170,20 +192,62 @@ object StreamingQueries {
       def nearDup(src: org.apache.spark.sql.DataFrame, off: Long, pad: String) =
         src.select((col("doc_id") + off).as("doc_id"),
           concat(col("text"), lit(pad)).as("text"), col("lang"))
-      FuzzyIngest.ingestBatch(
-        docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/index")
-      FuzzyIngest.ingestBatch(
-        nearDup(docs.filter(col("doc_id") % 5 === 0), 1000000L, " recrawl")
-          .unionByName(docs.filter(col("doc_id") % 5 === 1)),
-        0L, s"$base/index")
-      FuzzyIngest.ingestBatch(
-        nearDup(docs.filter(col("doc_id") % 5 === 1), 2000000L, " mirror")
-          .unionByName(docs.filter(col("doc_id") % 5 === 2)),
-        1L, s"$base/index")
-      FuzzyIngest.index(s, s"$base/index")
-        .filter(col("batch") >= 0)
+      val seed = docs.filter(col("doc_id") % 5 === 0)
+      val b0 = nearDup(seed, 1000000L, " recrawl")
+        .unionByName(docs.filter(col("doc_id") % 5 === 1))
+      val b1 = nearDup(docs.filter(col("doc_id") % 5 === 1), 2000000L, " mirror")
+        .unionByName(docs.filter(col("doc_id") % 5 === 2))
+      FuzzyIngest.ingestBatch(seed, -1L, s"$base/index")
+      FuzzyIngest.ingestBatch(b0, 0L, s"$base/index")
+      FuzzyIngest.ingestBatch(b1, 1L, s"$base/index")
+      // ---- exact replay (the hashed ground truth) ----
+      // within-batch exact dedup, the ingestBatch rule: min doc_id per
+      // (digest, length) text group — null and empty text are distinct
+      // groups, matching (xxhash64(coalesce(text,'')), len|-1)
+      def uniqByText(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window
+          .partitionBy(xxhash64(coalesce(col("text"), lit(""))),
+            coalesce(length(col("text")), lit(-1)))
+          .orderBy(col("doc_id"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      // batch docs with a true shingle-J >= 0.5 partner in `hist` are
+      // suppressed; within-batch near-dups are NOT (collapseWithinBatch
+      // stays at its default false in the ingest above)
+      def survivors(batch: org.apache.spark.sql.DataFrame,
+          hist: org.apache.spark.sql.DataFrame) = {
+        val pairs = Dedup.shingleJaccardPairsGlobal(
+          batch.select(col("doc_id"), col("text"))
+            .unionByName(hist.select(col("doc_id"), col("text"))),
+          n = 3, threshold = 0.5)
+        val sup = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+          .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+          .join(hist.select(col("doc_id").as("y")), Seq("y"), "left_semi")
+          .select(col("x").as("doc_id")).distinct()
+        batch.join(sup, Seq("doc_id"), "left_anti")
+      }
+      val seedU = uniqByText(seed)
+      val b0u = uniqByText(b0); val b1u = uniqByText(b1)
+      val kept0 = survivors(b0u, seedU)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept1 = survivors(b1u, seedU.unionByName(kept0))
+      val replayKept = kept0.unionByName(kept1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ---- verdict: index survivors vs replay survivors ----
+      val fuzzyKept = FuzzyIngest.index(s, s"$base/index")
+        .filter(col("batch") >= 0).select(col("doc_id"))
+      val replayIds = replayKept.select(col("doc_id"))
+      val symDiff =
+        fuzzyKept.join(replayIds, Seq("doc_id"), "left_anti").count() +
+          replayIds.join(fuzzyKept, Seq("doc_id"), "left_anti").count()
+      val nUniq = b0u.count() + b1u.count()
+      val agreeOk =
+        if (symDiff <= math.max(2L, math.ceil(0.02 * nUniq).toLong)) 1L else 0L
+      replayKept
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
+        .withColumn("fuzzy_agree_ok", lit(agreeOk))
         .orderBy(col("lang"))
     }),
 
@@ -291,6 +355,70 @@ object StreamingQueries {
          SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
                 min(doc_id) AS min_new
          FROM today JOIN k ON doc_id = keep_id
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // exact replay of the fuzzy-ingest protocol: reconstruct the three
+    // deliveries (seed, recrawls+new, mirrors+new), within-batch exact
+    // dedup (min doc_id per text group, null/empty distinct), then a doc
+    // survives iff it has NO true 3-shingle-Jaccard >= 0.5 partner in
+    // (seed ∪ earlier survivors). The verdict column is literal TRUE —
+    // the Spark side compares the persistent band index's survivors
+    // against this replay there
+    "llm_dedup_fuzzy_incremental" ->
+      """WITH docs AS (SELECT doc_id, text, lang FROM documents),
+         seed0 AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+         seedu AS (SELECT doc_id, text, lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY text IS NULL,
+                 coalesce(text, '') ORDER BY doc_id) AS rn FROM seed0)
+           WHERE rn = 1),
+         b0 AS (SELECT doc_id + 1000000 AS doc_id,
+                       text || ' recrawl' AS text, lang FROM seed0
+                UNION ALL
+                SELECT doc_id, text, lang FROM docs WHERE doc_id % 5 = 1),
+         b0u AS (SELECT doc_id, text, lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY text IS NULL,
+                 coalesce(text, '') ORDER BY doc_id) AS rn FROM b0)
+           WHERE rn = 1),
+         b1 AS (SELECT doc_id + 2000000 AS doc_id,
+                       text || ' mirror' AS text, lang
+                FROM docs WHERE doc_id % 5 = 1
+                UNION ALL
+                SELECT doc_id, text, lang FROM docs WHERE doc_id % 5 = 2),
+         b1u AS (SELECT doc_id, text, lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY text IS NULL,
+                 coalesce(text, '') ORDER BY doc_id) AS rn FROM b1)
+           WHERE rn = 1),
+         gs AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM seedu WHERE text IS NOT NULL)),
+         g0 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM b0u WHERE text IS NOT NULL)),
+         g1 AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                  for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS grams
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM b1u WHERE text IS NOT NULL)),
+         kept0 AS (SELECT u.* FROM b0u u
+           WHERE NOT EXISTS (
+             SELECT 1 FROM g0 gu JOIN gs h ON gu.doc_id = u.doc_id
+             WHERE len(list_intersect(gu.grams, h.grams))::DOUBLE /
+                   len(list_distinct(list_concat(gu.grams, h.grams)))::DOUBLE
+                   >= 0.5)),
+         h1 AS (SELECT * FROM gs
+                UNION ALL
+                SELECT g0.* FROM g0 JOIN kept0 k ON g0.doc_id = k.doc_id),
+         kept1 AS (SELECT u.* FROM b1u u
+           WHERE NOT EXISTS (
+             SELECT 1 FROM g1 gu JOIN h1 h ON gu.doc_id = u.doc_id
+             WHERE len(list_intersect(gu.grams, h.grams))::DOUBLE /
+                   len(list_distinct(list_concat(gu.grams, h.grams)))::DOUBLE
+                   >= 0.5))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+                min(doc_id) AS min_new,
+                CAST(1 AS BIGINT) AS fuzzy_agree_ok
+         FROM (SELECT * FROM kept0 UNION ALL SELECT * FROM kept1)
          GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "stream_enrich" ->

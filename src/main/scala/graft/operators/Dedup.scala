@@ -86,23 +86,34 @@ object Dedup {
       .toDF("doc_id", "minhash", "bands")
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing at least one band bucket,
-    * verified with exact token-set Jaccard >= `threshold`.
+  /** MinHash-LSH CANDIDATE pairs: docs sharing at least one band
+    * bucket, unverified — the recall-bearing stage of the LSH pipeline,
+    * exposed so the verdict-pattern oracles (r13) can measure band
+    * recall directly against [[shingleJaccardPairsGlobal]]'s exact pair
+    * set without paying the verify join twice.
     *
     * Scale shape: explode to (band, bandHash) keys → shuffle groups only
     * bucket collisions (expected tiny vs n²) → pair within bucket →
-    * distinct → verify. The verify join is by doc id (hash join), not a
-    * cross product.
+    * distinct.
     */
-  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double = 0.5, numHashes: Int = 32, numBands: Int = 8): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 32, numBands: Int = 8): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, idCol, numHashes, numBands)
     val buckets = sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
     val a = buckets.as("a"); val b = buckets.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+  }
+
+  /** MinHash-LSH candidate pairs ([[minhashCandidatePairs]]), verified
+    * with exact token-set Jaccard >= `threshold`. The verify join is by
+    * doc id (hash join), not a cross product.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numHashes: Int = 32, numBands: Int = 8): DataFrame = {
+    val cand = minhashCandidatePairs(docs, textCol, idCol, numHashes, numBands)
     val tokenSets = docs.select(col(idCol).as("doc_id"),
       array_distinct(split(col(textCol), " ")).as("tset"))
     cand
@@ -515,7 +526,7 @@ object Dedup {
       .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
     val x = probe.as("x"); val y = posts.as("y")
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     x.join(y, col("x.gram") === col("y.gram") && blockCond &&
         (col("x.sz") < col("y.sz") ||
           (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
@@ -548,6 +559,81 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"),
         graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** EXACT `n`-token-shingle Jaccard near-dup pairs over the WHOLE
+    * corpus (no blocking) — the deterministic ground-truth twin of the
+    * MinHash-LSH family. The shingle set is EXACTLY what
+    * [[minhashSignatures]] sketches (distinct `n`-token shingles of the
+    * `' '`-split tokens), so this is the quantity a minhash agreement
+    * fraction ESTIMATES; what differs is candidate generation: instead
+    * of LSH band buckets (hash-family-specific, recall < 1 by
+    * construction) candidates come from [[prefixCandidates]] with an
+    * EMPTY block list — the Chaudhuri/Bayardo prefix-filter bound holds
+    * corpus-wide, so the pair set is exactly
+    * `{ (a,b) : J(shingles(a), shingles(b)) >= threshold }` with no
+    * hash-family dependence (modulo the declared per-pair 64-bit
+    * gram-collision bound — see [[Fnv64Offset]]).
+    *
+    * This is what lets the MinHash family graduate from rows-only to
+    * hash-oracled (r13, the IVF verdict pattern): the hashed surface of
+    * `llm_dedup_fuzzy`/`_keep`/`_incremental` is built from THIS exact
+    * pair set (DuckDB twin = brute-force `list_intersect` Jaccard at
+    * oracle scale), while the LSH pipeline still runs in the same plan
+    * and its recall against this set is pinned by a verdict column.
+    *
+    * Needs only `(doc_id, text)` on the input (unlike [[gramSets]], so
+    * the streaming replay's constructed batches can use it); null-text
+    * docs are dropped, mirroring the blocked family and the
+    * `string_split(NULL)` twin.
+    *
+    * Scale shape: unblocked AllPairs is the published SSJoin form —
+    * postings sorted rarest-first, probe side pruned to the
+    * `(sz − ⌈τ·sz⌉ + 1)`-gram prefix, so corpus-common shingles fall
+    * out of the probe prefixes and the candidate join is
+    * output-bounded, not n². Verification is the same sorted-merge
+    * intersect kernel as the blocked n-gram family; no text bodies
+    * shuffle — only 8-byte shingle hashes.
+    */
+  def shingleJaccardPairsGlobal(docs: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    val g = persistGrams(slimGramSets(docs, n))
+    val cand = prefixCandidates(g, Seq.empty, threshold)
+    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+    cand
+      .join(g.as("a"), col("a_id") === col("a.doc_id"))
+      .join(g.as("b"), col("b_id") === col("b.doc_id"))
+      .withColumn("common", common)
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** [[gramSets]] for inputs that carry only `(doc_id, text)` — same
+    * kernel, same tokenization (`split(" ", -1)`), same null-text drop;
+    * no lang/source/len_bkt block columns (global pairing only).
+    */
+  private[operators] def slimGramSets(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val hs = gramHashes(text.split(" ", -1), n, Fnv64Offset)
+          java.util.Arrays.sort(hs)
+          var w = 0; var r = 0
+          while (r < hs.length) {
+            if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+            r += 1
+          }
+          (id, java.util.Arrays.copyOf(hs, w))
+        }
+      }
+      .toDF("doc_id", "grams")
   }
 
   /** Containment pairs with winnowing-fingerprint candidate generation —

@@ -329,4 +329,59 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
     assert(out == Seq((5L, 2, 2), (6L, 1, 2)), s"got $out")
   }
+
+  test("shingleJaccardPairsGlobal matches an independent HOF brute force (sf0.001 subset)") {
+    // independent path: STRING shingles built with SQL higher-order
+    // functions and an all-pairs join — different gram representation
+    // (strings vs FNV hashes), different candidate generation (none vs
+    // prefix filter), so agreement pins both the prefix-filter recall
+    // bound and the hash kernel at once
+    val subset = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+    val kernel = Dedup.shingleJaccardPairsGlobal(
+      subset.select(col("doc_id"), col("text")), n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = subset.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("toks"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+        i => array_join(slice(col("toks"), i + 1, lit(3)), " "))).as("grams"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val brute = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"),
+        graft.functions.Rounding.roundTo(col("j"), 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(kernel == brute,
+      s"kernel-only: ${kernel -- brute}; brute-only: ${brute -- kernel}")
+    assert(kernel.nonEmpty, "vacuous: subset has no near-dup pairs")
+    spark.catalog.clearCache()
+  }
+
+  test("shingleJaccardPairsGlobal: exact threshold boundary and null/short text") {
+    // A="a b c d e" shingles {abc,bcd,cde}; B="a b c d f" shingles
+    // {abc,bcd,cdf}: |I|=2, |U|=4 → J = 0.5 exactly — the >= must keep it
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d f"),
+      (3L, "totally unrelated words go here"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "xy")                       // < n tokens → one whole-doc gram
+    ).toDF("doc_id", "text")
+    val at = Dedup.shingleJaccardPairsGlobal(d, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(at == Set((1L, 2L, 0.5)), s"got $at")
+    val above = Dedup.shingleJaccardPairsGlobal(d, n = 3, threshold = 0.5001)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(above.isEmpty, s"pair at exactly 0.5 must not clear 0.5001: $above")
+    // identical short docs pair at 1.0 through the whole-doc gram
+    val short = Seq((6L, "xy"), (7L, "xy")).toDF("doc_id", "text")
+    val sp = Dedup.shingleJaccardPairsGlobal(short, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sp == Set((6L, 7L, 1.0)), s"got $sp")
+    spark.catalog.clearCache()
+  }
 }
