@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 import graft.streaming.{CorpusIngest, FuzzyIngest}
 
-/** Stage-cost probe for `llm_dedup_fuzzy_incremental`'s r13 shape: the
+/** Stage-cost probe for `llm_dedup_fuzzy_incremental`'s late-r12 shape: the
   * persistent-index ingest (unchanged since r12) vs the exact-replay
   * ground truth added for the hash oracle. Prints one JSON line with
   * per-stage wall times so a regression in either half is attributable

@@ -192,7 +192,7 @@ object LlmQueries {
       Dedup.exact(Tables.documents(s, d), "text", "doc_id")
         .orderBy(col("keep_id"))),
 
-    // Per-doc fuzzy near-dup profile. Hash-oracled since r13 (the IVF
+    // Per-doc fuzzy near-dup profile. Hash-oracled late in r12 (the IVF
     // verdict pattern): the hashed surface is EXACT — per-doc partner
     // count and max Jaccard over the corpus-global 3-shingle Jaccard
     // >= 0.5 pair set (Dedup.shingleJaccardPairsGlobal; DuckDB twin =
@@ -358,7 +358,7 @@ object LlmQueries {
 
     // The COMPLETE fuzzy-dedup pipeline in one query: near-dup pairs →
     // star-contraction connected components → drop non-min cluster
-    // members → per-lang survivor stats. Hash-oracled since r13 (the
+    // members → per-lang survivor stats. Hash-oracled late in r12 (the
     // IVF verdict pattern): the pair set feeding CC is now the EXACT
     // corpus-global 3-shingle Jaccard >= 0.5 set (deterministic, DuckDB
     // twin = brute-force Jaccard + recursive-CTE CC — the

@@ -163,7 +163,7 @@ object StreamingQueries {
     // docs; delivery 1 = near-dups of delivery-0 docs + more new docs.
     // Only genuinely new docs enter the index.
     //
-    // Hash-oracled since r13 (the IVF verdict pattern): the hashed
+    // Hash-oracled late in r12 (the IVF verdict pattern): the hashed
     // surface is the EXACT REPLAY of the same batch protocol — per
     // delivery, within-batch exact dedup (min doc_id per text, the
     // ingestBatch rule), then a doc survives iff it has NO true

@@ -88,7 +88,7 @@ object Dedup {
 
   /** MinHash-LSH CANDIDATE pairs: docs sharing at least one band
     * bucket, unverified — the recall-bearing stage of the LSH pipeline,
-    * exposed so the verdict-pattern oracles (r13) can measure band
+    * exposed so the verdict-pattern oracles (late r12) can measure band
     * recall directly against [[shingleJaccardPairsGlobal]]'s exact pair
     * set without paying the verify join twice.
     *
@@ -576,7 +576,7 @@ object Dedup {
     * gram-collision bound — see [[Fnv64Offset]]).
     *
     * This is what lets the MinHash family graduate from rows-only to
-    * hash-oracled (r13, the IVF verdict pattern): the hashed surface of
+    * hash-oracled (late r12, the IVF verdict pattern): the hashed surface of
     * `llm_dedup_fuzzy`/`_keep`/`_incremental` is built from THIS exact
     * pair set (DuckDB twin = brute-force `list_intersect` Jaccard at
     * oracle scale), while the LSH pipeline still runs in the same plan

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.operators.Dedup
 import graft.streaming.FuzzyIngest
 
-/** The r13 verdict-pattern contracts for the MinHash family (the last
+/** The late-r12 verdict-pattern contracts for the MinHash family (the last
   * three formerly rows-only keys): the hashed surface is the EXACT
   * corpus-global 3-shingle-Jaccard ground truth, and the LSH machinery
   * running in the same plan is pinned by a verdict column. These tests
@@ -18,7 +18,7 @@ import graft.streaming.FuzzyIngest
   */
 class FuzzyVerdictSpec extends SparkSpec {
 
-  test("the three MinHash-family queries report verdict=1 on every row (r13 hashed verdicts)") {
+  test("the three MinHash-family queries report verdict=1 on every row (late-r12 hashed verdicts)") {
     Seq(("llm_dedup_fuzzy", "lsh_recall_ok"),
         ("llm_dedup_fuzzy_keep", "lsh_pipeline_ok"),
         ("llm_dedup_fuzzy_incremental", "fuzzy_agree_ok")).foreach { case (q, v) =>
