@@ -259,4 +259,38 @@ class PropertySpec extends SparkSpec {
         (hex < t) == (x < (w * 4294967296L).toLong)
     }, "mixture-threshold-lex-numeric-agree")
   }
+
+  test("prop: shingleJaccardPairsGlobal equals driver-side brute force on random corpora") {
+    // real Spark jobs per sample (like the dedup idempotence property):
+    // few samples, dense 5-letter alphabet so shingle overlaps and
+    // threshold boundaries actually occur
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(1, 12)
+      .flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(6, 14).flatMap(n => Gen.listOfN(n, docGen))
+    val thrGen = Gen.oneOf(0.3, 0.5, 0.7)
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      val nSh = math.max(toks.length - 2, 1)
+      (0 until nSh)
+        .map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" "))
+        .toSet
+    }
+    val p = Prop.forAll(corpusGen, thrGen) { (texts, thr) =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.shingleJaccardPairsGlobal(df, n = 3, threshold = thr)
+        .as[(Long, Long, Double)].collect().toSet
+      spark.catalog.clearCache()
+      val sh = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val expect = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+        if j >= thr
+      } yield (ia, ib, math.floor(j * 10000.0 + 0.5) / 10000.0)).toSet
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, s"shingle-global-vs-brute failed: ${res.status}")
+  }
 }
