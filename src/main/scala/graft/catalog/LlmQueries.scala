@@ -374,16 +374,23 @@ object LlmQueries {
         docs.select(col("doc_id"), col("text")), n = 3, threshold = 0.5)
         .select(col("a_id"), col("b_id")).cache()
       // exact pairs through the SAME token-set gate minhashPairs verifies
-      // with — the denominator of the full-pipeline recall
-      val tokenSets = docs.select(col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("ts"))
+      // with — the denominator of the full-pipeline recall. Token sets as
+      // sorted FNV hashes + the compiled sorted-merge intersect (same
+      // `split(" ", -1)` tokenization as the SQL-split verify path;
+      // identical J modulo the declared 64-bit gram-collision bound) —
+      // interpreted array_intersect/union HOFs would become the hot path
+      // before the SSJoin does if the true pair count ever grows
+      val tokenSets = Dedup.slimGramSets(
+        docs.select(col("doc_id"), col("text")), n = 1)
+      val common = graft.functions.SortedIntersectCount(col("ga"), col("gb"))
       val gated = exact
         .join(tokenSets.withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("ts", "ta"), "a_id")
+          .withColumnRenamed("grams", "ga"), "a_id")
         .join(tokenSets.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("ts", "tb"), "b_id")
-        .filter(size(array_intersect(col("ta"), col("tb"))).cast("double") /
-          size(array_union(col("ta"), col("tb"))).cast("double") >= 0.5)
+          .withColumnRenamed("grams", "gb"), "b_id")
+        .withColumn("__c", common)
+        .filter(col("__c").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("__c")).cast("double") >= 0.5)
         .select(col("a_id"), col("b_id"))
       val lsh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
         .select(col("a_id"), col("b_id"))

@@ -614,8 +614,11 @@ object Dedup {
   /** [[gramSets]] for inputs that carry only `(doc_id, text)` — same
     * kernel, same tokenization (`split(" ", -1)`), same null-text drop;
     * no lang/source/len_bkt block columns (global pairing only).
+    * `private[graft]`: the fuzzy_keep verdict gate reuses it at n = 1
+    * (token sets) so its Jaccard check rides the compiled sorted-merge
+    * intersect instead of interpreted array HOFs.
     */
-  private[operators] def slimGramSets(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def slimGramSets(docs: DataFrame, n: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col("text").isNotNull)
