@@ -47,11 +47,10 @@ object FuzzyReplayProbe {
     val b1 = nearDup(docs.filter(col("doc_id") % 5 === 1), 2000000L, " mirror")
       .unionByName(docs.filter(col("doc_id") % 5 === 2))
 
-    val (_, tIngest) = timed {
-      FuzzyIngest.ingestBatch(seed, -1L, s"$base/index")
-      FuzzyIngest.ingestBatch(b0, 0L, s"$base/index")
-      FuzzyIngest.ingestBatch(b1, 1L, s"$base/index")
-    }
+    val (_, tSeed) = timed { FuzzyIngest.ingestBatch(seed, -1L, s"$base/index") }
+    val (_, tB0) = timed { FuzzyIngest.ingestBatch(b0, 0L, s"$base/index") }
+    val (_, tB1) = timed { FuzzyIngest.ingestBatch(b1, 1L, s"$base/index") }
+    val tIngest = tSeed + tB0 + tB1
 
     def uniqByText(df: org.apache.spark.sql.DataFrame) = {
       val w = Window
@@ -96,7 +95,9 @@ object FuzzyReplayProbe {
     val (nu, tCounts) = timed { b0u.count() + b1u.count() }
 
     println(s"""{"metric":"fuzzy_replay_probe","sf_dir":"$sfDir",""" +
-      s""""t_ingest3":${f"$tIngest%.2f"},"t_ssjoin":${f"$tSsjoin%.2f"},""" +
+      s""""t_ingest3":${f"$tIngest%.2f"},"t_seed":${f"$tSeed%.2f"},""" +
+      s""""t_b0":${f"$tB0%.2f"},"t_b1":${f"$tB1%.2f"},""" +
+      s""""t_ssjoin":${f"$tSsjoin%.2f"},""" +
       s""""t_replay_rest":${f"$tReplay%.2f"},"t_index_read":${f"$tIndexRead%.2f"},""" +
       s""""t_uniq_counts":${f"$tCounts%.2f"},"n_pairs":$nPairs,""" +
       s""""n_replay_kept":$nKept,"n_index_kept":$nIdx,"n_uniq":$nu}""")
