@@ -61,6 +61,40 @@ object JudgeSmoke {
       Multimodal.decodeMeta(spark, m).count()
     }
     op("op_multimodal_frames") { Multimodal.sampleFrames(Multimodal.withMediaColumn(docs), 4).count() }
+    op("op_shingle_pairs_global") {
+      Dedup.shingleJaccardPairsGlobal(
+        docs.select(col("doc_id"), col("text")), 3, 0.5).count()
+    }
+    // takedown drives: ingest two batches, retract one doc from the older
+    // batch, count the survivors (both persistent indexes)
+    op("op_manifest_retract") {
+      val dir = graft.util.Scratch.fresh("smoke_retract_m")
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.streaming.CorpusIngest.ingestBatch(b0, 0L, dir)
+      graft.streaming.CorpusIngest.ingestBatch(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang")), 1L, dir)
+      import spark.implicits._
+      val victim = b0.select(col("doc_id")).as[Long].head()
+      graft.streaming.CorpusIngest.retract(spark, dir,
+        Seq(victim).toDF("doc_id"))
+      graft.streaming.CorpusIngest.manifest(spark, dir).count()
+    }
+    op("op_fuzzy_retract") {
+      val dir = graft.util.Scratch.fresh("smoke_retract_f")
+      val b0 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.streaming.FuzzyIngest.ingestBatch(b0, 0L, dir)
+      graft.streaming.FuzzyIngest.ingestBatch(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("lang")), 1L, dir)
+      import spark.implicits._
+      val victim = b0.select(col("doc_id")).as[Long].head()
+      graft.streaming.FuzzyIngest.retract(spark, dir,
+        Seq(victim).toDF("doc_id"))
+      graft.streaming.FuzzyIngest.index(spark, dir).count()
+    }
 
     // dump a few results for DuckDB cross-check
     val out = "/tmp/judge_out"

@@ -614,6 +614,76 @@ object CorpusIngest {
       MaxBucketCapacity)
   }
 
+  /** RETRACT (takedown) documents from the manifest by doc_id — the
+    * right-to-be-forgotten path a production corpus needs beside append
+    * and compact: after retraction the digests are gone, so a
+    * re-delivery of the same text is accepted as NEW (the owner removed
+    * it deliberately; nothing remembers it).
+    *
+    * Mechanics: under the writer lease, each affected partition is
+    * rewritten in place (staged `localCheckpoint` → static-partition
+    * `INSERT OVERWRITE`, the ingest/compact read-old-then-overwrite
+    * pattern), preserving the bucket spec. The bloom sidecars are left
+    * as-is DELIBERATELY: they only over-approximate after a removal,
+    * which is the FP-only direction — a probe that hits a retracted
+    * digest opens the table, finds nothing, and correctly admits the
+    * doc; the next [[compact]] rebuild re-tightens them.
+    *
+    * Crash contract (documented, spec-pinned): partition overwrites are
+    * independently atomic, so a crash mid-retraction leaves a CONSISTENT
+    * manifest with a PARTIAL retraction — re-run `retract` with the same
+    * ids until it returns (idempotent; already-clean partitions no-op).
+    * No intent marker is needed because, unlike compaction, no state is
+    * ever duplicated or moved — only removed.
+    *
+    * Like [[compact]], ids living in the NEWEST batch are refused:
+    * foreachBatch's at-least-once replay of that batch would rewrite its
+    * partition from the source and silently resurrect the retracted
+    * rows. Compact first (or wait for the next batch), then retract.
+    *
+    * Returns the number of manifest rows removed.
+    */
+  def retract(s: SparkSession, manifestDir: String, docIds: DataFrame): Long = {
+    require(reconcileTable(s, manifestDir), s"no manifest at $manifestDir")
+    IngestPaths.acquireLease(s, manifestDir)
+    val tbl = tableName(s, manifestDir)
+    s.catalog.refreshTable(tbl)
+    val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    try {
+      val t = s.table(tbl)
+      val maxBatch = t.agg(max(col("batch"))).head().getAs[Number](0)
+      require(maxBatch != null, s"empty manifest at $manifestDir")
+      val hits = t.join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      require(!hits.contains(maxBatch.longValue),
+        s"retract: ${hits.getOrElse(maxBatch.longValue, 0L)} ids live in the " +
+          s"newest batch (${maxBatch}) which may still replay under " +
+          "foreachBatch's at-least-once contract and would resurrect them " +
+          "- compact first or retract after the next batch")
+      hits.keys.foreach { v =>
+        val staged = s.table(tbl).filter(col("batch") === v)
+          .join(ids, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("__h"), col("__len"),
+            col("first_batch"))
+          .localCheckpoint(true)
+        val view = stageView(s, manifestDir)
+        staged.createOrReplaceTempView(view)
+        try s.sql(
+          s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v)
+             |SELECT doc_id, lang, `__h`, `__len`, first_batch
+             |FROM `$view`""".stripMargin)
+        finally {
+          s.catalog.dropTempView(view)
+          staged.unpersist()
+        }
+      }
+      s.catalog.refreshTable(tbl)
+      hits.values.sum
+    } finally ids.unpersist()
+  }
+
   /** The manifest as a DataFrame: every surviving (new-at-ingest-time)
     * document with its digest and the batch that FIRST saw it (the
     * `first_batch` data column — stable across [[compact]], unlike the

@@ -570,6 +570,74 @@ object FuzzyIngest {
         CorpusIngest.MaxBucketCapacity)
   }
 
+  /** RETRACT (takedown) documents from the fuzzy index by doc_id — the
+    * [[CorpusIngest.retract]] twin: removes the docs' signatures AND
+    * their LSH band postings, so a re-delivered near-dup of a retracted
+    * doc is accepted as new (nothing remembers it), while near-dups of
+    * SURVIVING docs stay suppressed.
+    *
+    * Same contracts as the exact twin: writer lease; staged
+    * static-partition overwrites preserving both bucket specs; newest
+    * batch refused (an at-least-once replay would resurrect the rows);
+    * band blooms left as-is (removal only makes them over-approximate —
+    * the FP-only direction; the next [[compact]] re-tightens). Removal
+    * order is bands BEFORE sigs: a crash in between leaves docs whose
+    * candidates can no longer be generated — retraction-effective early,
+    * never a dangling candidate verified against missing state (the
+    * verify join inner-joins sigs and simply drops such candidates).
+    * Partial-crash contract: partitions are independently atomic; re-run
+    * with the same ids until it returns (idempotent).
+    *
+    * Returns the number of signature rows removed.
+    */
+  def retract(s: SparkSession, indexDir: String, docIds: DataFrame): Long = {
+    require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
+    IngestPaths.acquireLease(s, indexDir)
+    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
+    val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    try {
+      val maxBatch = s.table(sigT).agg(max(col("batch"))).head().getAs[Number](0)
+      require(maxBatch != null, s"empty fuzzy index at $indexDir")
+      def affected(tbl: String): Map[Long, Long] =
+        s.table(tbl).join(ids, Seq("doc_id"), "left_semi")
+          .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      val sigHits = affected(sigT); val bandHits = affected(bandT)
+      require(!sigHits.contains(maxBatch.longValue) &&
+          !bandHits.contains(maxBatch.longValue),
+        s"retract: ids live in the newest batch ($maxBatch) which may " +
+          "still replay under foreachBatch's at-least-once contract and " +
+          "would resurrect them - compact first or retract after the " +
+          "next batch")
+      def rewrite(tbl: String, hits: Map[Long, Long], cols: Seq[String],
+          insertCols: String): Unit =
+        hits.keys.foreach { v =>
+          val staged = s.table(tbl).filter(col("batch") === v)
+            .join(ids, Seq("doc_id"), "left_anti")
+            .select(cols.map(col): _*)
+            .localCheckpoint(true)
+          val view = stageView(s, indexDir)
+          staged.createOrReplaceTempView(view)
+          try s.sql(
+            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v)
+               |SELECT $insertCols FROM `$view`""".stripMargin)
+          finally {
+            s.catalog.dropTempView(view)
+            staged.unpersist()
+          }
+        }
+      // bands first (candidates disappear before their signatures)
+      rewrite(bandT, bandHits, Seq("band", "bh", "doc_id"),
+        "band, bh, doc_id")
+      rewrite(sigT, sigHits, Seq("doc_id", "lang", "minhash", "first_batch"),
+        "doc_id, lang, minhash, first_batch")
+      s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
+      sigHits.values.sum
+    } finally ids.unpersist()
+  }
+
   /** Every surviving doc with the batch that FIRST saw it (`first_batch`,
     * stable across [[compact]]; signature metadata, never text). Plain
     * path read — catalog-independent, EXCEPT when a crashed compact left
