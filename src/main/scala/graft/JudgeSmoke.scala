@@ -81,6 +81,28 @@ object JudgeSmoke {
         Seq(victim).toDF("doc_id"))
       graft.streaming.CorpusIngest.manifest(spark, dir).count()
     }
+    // merge drives: two independently built indexes unioned into a fresh
+    // third (digest / cross-index near-dup collapse), survivors counted
+    op("op_manifest_merge") {
+      val base = graft.util.Scratch.fresh("smoke_merge_m")
+      val slim = docs.select(col("doc_id"), col("text"), col("lang"))
+      graft.streaming.CorpusIngest.ingestBatch(
+        slim.filter(col("doc_id") % 2 === 0), 0L, s"$base/a")
+      graft.streaming.CorpusIngest.ingestBatch(
+        slim.filter(col("doc_id") % 3 === 0), 0L, s"$base/b")
+      graft.streaming.CorpusIngest.merge(spark, s"$base/a", s"$base/b",
+        s"$base/dst")
+    }
+    op("op_fuzzy_merge") {
+      val base = graft.util.Scratch.fresh("smoke_merge_f")
+      val slim = docs.select(col("doc_id"), col("text"), col("lang"))
+      graft.streaming.FuzzyIngest.ingestBatch(
+        slim.filter(col("doc_id") % 2 === 0), 0L, s"$base/a")
+      graft.streaming.FuzzyIngest.ingestBatch(
+        slim.filter(col("doc_id") % 2 === 1), 0L, s"$base/b")
+      graft.streaming.FuzzyIngest.merge(spark, s"$base/a", s"$base/b",
+        s"$base/dst")
+    }
     op("op_fuzzy_retract") {
       val dir = graft.util.Scratch.fresh("smoke_retract_f")
       val b0 = docs.filter(col("doc_id") % 2 === 0)

@@ -614,6 +614,45 @@ object CorpusIngest {
       MaxBucketCapacity)
   }
 
+  /** MERGE two independently built manifests into a FRESH third — the
+    * two-crawls-deduped-separately-then-unioned case: rows are unioned
+    * and deduped by digest, the EARLIER `first_batch` (ties → smaller
+    * doc_id) winning, and written as a single consolidated partition
+    * with the standard bucket spec, so the destination is a normal
+    * manifest ([[ingestBatch]]/[[dedupIngest]]/[[compact]]/[[retract]]
+    * all continue from it) with freshly rebuilt bloom sidecars.
+    *
+    * One window shuffle keyed on the 16-byte digest — never text bodies;
+    * O(|A| + |B|) like a compaction over the union.
+    *
+    * The destination must not exist (the reference's output-dir
+    * fail-fast rule); a crash mid-write leaves a partial dst — delete it
+    * and re-run (sources are read-only throughout). Returns the merged
+    * row count.
+    */
+  def merge(s: SparkSession, aDir: String, bDir: String,
+      dstDir: String): Long = {
+    require(reconcileTable(s, aDir), s"no manifest at $aDir")
+    require(reconcileTable(s, bDir), s"no manifest at $bDir")
+    val (fs, dstPath) = fsOf(s, dstDir)
+    require(!fs.exists(dstPath), s"merge destination already exists: $dstDir")
+    val union = manifest(s, aDir).unionByName(manifest(s, bDir))
+    val w = Window.partitionBy(col("__h"), col("__len"))
+      .orderBy(col("batch"), col("doc_id"))
+    val merged = union
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("__h"), col("__len"),
+        col("batch").as("first_batch"))
+    val tbl = tableName(s, dstDir)
+    merged.withColumn("batch", lit(CompactedBatch)).write
+      .partitionBy("batch")
+      .bucketBy(ManifestBuckets, "__h", "__len").sortBy("__h", "__len")
+      .option("path", dstDir)
+      .saveAsTable(tbl)
+    rebuildBlooms(s, dstDir)
+    s.table(tbl).count()
+  }
+
   /** RETRACT (takedown) documents from the manifest by doc_id — the
     * right-to-be-forgotten path a production corpus needs beside append
     * and compact: after retraction the digests are gone, so a

@@ -570,6 +570,69 @@ object FuzzyIngest {
         CorpusIngest.MaxBucketCapacity)
   }
 
+  /** MERGE two independently built fuzzy indexes into a FRESH third —
+    * the [[CorpusIngest.merge]] twin with the extra step exact digests
+    * cannot do: CROSS-INDEX near-dup collapse. Index `a` is senior:
+    * every `b` doc whose minhash agreement with SOME `a` doc reaches
+    * `simThreshold` is suppressed (candidates from a (band,bh) join of
+    * the two band tables — O(|b| + collisions), the standard probe
+    * shape, never |a|×|b|); survivors' signatures and band postings are
+    * unioned with `a`'s into a single consolidated partition under the
+    * standard bucket specs, blooms rebuilt, so the destination is a
+    * normal index ([[ingestBatch]]/[[compact]]/[[retract]] continue).
+    *
+    * `b`-internal near-dups are NOT collapsed (each source already
+    * deduped itself — same reasoning as within-batch collapse being
+    * opt-in). doc_id spaces must be disjoint (the signature join is
+    * id-keyed); overlap throws. Destination must not exist; a crash
+    * mid-write leaves a partial dst — delete and re-run (sources are
+    * read-only throughout). Returns the merged signature count.
+    */
+  def merge(s: SparkSession, aDir: String, bDir: String, dstDir: String,
+      simThreshold: Double = 0.5): Long = {
+    require(reconcile(s, aDir), s"no fuzzy index at $aDir")
+    require(reconcile(s, bDir), s"no fuzzy index at $bDir")
+    val (fs, dstPath) = fsOf(s, dstDir)
+    require(!fs.exists(dstPath), s"merge destination already exists: $dstDir")
+    val aSig = s.table(sigTable(s, aDir))
+    val bSig = s.table(sigTable(s, bDir))
+    require(aSig.select(col("doc_id"))
+        .join(bSig.select(col("doc_id")), "doc_id").isEmpty,
+      "doc_id spaces of the two indexes overlap - remap ids before merging")
+    val aBands = s.table(bandTable(s, aDir)).select(col("band"), col("bh"), col("doc_id"))
+    val bBands = s.table(bandTable(s, bDir)).select(col("band"), col("bh"), col("doc_id"))
+    val cand = bBands.alias("n").join(aBands.alias("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val dup = cand
+      .join(aSig.select(col("doc_id").as("old_id"),
+        col("minhash").as("old_sig")), "old_id")
+      .join(bSig.select(col("doc_id").as("new_id"),
+        col("minhash").as("new_sig")), "new_id")
+      .filter(agreement(col("new_sig"), col("old_sig")) >= simThreshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    val sigs = aSig.select(col("doc_id"), col("lang"), col("minhash"), col("first_batch"))
+      .unionByName(bSig.join(dup, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("minhash"), col("first_batch")))
+    val bands = aBands
+      .unionByName(bBands.join(dup, Seq("doc_id"), "left_anti"))
+      .distinct()
+    val sentinel = CorpusIngest.CompactedBatch
+    sigs.withColumn("batch", lit(sentinel)).write
+      .partitionBy("batch")
+      .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
+      .option("path", sigPath(dstDir))
+      .saveAsTable(sigTable(s, dstDir))
+    bands.withColumn("batch", lit(sentinel)).write
+      .partitionBy("batch")
+      .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
+      .option("path", bandPath(dstDir))
+      .saveAsTable(bandTable(s, dstDir))
+    rebuildBlooms(s, dstDir)
+    s.table(sigTable(s, dstDir)).count()
+  }
+
   /** RETRACT (takedown) documents from the fuzzy index by doc_id — the
     * [[CorpusIngest.retract]] twin: removes the docs' signatures AND
     * their LSH band postings, so a re-delivered near-dup of a retracted
