@@ -81,6 +81,17 @@ object JudgeSmoke {
         Seq(victim).toDF("doc_id"))
       graft.streaming.CorpusIngest.manifest(spark, dir).count()
     }
+    // retention drive: expire the older batch, count survivors
+    op("op_manifest_expire") {
+      val dir = graft.util.Scratch.fresh("smoke_expire_m")
+      val slim = docs.select(col("doc_id"), col("text"), col("lang"))
+      graft.streaming.CorpusIngest.ingestBatch(
+        slim.filter(col("doc_id") % 2 === 0), 0L, dir)
+      graft.streaming.CorpusIngest.ingestBatch(
+        slim.filter(col("doc_id") % 2 === 1), 1L, dir)
+      graft.streaming.CorpusIngest.expire(spark, dir, 0L)
+      graft.streaming.CorpusIngest.manifest(spark, dir).count()
+    }
     // merge drives: two independently built indexes unioned into a fresh
     // third (digest / cross-index near-dup collapse), survivors counted
     op("op_manifest_merge") {

@@ -614,6 +614,72 @@ object CorpusIngest {
       MaxBucketCapacity)
   }
 
+  /** EXPIRE (retention) — drop every document FIRST SEEN in a batch
+    * <= `olderThanBatch`, the age-out companion of [[retract]] (a crawl
+    * snapshot aged past its retention window; its docs may legitimately
+    * re-enter later as fresh deliveries).
+    *
+    * Physical shape: a non-compacted partition `batch=v` holds exactly
+    * the rows first seen in batch v, so expiry there is a whole-partition
+    * drop (file delete + DROP PARTITION — metadata-cheap, no rewrite);
+    * only the consolidated [[CompactedBatch]] partition, whose rows carry
+    * mixed `first_batch` values, pays a staged filter rewrite. Same
+    * newest-batch replay guard, FP-only-stale-bloom reasoning, and
+    * partial-crash re-run contract as [[retract]].
+    *
+    * Returns the number of rows removed.
+    */
+  def expire(s: SparkSession, manifestDir: String,
+      olderThanBatch: Long): Long = {
+    require(reconcileTable(s, manifestDir), s"no manifest at $manifestDir")
+    IngestPaths.acquireLease(s, manifestDir)
+    val tbl = tableName(s, manifestDir)
+    s.catalog.refreshTable(tbl)
+    val maxBatch = s.table(tbl).filter(col("batch") =!= CompactedBatch)
+      .agg(max(col("batch"))).head().getAs[Number](0)
+    require(maxBatch == null || olderThanBatch < maxBatch.longValue,
+      s"expire(olderThanBatch=$olderThanBatch): the newest batch " +
+        s"($maxBatch) may still replay under foreachBatch's at-least-once " +
+        "contract and must stay")
+    var removed = 0L
+    // whole-partition drops for the per-batch partitions
+    val (fs, mPath) = fsOf(s, manifestDir)
+    fs.listStatus(mPath).filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=")) {
+        val v = n.stripPrefix("batch=").toLong
+        if (v != CompactedBatch && v <= olderThanBatch) {
+          removed += s.table(tbl).filter(col("batch") === v).count()
+          fs.delete(st.getPath, true)
+          s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
+        }
+      }
+    }
+    s.catalog.refreshTable(tbl)
+    // filter rewrite of the consolidated partition (mixed first_batch)
+    val compacted = s.table(tbl).filter(col("batch") === CompactedBatch)
+    val nExpired = compacted.filter(col("first_batch") <= olderThanBatch).count()
+    if (nExpired > 0) {
+      val staged = compacted.filter(col("first_batch") > olderThanBatch)
+        .select(col("doc_id"), col("lang"), col("__h"), col("__len"),
+          col("first_batch"))
+        .localCheckpoint(true)
+      val view = stageView(s, manifestDir)
+      staged.createOrReplaceTempView(view)
+      try s.sql(
+        s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$CompactedBatch)
+           |SELECT doc_id, lang, `__h`, `__len`, first_batch
+           |FROM `$view`""".stripMargin)
+      finally {
+        s.catalog.dropTempView(view)
+        staged.unpersist()
+      }
+      removed += nExpired
+      s.catalog.refreshTable(tbl)
+    }
+    removed
+  }
+
   /** MERGE two independently built manifests into a FRESH third — the
     * two-crawls-deduped-separately-then-unioned case: rows are unioned
     * and deduped by digest, the EARLIER `first_batch` (ties → smaller

@@ -570,6 +570,86 @@ object FuzzyIngest {
         CorpusIngest.MaxBucketCapacity)
   }
 
+  /** EXPIRE (retention) — the [[CorpusIngest.expire]] twin: drop every
+    * doc FIRST SEEN in a batch <= `olderThanBatch` from BOTH tables.
+    * Non-compacted partitions are whole-partition drops (both tables are
+    * partitioned by the ingest batch); the consolidated partitions pay a
+    * staged rewrite — sigs filtered on `first_batch`, bands anti-joined
+    * against the expired ids (band rows carry no first_batch). Bands are
+    * rewritten BEFORE sigs, same direction as [[retract]]: a mid-crash
+    * leaves docs that can no longer generate candidates — expiry
+    * effective early, and the re-run still sees the expired ids in sigs
+    * to finish. Same newest-batch guard and FP-only-stale-bloom
+    * reasoning as the exact twin. Returns signature rows removed.
+    */
+  def expire(s: SparkSession, indexDir: String, olderThanBatch: Long): Long = {
+    require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
+    IngestPaths.acquireLease(s, indexDir)
+    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
+    val sentinel = CorpusIngest.CompactedBatch
+    val maxBatch = s.table(sigT).filter(col("batch") =!= sentinel)
+      .agg(max(col("batch"))).head().getAs[Number](0)
+    require(maxBatch == null || olderThanBatch < maxBatch.longValue,
+      s"expire(olderThanBatch=$olderThanBatch): the newest batch " +
+        s"($maxBatch) may still replay under foreachBatch's at-least-once " +
+        "contract and must stay")
+    var removed = 0L
+    def dropOld(tbl: String, path: String, countRows: Boolean): Unit = {
+      val (fs, p) = fsOf(s, path)
+      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) {
+          val v = n.stripPrefix("batch=").toLong
+          if (v != sentinel && v <= olderThanBatch) {
+            if (countRows)
+              removed += s.table(tbl).filter(col("batch") === v).count()
+            fs.delete(st.getPath, true)
+            s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
+          }
+        }
+      }
+      s.catalog.refreshTable(tbl)
+    }
+    // bands first (candidates disappear before their signatures)
+    dropOld(bandT, bandPath(indexDir), countRows = false)
+    dropOld(sigT, sigPath(indexDir), countRows = true)
+    // consolidated partitions: expired ids from sigs, bands anti-joined
+    val sigC = s.table(sigT).filter(col("batch") === sentinel)
+    val expired = sigC.filter(col("first_batch") <= olderThanBatch)
+      .select(col("doc_id")).localCheckpoint(true)
+    try {
+      val nExpired = expired.count()
+      if (nExpired > 0) {
+        def rewrite(tbl: String, df: DataFrame, insertCols: String): Unit = {
+          val staged = df.localCheckpoint(true)
+          val view = stageView(s, indexDir)
+          staged.createOrReplaceTempView(view)
+          try s.sql(
+            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
+               |SELECT $insertCols FROM `$view`""".stripMargin)
+          finally {
+            s.catalog.dropTempView(view)
+            staged.unpersist()
+          }
+          s.catalog.refreshTable(tbl)
+        }
+        rewrite(bandT,
+          s.table(bandT).filter(col("batch") === sentinel)
+            .join(expired, Seq("doc_id"), "left_anti")
+            .select(col("band"), col("bh"), col("doc_id")),
+          "band, bh, doc_id")
+        rewrite(sigT,
+          sigC.filter(col("first_batch") > olderThanBatch)
+            .select(col("doc_id"), col("lang"), col("minhash"),
+              col("first_batch")),
+          "doc_id, lang, minhash, first_batch")
+        removed += nExpired
+      }
+    } finally expired.unpersist()
+    removed
+  }
+
   /** MERGE two independently built fuzzy indexes into a FRESH third —
     * the [[CorpusIngest.merge]] twin with the extra step exact digests
     * cannot do: CROSS-INDEX near-dup collapse. Index `a` is senior:
