@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{CorpusIngest, FuzzyIngest}
+
+/** Admin CLI for the persistent dedup indexes — the operational face of
+  * the lifecycle verbs (ingest runs under [[PipelineCli]] / the
+  * streaming entry points; this tool covers everything else an operator
+  * does to a live index). Deliberately SEPARATE from [[PipelineCli]],
+  * whose flag surface mirrors the reference's clap definition exactly
+  * and must stay fidelity-clean.
+  *
+  * {{{
+  * IndexCli manifest stats   <dir>
+  * IndexCli manifest compact <dir> --up-to <batch>
+  * IndexCli manifest retract <dir> --ids <id,id,...> | --ids-parquet <path>
+  * IndexCli manifest expire  <dir> --older-than <batch>
+  * IndexCli manifest merge   <aDir> <bDir> <dstDir>
+  * IndexCli fuzzy    <same verbs>
+  * }}}
+  *
+  * Exit codes: 0 ok, 2 usage error, 1 operation failure (e.g. newest
+  * batch guard, missing index) — the require() message is printed.
+  */
+object IndexCli {
+
+  val usage: String =
+    """usage: IndexCli <manifest|fuzzy> <verb> <args>
+      |  stats   <dir>
+      |  compact <dir> --up-to <batch>
+      |  retract <dir> --ids <id,id,...> | --ids-parquet <path>
+      |  expire  <dir> --older-than <batch>
+      |  merge   <aDir> <bDir> <dstDir>""".stripMargin
+
+  sealed trait Cmd
+  case class Stats(fuzzy: Boolean, dir: String) extends Cmd
+  case class Compact(fuzzy: Boolean, dir: String, upTo: Long) extends Cmd
+  case class Retract(fuzzy: Boolean, dir: String, ids: Seq[Long],
+      idsParquet: Option[String]) extends Cmd
+  case class Expire(fuzzy: Boolean, dir: String, olderThan: Long) extends Cmd
+  case class Merge(fuzzy: Boolean, a: String, b: String, dst: String) extends Cmd
+
+  def parse(args: Array[String]): Either[String, Cmd] = {
+    def long(flag: String, v: String): Either[String, Long] =
+      v.toLongOption.toRight(s"$flag must be an integer, got: $v")
+    args.toList match {
+      case kind :: rest if kind == "manifest" || kind == "fuzzy" =>
+        val fuzzy = kind == "fuzzy"
+        rest match {
+          case "stats" :: dir :: Nil => Right(Stats(fuzzy, dir))
+          case "compact" :: dir :: "--up-to" :: v :: Nil =>
+            long("--up-to", v).map(Compact(fuzzy, dir, _))
+          case "retract" :: dir :: "--ids" :: v :: Nil =>
+            val ids = v.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            if (ids.isEmpty) Left("--ids: empty id list")
+            else if (ids.exists(_.toLongOption.isEmpty))
+              Left(s"--ids: non-integer id in: $v")
+            else Right(Retract(fuzzy, dir, ids.map(_.toLong), None))
+          case "retract" :: dir :: "--ids-parquet" :: p :: Nil =>
+            Right(Retract(fuzzy, dir, Nil, Some(p)))
+          case "expire" :: dir :: "--older-than" :: v :: Nil =>
+            long("--older-than", v).map(Expire(fuzzy, dir, _))
+          case "merge" :: a :: b :: dst :: Nil => Right(Merge(fuzzy, a, b, dst))
+          case other => Left(s"bad $kind invocation: ${other.mkString(" ")}")
+        }
+      case other => Left(s"first argument must be manifest|fuzzy, got: " +
+        other.headOption.getOrElse("<none>"))
+    }
+  }
+
+  /** Runs the command; returns the one-line human summary it printed. */
+  def run(s: SparkSession, cmd: Cmd): String = {
+    import s.implicits._
+    def idsFrame(ids: Seq[Long], parquet: Option[String]): DataFrame =
+      parquet match {
+        case Some(p) => s.read.parquet(p).select(col("doc_id"))
+        case None => ids.toDF("doc_id")
+      }
+    val line = cmd match {
+      case Stats(false, dir) =>
+        val m = CorpusIngest.manifest(s, dir)
+        val perBatch = m.groupBy(col("batch")).agg(count(lit(1)).as("n"))
+          .orderBy(col("batch")).collect()
+          .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(" ")
+        s"manifest $dir rows=${m.count()} first_batch[$perBatch]"
+      case Stats(true, dir) =>
+        val idx = FuzzyIngest.index(s, dir)
+        val perBatch = idx.groupBy(col("batch")).agg(count(lit(1)).as("n"))
+          .orderBy(col("batch")).collect()
+          .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(" ")
+        val bands = s.table(FuzzyIngest.bandTable(s, dir)).count()
+        s"fuzzy $dir sigs=${idx.count()} bands=$bands first_batch[$perBatch]"
+      case Compact(false, dir, upTo) =>
+        CorpusIngest.compact(s, dir, upTo); s"manifest $dir compacted upTo=$upTo"
+      case Compact(true, dir, upTo) =>
+        FuzzyIngest.compact(s, dir, upTo); s"fuzzy $dir compacted upTo=$upTo"
+      case Retract(false, dir, ids, pq) =>
+        val n = CorpusIngest.retract(s, dir, idsFrame(ids, pq))
+        s"manifest $dir retracted rows=$n"
+      case Retract(true, dir, ids, pq) =>
+        val n = FuzzyIngest.retract(s, dir, idsFrame(ids, pq))
+        s"fuzzy $dir retracted sigs=$n"
+      case Expire(false, dir, older) =>
+        val n = CorpusIngest.expire(s, dir, older)
+        s"manifest $dir expired rows=$n olderThan=$older"
+      case Expire(true, dir, older) =>
+        val n = FuzzyIngest.expire(s, dir, older)
+        s"fuzzy $dir expired sigs=$n olderThan=$older"
+      case Merge(false, a, b, dst) =>
+        val n = CorpusIngest.merge(s, a, b, dst)
+        s"manifest merged $a + $b -> $dst rows=$n"
+      case Merge(true, a, b, dst) =>
+        val n = FuzzyIngest.merge(s, a, b, dst)
+        s"fuzzy merged $a + $b -> $dst sigs=$n"
+    }
+    println(line)
+    line
+  }
+
+  def main(args: Array[String]): Unit =
+    parse(args) match {
+      case Left(err) =>
+        System.err.println(s"error: $err")
+        System.err.println(usage)
+        sys.exit(2)
+      case Right(cmd) =>
+        val spark = SparkSession.builder()
+          .appName("graft-index-admin")
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+          .getOrCreate()
+        try run(spark, cmd)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}")
+            sys.exit(1)
+        } finally spark.stop()
+    }
+}

@@ -757,13 +757,16 @@ object CorpusIngest {
       .distinct().localCheckpoint(true)
     try {
       val t = s.table(tbl)
-      val maxBatch = t.agg(max(col("batch"))).head().getAs[Number](0)
-      require(maxBatch != null, s"empty manifest at $manifestDir")
+      // the replay guard applies to REAL batches only: the consolidated
+      // partition is never replayed (a fully compacted/merged manifest,
+      // e.g. a fresh merge() destination, is entirely retractable)
+      val maxBatch = t.filter(col("batch") =!= CompactedBatch)
+        .agg(max(col("batch"))).head().getAs[Number](0)
       val hits = t.join(ids, Seq("doc_id"), "left_semi")
         .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
         .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
-      require(!hits.contains(maxBatch.longValue),
-        s"retract: ${hits.getOrElse(maxBatch.longValue, 0L)} ids live in the " +
+      require(maxBatch == null || !hits.contains(maxBatch.longValue),
+        s"retract: ${hits.getOrElse(if (maxBatch == null) 0L else maxBatch.longValue, 0L)} ids live in the " +
           s"newest batch (${maxBatch}) which may still replay under " +
           "foreachBatch's at-least-once contract and would resurrect them " +
           "- compact first or retract after the next batch")

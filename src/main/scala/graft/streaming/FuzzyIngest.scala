@@ -741,15 +741,19 @@ object FuzzyIngest {
     val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     try {
-      val maxBatch = s.table(sigT).agg(max(col("batch"))).head().getAs[Number](0)
-      require(maxBatch != null, s"empty fuzzy index at $indexDir")
+      // real batches only: the consolidated partition never replays (a
+      // fresh merge() destination is entirely retractable)
+      val maxBatch = s.table(sigT)
+        .filter(col("batch") =!= CorpusIngest.CompactedBatch)
+        .agg(max(col("batch"))).head().getAs[Number](0)
       def affected(tbl: String): Map[Long, Long] =
         s.table(tbl).join(ids, Seq("doc_id"), "left_semi")
           .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
           .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
       val sigHits = affected(sigT); val bandHits = affected(bandT)
-      require(!sigHits.contains(maxBatch.longValue) &&
-          !bandHits.contains(maxBatch.longValue),
+      require(maxBatch == null ||
+          (!sigHits.contains(maxBatch.longValue) &&
+            !bandHits.contains(maxBatch.longValue)),
         s"retract: ids live in the newest batch ($maxBatch) which may " +
           "still replay under foreachBatch's at-least-once contract and " +
           "would resurrect them - compact first or retract after the " +

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.CorpusIngest
+
+/** The admin CLI over the index lifecycle: flag parsing (loud on every
+  * malformed shape) and an end-to-end drive of each verb against a
+  * scratch manifest through [[IndexCli.run]].
+  */
+class IndexCliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parse: every verb and every malformed shape") {
+    import IndexCli._
+    assert(parse(Array("manifest", "stats", "/x")) == Right(Stats(false, "/x")))
+    assert(parse(Array("fuzzy", "compact", "/x", "--up-to", "3")) ==
+      Right(Compact(true, "/x", 3L)))
+    assert(parse(Array("manifest", "retract", "/x", "--ids", "1,2,3")) ==
+      Right(Retract(false, "/x", Seq(1L, 2L, 3L), None)))
+    assert(parse(Array("manifest", "retract", "/x", "--ids-parquet", "/p")) ==
+      Right(Retract(false, "/x", Nil, Some("/p"))))
+    assert(parse(Array("fuzzy", "expire", "/x", "--older-than", "7")) ==
+      Right(Expire(true, "/x", 7L)))
+    assert(parse(Array("manifest", "merge", "/a", "/b", "/d")) ==
+      Right(Merge(false, "/a", "/b", "/d")))
+    // malformed
+    assert(parse(Array("nope", "stats", "/x")).isLeft)
+    assert(parse(Array("manifest", "stats")).isLeft)
+    assert(parse(Array("manifest", "compact", "/x", "--up-to", "x")).isLeft)
+    assert(parse(Array("manifest", "retract", "/x", "--ids", "1,a")).isLeft)
+    assert(parse(Array("manifest", "retract", "/x", "--ids", "")).isLeft)
+    assert(parse(Array("manifest", "expire", "/x")).isLeft)
+    assert(parse(Array("manifest", "merge", "/a", "/b")).isLeft)
+  }
+
+  test("end-to-end: stats, retract, expire, compact, merge against a scratch manifest") {
+    val base = graft.util.Scratch.fresh("index_cli")
+    val mkDocs = (off: Long, pad: String) =>
+      Seq((1L + off, s"some document text one $pad", "en"),
+        (2L + off, s"another document body two $pad", "de"))
+        .toDF("doc_id", "text", "lang")
+    CorpusIngest.ingestBatch(mkDocs(0L, "b0"), 0L, s"$base/m")
+    CorpusIngest.ingestBatch(mkDocs(10L, "b1"), 1L, s"$base/m")
+    CorpusIngest.ingestBatch(mkDocs(20L, "b2"), 2L, s"$base/m")
+
+    val stats = IndexCli.run(spark, IndexCli.Stats(false, s"$base/m"))
+    assert(stats.contains("rows=6"), stats)
+
+    val ret = IndexCli.run(spark,
+      IndexCli.Retract(false, s"$base/m", Seq(1L), None))
+    assert(ret.contains("rows=1"), ret)
+
+    val exp = IndexCli.run(spark, IndexCli.Expire(false, s"$base/m", 0L))
+    assert(exp.contains("rows=1"), exp) // doc 2 (doc 1 already retracted)
+
+    IndexCli.run(spark, IndexCli.Compact(false, s"$base/m", 1L))
+
+    CorpusIngest.ingestBatch(mkDocs(30L, "b0"), 0L, s"$base/m2")
+    val mg = IndexCli.run(spark,
+      IndexCli.Merge(false, s"$base/m", s"$base/m2", s"$base/dst"))
+    assert(mg.contains("rows=6"), mg) // 4 surviving + 2 from m2
+
+    // ids-parquet path
+    Seq(11L).toDF("doc_id").write.parquet(s"$base/ids")
+    val ret2 = IndexCli.run(spark,
+      IndexCli.Retract(false, s"$base/dst", Nil, Some(s"$base/ids")))
+    assert(ret2.contains("rows=1"), ret2)
+  }
+}
