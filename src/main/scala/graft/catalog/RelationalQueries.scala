@@ -103,6 +103,26 @@ object RelationalQueries {
     // ORC round-trip: the third columnar format (fully typed like parquet,
     // no schema-on-read needed). Same write→read→aggregate shape as
     // sink_roundtrip so the oracle is the plain aggregate over the source.
+    // XML round-trip over Spark 4's NATIVE xml datasource (the format
+    // config/feed-style corpora still arrive in): write rowTag-framed
+    // records, read them back with an explicit schema (XML infers
+    // strings otherwise), aggregate — schema + escaping + framing all
+    // on the line. Same aggregate contract as the csv twin.
+    "sink_roundtrip_xml" -> ((s, d) => {
+      val tmp = graft.util.Scratch.fresh("sink_roundtrip_xml")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .option("rootTag", "orders").option("rowTag", "order")
+        .format("xml").save(tmp)
+      s.read.option("rowTag", "order")
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING")
+        .format("xml").load(tmp)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     "sink_roundtrip_orc" -> ((s, d) => {
       val tmp = graft.util.Scratch.fresh("sink_roundtrip_orc")
       Tables.lineitem(s, d)
@@ -1155,6 +1175,13 @@ object RelationalQueries {
          GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "sink_roundtrip_csv" ->
+      """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
+
+    // the roundtrip is the query's subject; the oracle checks the
+    // aggregate against the source rows (csv-twin contract)
+    "sink_roundtrip_xml" ->
       """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
          FROM orders GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
