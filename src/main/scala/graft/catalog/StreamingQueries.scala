@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
 import graft.operators.Dedup
 import graft.pipeline.{KafkaPipeline, PipelineConfig}
-import graft.streaming.{CorpusIngest, EventTime, FuzzyIngest}
+import graft.streaming.{CorpusIngest, EmbedIngest, EventTime, FuzzyIngest}
 
 /** SURVEY §2.B streaming block. The windowed aggregations run here in
   * batch form over the same builders the streaming tests drive through
@@ -267,6 +267,87 @@ object StreamingQueries {
         .orderBy(col("lang"))
     }),
 
+    // Incremental SEMANTIC dedup against a persistent sign-LSH embedding
+    // index (EmbedIngest, late r12) — the third member of the ingest
+    // family: a paraphrase/re-encode whose TEXT is new but whose
+    // embedding sits within 0.99 cosine of history is suppressed. Seed =
+    // vec_id%5==0; delivery 0 = positive RESCALES of the seed (x1.01,
+    // fresh ids — cosine exactly 1, sign fingerprint identical by
+    // construction) + genuinely new vectors; delivery 1 = rescales
+    // (x0.5) of delivery-0's new class + more new vectors.
+    //
+    // Verdict pattern (the fuzzy_incremental shape): the hashed surface
+    // is the EXACT REPLAY — within-batch exact dedup (identical
+    // embedding -> min vec_id, the ingestBatch rule; degenerate rows
+    // dropped), then a vector survives iff NO history vector reaches
+    // cosine >= 0.99 (common-prefix dot, the DotProduct convention) —
+    // deterministic SQL (the DuckDB twin reconstructs the deliveries
+    // with list_transform and replays them brute-force at oracle scale;
+    // organic cosines top out at 0.51 on this corpus, so only the
+    // planted rescales qualify and the index agrees with the replay
+    // exactly). The persistent index still runs in full;
+    // `embed_agree_ok` pins the symdiff at <= max(2, 2%). The replay's
+    // batchxhistory cosine scan is a broadcast-history NLJ — exact-twin
+    // scaffolding at oracle/bench scale (PlanSweep-allowlisted); the
+    // INDEX is the scale path.
+    "llm_dedup_embed_incremental" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("embed_incr")
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      def rescale(src: org.apache.spark.sql.DataFrame, off: Long, f: Double) =
+        src.select((col("vec_id") + off).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * f).cast("float")).as("embedding"),
+          col("label"))
+      val seed = vecs.filter(col("vec_id") % 5 === 0)
+      val b0 = rescale(seed, 1000000L, 1.01)
+        .unionByName(vecs.filter(col("vec_id") % 5 === 1))
+      val b1 = rescale(vecs.filter(col("vec_id") % 5 === 1), 2000000L, 0.5)
+        .unionByName(vecs.filter(col("vec_id") % 5 === 2))
+      EmbedIngest.ingestBatch(seed, -1L, s"$base/index")
+      EmbedIngest.ingestBatch(b0, 0L, s"$base/index")
+      EmbedIngest.ingestBatch(b1, 1L, s"$base/index")
+      // ---- exact replay (the hashed ground truth) ----
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      def uniq(df: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("fp"), col("embedding"))
+          .orderBy(col("vec_id"))
+        EmbedIngest.fingerprints(df)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+      val seedU = uniq(seed).persist(mad)
+      val b0u = uniq(b0).persist(mad)
+      val b1u = uniq(b1).persist(mad)
+      import graft.functions.VectorFns.dot
+      def survivors(batch: org.apache.spark.sql.DataFrame,
+          hist: org.apache.spark.sql.DataFrame) = {
+        val h = broadcast(hist.select(col("embedding").as("h_emb"),
+          col("nrm").as("h_nrm")))
+        batch.join(h,
+          dot(col("embedding"), col("h_emb")) /
+            (col("nrm") * col("h_nrm")) >= 0.99, "left_anti")
+      }
+      val kept0 = survivors(b0u, seedU).persist(mad)
+      val kept1 = survivors(b1u, seedU.unionByName(kept0))
+      val replayKept = kept0.unionByName(kept1).persist(mad)
+      // ---- verdict: index survivors vs replay survivors ----
+      val idxKept = EmbedIngest.index(s, s"$base/index")
+        .filter(col("batch") >= 0).select(col("vec_id"))
+      val replayIds = replayKept.select(col("vec_id"))
+      val symDiff =
+        idxKept.join(replayIds, Seq("vec_id"), "left_anti").count() +
+          replayIds.join(idxKept, Seq("vec_id"), "left_anti").count()
+      val nUniq = b0u.count() + b1u.count()
+      val agreeOk =
+        if (symDiff <= math.max(2L, math.ceil(0.02 * nUniq).toLong)) 1L else 0L
+      replayKept
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_new"), min(col("vec_id")).as("min_new"))
+        .withColumn("embed_agree_ok", lit(agreeOk))
+        .orderBy(col("label"))
+    }),
+
     // R1→R4 end-to-end (SURVEY §2.A): stream the events table through the
     // reference's projection + size-batched parquet sink, then return what
     // landed on disk.
@@ -436,6 +517,71 @@ object StreamingQueries {
                 CAST(1 AS BIGINT) AS fuzzy_agree_ok
          FROM (SELECT * FROM kept0 UNION ALL SELECT * FROM kept1)
          GROUP BY lang ORDER BY lang NULLS FIRST""",
+
+    // exact replay of the semantic-ingest protocol: reconstruct the
+    // three deliveries (seed, rescales+new, rescales+new), within-batch
+    // exact dedup on the embedding list, then a vector survives iff no
+    // history vector reaches cosine >= 0.99. Dot products run over the
+    // COMMON PREFIX of the two lists (the DotProduct convention — a
+    // short fixture vector must behave identically in both engines);
+    // degenerate (null/zero-norm) rows are excluded like the ingest
+    // drops them. Verdict literal TRUE; the Spark side compares the
+    // persistent index's survivors against this replay there.
+    "llm_dedup_embed_incremental" ->
+      """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         seed AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         b0 AS (SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x::DOUBLE * 1.01 AS FLOAT)) AS embedding,
+                       label
+                FROM seed
+                UNION ALL
+                SELECT vec_id, embedding, label FROM e WHERE vec_id % 5 = 1),
+         b1 AS (SELECT vec_id + 2000000 AS vec_id,
+                       list_transform(embedding,
+                         x -> CAST(x::DOUBLE * 0.5 AS FLOAT)) AS embedding,
+                       label
+                FROM e WHERE vec_id % 5 = 1
+                UNION ALL
+                SELECT vec_id, embedding, label FROM e WHERE vec_id % 5 = 2),
+         b0u AS (SELECT vec_id, embedding, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY embedding
+                 ORDER BY vec_id) AS rn FROM b0) WHERE rn = 1),
+         b1u AS (SELECT vec_id, embedding, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY embedding
+                 ORDER BY vec_id) AS rn FROM b1) WHERE rn = 1),
+         ns AS (SELECT vec_id, embedding, label,
+                  sqrt(list_sum(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM seed WHERE embedding IS NOT NULL),
+         n0 AS (SELECT vec_id, embedding, label,
+                  sqrt(list_sum(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM b0u WHERE embedding IS NOT NULL),
+         n1 AS (SELECT vec_id, embedding, label,
+                  sqrt(list_sum(list_transform(embedding,
+                    x -> x::DOUBLE * x::DOUBLE))) AS nrm
+                FROM b1u WHERE embedding IS NOT NULL),
+         kept0 AS (SELECT u.* FROM n0 u
+           WHERE u.nrm > 0 AND NOT EXISTS (
+             SELECT 1 FROM ns h WHERE h.nrm > 0 AND
+               list_sum(list_transform(
+                 range(1, least(len(u.embedding), len(h.embedding)) + 1),
+                 i -> u.embedding[i]::DOUBLE * h.embedding[i]::DOUBLE))
+               / (u.nrm * h.nrm) >= 0.99)),
+         h1 AS (SELECT * FROM ns UNION ALL SELECT * FROM kept0),
+         kept1 AS (SELECT u.* FROM n1 u
+           WHERE u.nrm > 0 AND NOT EXISTS (
+             SELECT 1 FROM h1 h WHERE h.nrm > 0 AND
+               list_sum(list_transform(
+                 range(1, least(len(u.embedding), len(h.embedding)) + 1),
+                 i -> u.embedding[i]::DOUBLE * h.embedding[i]::DOUBLE))
+               / (u.nrm * h.nrm) >= 0.99))
+         SELECT label, CAST(count(*) AS BIGINT) AS n_new,
+                min(vec_id) AS min_new,
+                CAST(1 AS BIGINT) AS embed_agree_ok
+         FROM (SELECT * FROM kept0 UNION ALL SELECT * FROM kept1)
+         GROUP BY label ORDER BY label NULLS FIRST""",
 
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental semantic-dedup index semantics: cross-batch cosine
+  * near-dup suppression (the paraphrase/re-encode case neither the
+  * exact digest nor the text-shingle index can see), exact-cosine
+  * verification of band candidates (a band hit below the threshold
+  * survives), positive-rescale fingerprint invariance, degenerate-row
+  * drops, idempotent replay, and the streaming leg.
+  */
+class EmbedIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unit(i: Int): Array[Float] = {
+    val v = Array.fill(8)(0.0f); v(i) = 1.0f; v
+  }
+  private def mix(base: Int, other: Int, w: Float): Array[Float] = {
+    val v = Array.fill(8)(0.0f); v(base) = 1.0f; v(other) = w; v
+  }
+  private def vecs(rows: (Long, Array[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("rescaled vector has an identical fingerprint; orthogonal one differs in cosine") {
+    val fp = EmbedIngest.fingerprints(vecs(
+      (1L, unit(0), 0),
+      (2L, unit(0).map(_ * 2.5f), 0),
+      (3L, unit(1), 1)))
+      .select(col("vec_id"), col("fp")).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L), "positive rescale must not flip any sign bit")
+  }
+
+  test("cosine near-dups of earlier batches are suppressed; sub-threshold band hits survive") {
+    val dir = graft.util.Scratch.fresh("embed_ingest")
+    EmbedIngest.ingestBatch(vecs(
+      (1L, unit(0), 0), (2L, unit(1), 1)), 0L, dir)
+    // batch 1: a rescale of vec 1 (cos 1.0 -> suppressed), a tiny
+    // perturbation (cos ~0.9989 >= 0.99 -> suppressed), a LARGER
+    // perturbation that still lands in the same band (cos ~0.944 < 0.99
+    // -> the verify step must keep it), and an orthogonal new vector
+    EmbedIngest.ingestBatch(vecs(
+      (10L, unit(0).map(_ * 1.01f), 0),
+      (11L, mix(0, 2, 0.047f), 0),
+      (12L, mix(0, 3, 0.35f), 0),
+      (13L, unit(4), 4)), 1L, dir)
+    val idx = EmbedIngest.index(spark, dir)
+      .select(col("batch").cast("long"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(idx == Set((0L, 1L), (0L, 2L), (1L, 12L), (1L, 13L)),
+      s"embed index mismatch: $idx")
+  }
+
+  test("within-batch exact dup collapses; null/empty/zero-norm rows drop") {
+    val dir = graft.util.Scratch.fresh("embed_degenerate")
+    EmbedIngest.ingestBatch(vecs(
+      (5L, unit(2), 0),
+      (4L, unit(2), 0),                               // exact dup, smaller id wins
+      (6L, null.asInstanceOf[Array[Float]], 0),       // null -> dropped
+      (7L, Array.empty[Float], 0),                    // empty -> dropped
+      (8L, Array.fill(8)(0.0f), 0)), 0L, dir)         // zero norm -> dropped
+    val idx = EmbedIngest.index(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(idx == Set(4L), s"degenerate handling mismatch: $idx")
+  }
+
+  test("replaying a batch is idempotent and not self-suppressing") {
+    val dir = graft.util.Scratch.fresh("embed_replay")
+    EmbedIngest.ingestBatch(vecs((1L, unit(0), 0)), 0L, dir)
+    EmbedIngest.ingestBatch(vecs((2L, unit(1), 1)), 1L, dir)
+    // replay batch 1 verbatim: same rows, no duplicates, no
+    // self-suppression through its own previous output
+    EmbedIngest.ingestBatch(vecs((2L, unit(1), 1)), 1L, dir)
+    val idx = EmbedIngest.index(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSeq.sorted
+    assert(idx == Seq(1L, 2L), s"replay mismatch: $idx")
+  }
+
+  test("streaming leg: embedIngest drains a file stream through the index") {
+    val dir = graft.util.Scratch.fresh("embed_stream")
+    EmbedIngest.ingestBatch(vecs((1L, unit(0), 0)), -1L, s"$dir/index")
+    val delivery = vecs((10L, unit(0).map(_ * 3f), 0), (11L, unit(5), 5))
+    delivery.coalesce(1).write.parquet(s"$dir/in")
+    val q = EmbedIngest.embedIngest(
+      spark.readStream.schema(delivery.schema).parquet(s"$dir/in"),
+      s"$dir/index", s"$dir/chk")
+    q.awaitTermination()
+    val idx = EmbedIngest.index(spark, s"$dir/index")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(idx == Set(1L, 11L), s"streaming embed ingest mismatch: $idx")
+  }
+}
