@@ -147,7 +147,104 @@ object EmbedIngest {
          |USING PARQUET PARTITIONED BY (batch)
          |CLUSTERED BY (band, bh) SORTED BY (band, bh) INTO $IndexBuckets BUCKETS
          |LOCATION '${bandPath(indexDir)}'""".stripMargin)
+    if (vecOk && bandOk) rollForward(s, indexDir) // heal a crashed compact
     vecOk && bandOk
+  }
+
+  /** Complete a crashed [[compact]] — the family's one-entry redo-log
+    * protocol (no-op without a pending intent marker; lease semantics as
+    * in the twins: steal a crashed writer's expired lease, release when
+    * this call took it).
+    */
+  private def rollForward(s: SparkSession, indexDir: String): Unit =
+    IngestPaths.readMarker(s, indexDir).foreach { upToBatch =>
+      val ownedBefore = IngestPaths.readLease(s, indexDir)
+        .exists(_._1 == IngestPaths.leaseOwner)
+      IngestPaths.acquireLease(s, indexDir)
+      try {
+        if (s.catalog.tableExists(vecTable(s, indexDir)) &&
+            s.catalog.tableExists(bandTable(s, indexDir))) {
+          s.catalog.refreshTable(vecTable(s, indexDir))
+          s.catalog.refreshTable(bandTable(s, indexDir))
+          runCompaction(s, indexDir, upToBatch)
+        }
+        IngestPaths.clearMarker(s, indexDir)
+      } finally if (!ownedBefore) IngestPaths.releaseLease(s, indexDir)
+    }
+
+  /** Consolidate every index partition with `batch <= upToBatch` into
+    * the reserved [[CorpusIngest.CompactedBatch]] partition of BOTH
+    * tables — the family compaction (partition/file count stops growing
+    * O(lifetime), bucket specs survive). Same replay rule (`upToBatch`
+    * strictly below the newest batch) and crash-atomicity protocol
+    * (durable intent marker, rolled forward by the next
+    * [[ingestBatch]]/[[index]]/[[compact]] call, cleared last).
+    */
+  def compact(s: SparkSession, indexDir: String, upToBatch: Long): Unit = {
+    require(reconcile(s, indexDir), s"no embed index at $indexDir")
+    IngestPaths.acquireLease(s, indexDir)
+    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
+    val maxBatch = s.table(vecT).agg(max(col("batch"))).head().getAs[Number](0)
+    require(maxBatch != null && upToBatch < maxBatch.longValue,
+      s"compact(upToBatch=$upToBatch): the newest batch ($maxBatch) may " +
+        "still replay under foreachBatch's at-least-once contract")
+    IngestPaths.writeMarker(s, indexDir, upToBatch)
+    runCompaction(s, indexDir, upToBatch)
+    IngestPaths.clearMarker(s, indexDir)
+  }
+
+  /** The compaction body — idempotent from any crash point (same
+    * consolidate→drop shape as the twins; vecs first, bands second,
+    * matching the ingest write order).
+    */
+  private def runCompaction(s: SparkSession, indexDir: String,
+      upToBatch: Long): Unit = {
+    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    val sentinel = CorpusIngest.CompactedBatch
+    val fresh = Seq(vecT, bandT).exists { t =>
+      !s.table(t).filter(col("batch") <= upToBatch &&
+        col("batch") =!= sentinel).isEmpty
+    }
+    if (!fresh) return
+    def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
+        insertCols: String): Unit = {
+      val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
+      if (toMerge.isEmpty) return
+      val staged = dedup(toMerge).localCheckpoint(true)
+      try {
+        val view = stageView(s, indexDir)
+        staged.createOrReplaceTempView(view)
+        try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
+                     |SELECT $insertCols FROM `$view`""".stripMargin)
+        finally s.catalog.dropTempView(view)
+        // re-assert the writer lease before the destructive drop phase
+        IngestPaths.acquireLease(s, indexDir)
+        val (fs, p) = fsOf(s, path)
+        fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("batch=")) {
+            val v = n.stripPrefix("batch=").toLong
+            if (v <= upToBatch && v != sentinel) {
+              fs.delete(st.getPath, true)
+              s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
+            }
+          }
+        }
+        s.catalog.refreshTable(tbl)
+      } finally staged.unpersist()
+    }
+    val wd = Window.partitionBy(col("vec_id"))
+      .orderBy(col("first_batch"), col("batch"))
+    consolidate(vecT, vecPath(indexDir),
+      df => df.withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+          col("fp"), col("first_batch")),
+      "vec_id, label, embedding, nrm, fp, first_batch")
+    consolidate(bandT, bandPath(indexDir),
+      df => df.select(col("band"), col("bh"), col("vec_id")).distinct(),
+      "band, bh, vec_id")
   }
 
   /** One ingest merge — batch columns `(vec_id, embedding, label)`.
@@ -249,6 +346,186 @@ object EmbedIngest {
         ingestBatch(batch, id, indexDir, simThreshold)
       }
       .start()
+
+  private val VecCols = Seq("vec_id", "label", "embedding", "nrm", "fp",
+    "first_batch")
+  private val VecColsSql = VecCols.mkString(", ")
+
+  /** RETRACT (takedown) vectors by id — the family verb ported
+    * ([[FuzzyIngest.retract]] shape): bands dropped before sigs/vecs,
+    * staged static-partition overwrites under the lease, newest REAL
+    * batch refused (the consolidated partition never replays),
+    * partial-crash re-run contract. Returns vec rows removed.
+    */
+  def retract(s: SparkSession, indexDir: String, vecIds: DataFrame): Long = {
+    require(reconcile(s, indexDir), s"no embed index at $indexDir")
+    IngestPaths.acquireLease(s, indexDir)
+    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
+    val ids = vecIds.select(col(vecIds.columns.head).cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    try {
+      val sentinel = CorpusIngest.CompactedBatch
+      val maxBatch = s.table(vecT).filter(col("batch") =!= sentinel)
+        .agg(max(col("batch"))).head().getAs[Number](0)
+      def affected(tbl: String): Map[Long, Long] =
+        s.table(tbl).join(ids, Seq("vec_id"), "left_semi")
+          .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      val vecHits = affected(vecT); val bandHits = affected(bandT)
+      require(maxBatch == null ||
+          (!vecHits.contains(maxBatch.longValue) &&
+            !bandHits.contains(maxBatch.longValue)),
+        s"retract: ids live in the newest batch ($maxBatch) which may " +
+          "still replay under foreachBatch's at-least-once contract and " +
+          "would resurrect them - compact first or retract after the " +
+          "next batch")
+      def rewrite(tbl: String, hits: Map[Long, Long], cols: Seq[String],
+          insertCols: String): Unit =
+        hits.keys.foreach { v =>
+          val staged = s.table(tbl).filter(col("batch") === v)
+            .join(ids, Seq("vec_id"), "left_anti")
+            .select(cols.map(col): _*)
+            .localCheckpoint(true)
+          val view = stageView(s, indexDir)
+          staged.createOrReplaceTempView(view)
+          try s.sql(
+            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v)
+               |SELECT $insertCols FROM `$view`""".stripMargin)
+          finally {
+            s.catalog.dropTempView(view)
+            staged.unpersist()
+          }
+        }
+      rewrite(bandT, bandHits, Seq("band", "bh", "vec_id"),
+        "band, bh, vec_id")
+      rewrite(vecT, vecHits, VecCols, VecColsSql)
+      s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
+      vecHits.values.sum
+    } finally ids.unpersist()
+  }
+
+  /** EXPIRE (retention) — the family verb ported: whole-partition drops
+    * for per-batch partitions, consolidated vecs filtered on
+    * `first_batch`, consolidated bands anti-joined against the expired
+    * ids, bands before vecs. Returns vec rows removed.
+    */
+  def expire(s: SparkSession, indexDir: String, olderThanBatch: Long): Long = {
+    require(reconcile(s, indexDir), s"no embed index at $indexDir")
+    IngestPaths.acquireLease(s, indexDir)
+    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
+    val sentinel = CorpusIngest.CompactedBatch
+    val maxBatch = s.table(vecT).filter(col("batch") =!= sentinel)
+      .agg(max(col("batch"))).head().getAs[Number](0)
+    require(maxBatch == null || olderThanBatch < maxBatch.longValue,
+      s"expire(olderThanBatch=$olderThanBatch): the newest batch " +
+        s"($maxBatch) may still replay under foreachBatch's at-least-once " +
+        "contract and must stay")
+    var removed = 0L
+    def dropOld(tbl: String, path: String, countRows: Boolean): Unit = {
+      val (fs, p) = fsOf(s, path)
+      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) {
+          val v = n.stripPrefix("batch=").toLong
+          if (v != sentinel && v <= olderThanBatch) {
+            if (countRows)
+              removed += s.table(tbl).filter(col("batch") === v).count()
+            fs.delete(st.getPath, true)
+            s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
+          }
+        }
+      }
+      s.catalog.refreshTable(tbl)
+    }
+    dropOld(bandT, bandPath(indexDir), countRows = false)
+    dropOld(vecT, vecPath(indexDir), countRows = true)
+    val vecC = s.table(vecT).filter(col("batch") === sentinel)
+    val expired = vecC.filter(col("first_batch") <= olderThanBatch)
+      .select(col("vec_id")).localCheckpoint(true)
+    try {
+      val nExpired = expired.count()
+      if (nExpired > 0) {
+        def rewrite(tbl: String, df: DataFrame, insertCols: String): Unit = {
+          val staged = df.localCheckpoint(true)
+          val view = stageView(s, indexDir)
+          staged.createOrReplaceTempView(view)
+          try s.sql(
+            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
+               |SELECT $insertCols FROM `$view`""".stripMargin)
+          finally {
+            s.catalog.dropTempView(view)
+            staged.unpersist()
+          }
+          s.catalog.refreshTable(tbl)
+        }
+        rewrite(bandT,
+          s.table(bandT).filter(col("batch") === sentinel)
+            .join(expired, Seq("vec_id"), "left_anti")
+            .select(col("band"), col("bh"), col("vec_id")),
+          "band, bh, vec_id")
+        rewrite(vecT,
+          vecC.filter(col("first_batch") > olderThanBatch)
+            .select(VecCols.map(col): _*),
+          VecColsSql)
+        removed += nExpired
+      }
+    } finally expired.unpersist()
+    removed
+  }
+
+  /** MERGE two independently built embed indexes into a FRESH third —
+    * the family verb ported, with the cross-index step: `b` vectors
+    * within `simThreshold` cosine of SOME `a` vector are suppressed
+    * (candidates from a (band,bh) join of the band tables — O(|b| +
+    * collisions)), `a` senior. doc-id spaces must be disjoint;
+    * destination must not exist. Returns merged vec count.
+    */
+  def merge(s: SparkSession, aDir: String, bDir: String, dstDir: String,
+      simThreshold: Double = 0.99): Long = {
+    require(reconcile(s, aDir), s"no embed index at $aDir")
+    require(reconcile(s, bDir), s"no embed index at $bDir")
+    val (fs, dstPath) = fsOf(s, dstDir)
+    require(!fs.exists(dstPath), s"merge destination already exists: $dstDir")
+    val aVec = s.table(vecTable(s, aDir))
+    val bVec = s.table(vecTable(s, bDir))
+    require(aVec.select(col("vec_id"))
+        .join(bVec.select(col("vec_id")), "vec_id").isEmpty,
+      "vec_id spaces of the two indexes overlap - remap ids before merging")
+    val aBands = s.table(bandTable(s, aDir)).select(col("band"), col("bh"), col("vec_id"))
+    val bBands = s.table(bandTable(s, bDir)).select(col("band"), col("bh"), col("vec_id"))
+    val cand = bBands.alias("n").join(aBands.alias("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+      .select(col("n.vec_id").as("new_id"), col("o.vec_id").as("old_id"))
+      .distinct()
+    val dup = cand
+      .join(aVec.select(col("vec_id").as("old_id"),
+        col("embedding").as("old_emb"), col("nrm").as("old_nrm")), "old_id")
+      .join(bVec.select(col("vec_id").as("new_id"),
+        col("embedding").as("new_emb"), col("nrm").as("new_nrm")), "new_id")
+      .filter(dot(col("new_emb"), col("old_emb")) /
+        (col("new_nrm") * col("old_nrm")) >= simThreshold)
+      .select(col("new_id").as("vec_id")).distinct()
+    val vecsOut = aVec.select(VecCols.map(col): _*)
+      .unionByName(bVec.join(dup, Seq("vec_id"), "left_anti")
+        .select(VecCols.map(col): _*))
+    val bandsOut = aBands
+      .unionByName(bBands.join(dup, Seq("vec_id"), "left_anti"))
+      .distinct()
+    val sentinel = CorpusIngest.CompactedBatch
+    vecsOut.withColumn("batch", lit(sentinel)).write
+      .partitionBy("batch")
+      .bucketBy(IndexBuckets, "vec_id").sortBy("vec_id")
+      .option("path", vecPath(dstDir))
+      .saveAsTable(vecTable(s, dstDir))
+    bandsOut.withColumn("batch", lit(sentinel)).write
+      .partitionBy("batch")
+      .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
+      .option("path", bandPath(dstDir))
+      .saveAsTable(bandTable(s, dstDir))
+    s.table(vecTable(s, dstDir)).count()
+  }
 
   /** Every surviving vector with the batch that first saw it. */
   def index(s: SparkSession, indexDir: String): DataFrame =

@@ -14,17 +14,18 @@ class IndexCliSpec extends SparkSpec {
 
   test("parse: every verb and every malformed shape") {
     import IndexCli._
-    assert(parse(Array("manifest", "stats", "/x")) == Right(Stats(false, "/x")))
+    assert(parse(Array("manifest", "stats", "/x")) == Right(Stats("manifest", "/x")))
     assert(parse(Array("fuzzy", "compact", "/x", "--up-to", "3")) ==
-      Right(Compact(true, "/x", 3L)))
+      Right(Compact("fuzzy", "/x", 3L)))
     assert(parse(Array("manifest", "retract", "/x", "--ids", "1,2,3")) ==
-      Right(Retract(false, "/x", Seq(1L, 2L, 3L), None)))
+      Right(Retract("manifest", "/x", Seq(1L, 2L, 3L), None)))
     assert(parse(Array("manifest", "retract", "/x", "--ids-parquet", "/p")) ==
-      Right(Retract(false, "/x", Nil, Some("/p"))))
+      Right(Retract("manifest", "/x", Nil, Some("/p"))))
+    assert(parse(Array("embed", "stats", "/y")) == Right(Stats("embed", "/y")))
     assert(parse(Array("fuzzy", "expire", "/x", "--older-than", "7")) ==
-      Right(Expire(true, "/x", 7L)))
+      Right(Expire("fuzzy", "/x", 7L)))
     assert(parse(Array("manifest", "merge", "/a", "/b", "/d")) ==
-      Right(Merge(false, "/a", "/b", "/d")))
+      Right(Merge("manifest", "/a", "/b", "/d")))
     // malformed
     assert(parse(Array("nope", "stats", "/x")).isLeft)
     assert(parse(Array("manifest", "stats")).isLeft)
@@ -45,27 +46,45 @@ class IndexCliSpec extends SparkSpec {
     CorpusIngest.ingestBatch(mkDocs(10L, "b1"), 1L, s"$base/m")
     CorpusIngest.ingestBatch(mkDocs(20L, "b2"), 2L, s"$base/m")
 
-    val stats = IndexCli.run(spark, IndexCli.Stats(false, s"$base/m"))
+    val stats = IndexCli.run(spark, IndexCli.Stats("manifest", s"$base/m"))
     assert(stats.contains("rows=6"), stats)
 
     val ret = IndexCli.run(spark,
-      IndexCli.Retract(false, s"$base/m", Seq(1L), None))
+      IndexCli.Retract("manifest", s"$base/m", Seq(1L), None))
     assert(ret.contains("rows=1"), ret)
 
-    val exp = IndexCli.run(spark, IndexCli.Expire(false, s"$base/m", 0L))
+    val exp = IndexCli.run(spark, IndexCli.Expire("manifest", s"$base/m", 0L))
     assert(exp.contains("rows=1"), exp) // doc 2 (doc 1 already retracted)
 
-    IndexCli.run(spark, IndexCli.Compact(false, s"$base/m", 1L))
+    IndexCli.run(spark, IndexCli.Compact("manifest", s"$base/m", 1L))
 
     CorpusIngest.ingestBatch(mkDocs(30L, "b0"), 0L, s"$base/m2")
     val mg = IndexCli.run(spark,
-      IndexCli.Merge(false, s"$base/m", s"$base/m2", s"$base/dst"))
+      IndexCli.Merge("manifest", s"$base/m", s"$base/m2", s"$base/dst"))
     assert(mg.contains("rows=6"), mg) // 4 surviving + 2 from m2
 
     // ids-parquet path
     Seq(11L).toDF("doc_id").write.parquet(s"$base/ids")
     val ret2 = IndexCli.run(spark,
-      IndexCli.Retract(false, s"$base/dst", Nil, Some(s"$base/ids")))
+      IndexCli.Retract("manifest", s"$base/dst", Nil, Some(s"$base/ids")))
     assert(ret2.contains("rows=1"), ret2)
+  }
+
+  test("embed kind routes to EmbedIngest") {
+    import graft.streaming.EmbedIngest
+    val base = graft.util.Scratch.fresh("index_cli_embed")
+    def unit(i: Int): Array[Float] = { val v = Array.fill(8)(0.0f); v(i) = 1.0f; v }
+    EmbedIngest.ingestBatch(
+      Seq((1L, unit(0), 0), (2L, unit(1), 1)).toDF("vec_id", "embedding", "label"),
+      0L, s"$base/e")
+    EmbedIngest.ingestBatch(
+      Seq((3L, unit(2), 2)).toDF("vec_id", "embedding", "label"), 1L, s"$base/e")
+    val stats = IndexCli.run(spark, IndexCli.Stats("embed", s"$base/e"))
+    assert(stats.contains("vecs=3"), stats)
+    val ret = IndexCli.run(spark,
+      IndexCli.Retract("embed", s"$base/e", Seq(1L), None))
+    assert(ret.contains("vecs=1"), ret)
+    val exp = IndexCli.run(spark, IndexCli.Expire("embed", s"$base/e", 0L))
+    assert(exp.contains("vecs=1"), exp)
   }
 }
