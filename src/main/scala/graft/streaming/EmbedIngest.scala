@@ -40,12 +40,14 @@ import graft.functions.VectorFns.{dot, norm => vnorm}
   * overwrite of `batch=<id>` plus self-exclusion in the probe, the
   * family contract. Writer lease as in the twins.
   *
-  * v1 scope (deliberate): no bloom sidecar and no compact/retract/
-  * expire/merge yet — the patterns are proven on both twins and port
-  * directly; recorded in ADVICE so the gap is visible, not silent.
-  * Zero-norm or null/empty embeddings are dropped at ingest (a NaN
-  * cosine can neither suppress nor be suppressed — dropping beats
-  * carrying rows no probe can ever match).
+  * Full family parity (same session as v1): the per-bucket band BLOOM
+  * sidecar (FP-only, bloom-ahead, per-bucket saturation — shared
+  * [[BloomSidecar]] machinery; an all-miss batch never opens the bands
+  * table) and the lifecycle verbs [[compact]] (intent marker +
+  * roll-forward), [[retract]], [[expire]], [[merge]] with the twins'
+  * crash contracts. Zero-norm or null/empty embeddings are dropped at
+  * ingest (a NaN cosine can neither suppress nor be suppressed —
+  * dropping beats carrying rows no probe can ever match).
   */
 object EmbedIngest {
 
@@ -69,6 +71,42 @@ object EmbedIngest {
 
   private def stageView(s: SparkSession, indexDir: String): String =
     "graft_embed_stage_" + IngestPaths.digest(s, indexDir)
+
+  // ---------------------------------------------------------------------
+  // Per-bucket bloom pre-filter over the band index — the FuzzyIngest
+  // design ported verbatim (shared machinery: BloomSidecar; same FP-only
+  // / bloom-ahead / replay / per-bucket-saturation contracts): bands the
+  // sketch rules out are DEFINITELY candidate-free, and an all-miss
+  // batch never opens the bands table.
+  // ---------------------------------------------------------------------
+
+  private def bloomDir(indexDir: String) = s"$indexDir/bands_bloom"
+  private def bandBucket: org.apache.spark.sql.Column =
+    pmod(hash(col("band"), col("bh")), lit(IndexBuckets)).cast("int")
+  private def bandKey: org.apache.spark.sql.Column =
+    xxhash64(col("band"), col("bh"))
+  private def bloomKeyed(bands: DataFrame): DataFrame =
+    bands.select(bandBucket.as("__b"), bandKey.as("__k"))
+  private def defaultCapacity(s: SparkSession): Long =
+    s.conf.getOption(CorpusIngest.CapacityConf).map(_.toLong)
+      .getOrElse(CorpusIngest.DefaultBucketCapacity)
+
+  private[graft] def loadBloomState(s: SparkSession,
+      indexDir: String): Option[BloomSidecar.State] =
+    BloomSidecar.load(s, bloomDir(indexDir), IndexBuckets)
+
+  private[graft] def probeColumn(s: SparkSession,
+      st: BloomSidecar.State): org.apache.spark.sql.Column =
+    BloomSidecar.probeColumn(s, st, IndexBuckets, bandBucket, bandKey)
+
+  private def rebuildBlooms(s: SparkSession, indexDir: String): Unit = {
+    val bandT = bandTable(s, indexDir)
+    val maxAfter = s.table(bandT).agg(max(col("batch"))).head().getAs[Number](0)
+    if (maxAfter != null)
+      BloomSidecar.rebuild(s, bloomDir(indexDir), IndexBuckets,
+        bloomKeyed(s.table(bandT)), maxAfter.longValue, defaultCapacity(s),
+        CorpusIngest.MaxBucketCapacity)
+  }
 
   /** ±1 hyperplane entry for (plane, dim) — splitmix64 parity bit. */
   @inline private def rademacher(plane: Int, dim: Int): Double = {
@@ -206,7 +244,15 @@ object EmbedIngest {
       !s.table(t).filter(col("batch") <= upToBatch &&
         col("batch") =!= sentinel).isEmpty
     }
-    if (!fresh) return
+    if (!fresh) {
+      // manual compact() is the documented recovery path for a deleted
+      // or saturated bloom sidecar (family contract)
+      val st = loadBloomState(s, indexDir)
+      if (st.isEmpty ||
+          st.exists(b => (0 until IndexBuckets).exists(b.saturated)))
+        rebuildBlooms(s, indexDir)
+      return
+    }
     def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
         insertCols: String): Unit = {
       val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
@@ -245,6 +291,9 @@ object EmbedIngest {
     consolidate(bandT, bandPath(indexDir),
       df => df.select(col("band"), col("bh"), col("vec_id")).distinct(),
       "band, bh, vec_id")
+    // rebuild the band sketches sized to bucket population (clears any
+    // per-batch-capacity saturation — the family contract)
+    rebuildBlooms(s, indexDir)
   }
 
   /** One ingest merge — batch columns `(vec_id, embedding, label)`.
@@ -267,34 +316,57 @@ object EmbedIngest {
       .drop("__rn")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val st = if (exists) loadBloomState(s, indexDir) else None
+      var bloomProbable = -1L
       val survivors =
         if (!exists) signed
         else {
           val newBands = bandsOf(signed)
-          val idx = s.table(bandTable(s, indexDir))
-            .filter(col("batch") =!= batchId)
-            .select(col("band"), col("bh"), col("vec_id").as("old_id"))
-          val cand = newBands.alias("n").join(idx.alias("o"),
-              col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
-            .select(col("n.vec_id").as("new_id"), col("old_id")).distinct()
-          val oldVecs = s.table(vecTable(s, indexDir))
-            .filter(col("batch") =!= batchId)
-            .select(col("vec_id").as("old_id"),
-              col("embedding").as("old_emb"), col("nrm").as("old_nrm"))
-          val dup = cand
-            .join(oldVecs, "old_id")
-            .join(signed.select(col("vec_id").as("new_id"),
-              col("embedding").as("new_emb"), col("nrm").as("new_nrm")), "new_id")
-            .filter(dot(col("new_emb"), col("old_emb")) /
-              (col("new_nrm") * col("old_nrm")) >= simThreshold)
-            .select(col("new_id").as("vec_id")).distinct()
-          signed.join(dup, Seq("vec_id"), "left_anti")
+          // bloom pre-filter: bands the sketch has never seen are
+          // definitely candidate-free — when NONE probe probable, the
+          // bands table's data files are never opened this batch
+          val probed = st match {
+            case Some(bs) =>
+              val probable = newBands.filter(probeColumn(s, bs))
+              bloomProbable = probable.select(col("vec_id")).distinct().count()
+              if (bloomProbable == 0) None else Some(probable)
+            case None => Some(newBands)
+          }
+          probed match {
+            case None => signed
+            case Some(bands) =>
+              val idx = s.table(bandTable(s, indexDir))
+                .filter(col("batch") =!= batchId)
+                .select(col("band"), col("bh"), col("vec_id").as("old_id"))
+              val cand = bands.alias("n").join(idx.alias("o"),
+                  col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
+                .select(col("n.vec_id").as("new_id"), col("old_id")).distinct()
+              val oldVecs = s.table(vecTable(s, indexDir))
+                .filter(col("batch") =!= batchId)
+                .select(col("vec_id").as("old_id"),
+                  col("embedding").as("old_emb"), col("nrm").as("old_nrm"))
+              val dup = cand
+                .join(oldVecs, "old_id")
+                .join(signed.select(col("vec_id").as("new_id"),
+                  col("embedding").as("new_emb"), col("nrm").as("new_nrm")), "new_id")
+                .filter(dot(col("new_emb"), col("old_emb")) /
+                  (col("new_nrm") * col("old_nrm")) >= simThreshold)
+                .select(col("new_id").as("vec_id")).distinct()
+              signed.join(dup, Seq("vec_id"), "left_anti")
+          }
         }
       val staged = survivors
         .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("fp"))
         .localCheckpoint(true)
       try {
         val appended = staged.count()
+        // bloom-ahead of both inserts (survivors' bands only): a crash
+        // between the merge and the inserts leaves FP-only sketch state
+        // — the family contract
+        if (appended > 0 || !exists)
+          BloomSidecar.merge(s, bloomDir(indexDir), IndexBuckets, batchId,
+            bloomKeyed(bandsOf(staged).select(col("band"), col("bh"))),
+            st, exists, defaultCapacity(s))
         def insertInto(tbl: String, df: DataFrame, cols: String): Unit = {
           val view = stageView(s, indexDir)
           df.createOrReplaceTempView(view)
@@ -328,7 +400,7 @@ object EmbedIngest {
             "band, bh, vec_id")
         }
         IngestEvents.post(IngestEvents.IngestProgress("embed_ingest",
-          indexDir, batchId, batch.count(), -1L, appended, -1L))
+          indexDir, batchId, batch.count(), -1L, appended, bloomProbable))
       } finally staged.unpersist()
     } finally signed.unpersist()
   }
@@ -524,6 +596,7 @@ object EmbedIngest {
       .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
       .option("path", bandPath(dstDir))
       .saveAsTable(bandTable(s, dstDir))
+    rebuildBlooms(s, dstDir)
     s.table(vecTable(s, dstDir)).count()
   }
 

@@ -77,6 +77,35 @@ class EmbedIngestSpec extends SparkSpec {
     assert(idx == Seq(1L, 2L), s"replay mismatch: $idx")
   }
 
+  test("band bloom sidecar: created on batch 0, probe stays exact either way") {
+    val dir = graft.util.Scratch.fresh("embed_bloom")
+    EmbedIngest.ingestBatch(vecs((1L, unit(0), 0)), 0L, dir)
+    assert(EmbedIngest.loadBloomState(spark, dir).isDefined,
+      "sidecar must exist after the first batch")
+    // all-miss fast path (orthogonal vector, its bands unseen) keeps the
+    // vector; a true near-dup still suppresses THROUGH the bloom route
+    EmbedIngest.ingestBatch(vecs(
+      (10L, unit(0).map(_ * 2f), 0), (11L, unit(3), 3)), 1L, dir)
+    val idx = EmbedIngest.index(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(idx == Set(1L, 11L), s"bloom-path suppression mismatch: $idx")
+    // a deleted sidecar falls back to the always-correct join, and a
+    // manual compact rebuilds it (family recovery contract)
+    val (fs, p) = (new org.apache.hadoop.fs.Path(s"$dir/bands_bloom")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$dir/bands_bloom"))
+    fs.delete(p, true)
+    EmbedIngest.ingestBatch(vecs((12L, unit(0).map(_ * 3f), 0)), 2L, dir)
+    val idx2 = EmbedIngest.index(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(idx2 == Set(1L, 11L), s"bloomless fallback mismatch: $idx2")
+    // (batch 2 was fully suppressed, so the newest ROW-bearing batch is
+    // 1 and the replay guard pins it — consolidate batch 0 only)
+    EmbedIngest.compact(spark, dir, upToBatch = 0L)
+    assert(EmbedIngest.loadBloomState(spark, dir).isDefined,
+      "compact must rebuild the deleted sidecar")
+  }
+
   test("streaming leg: embedIngest drains a file stream through the index") {
     val dir = graft.util.Scratch.fresh("embed_stream")
     EmbedIngest.ingestBatch(vecs((1L, unit(0), 0)), -1L, s"$dir/index")
