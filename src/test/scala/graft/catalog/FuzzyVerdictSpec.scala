@@ -21,7 +21,8 @@ class FuzzyVerdictSpec extends SparkSpec {
   test("the three MinHash-family queries report verdict=1 on every row (late-r12 hashed verdicts)") {
     Seq(("llm_dedup_fuzzy", "lsh_recall_ok"),
         ("llm_dedup_fuzzy_keep", "lsh_pipeline_ok"),
-        ("llm_dedup_fuzzy_incremental", "fuzzy_agree_ok")).foreach { case (q, v) =>
+        ("llm_dedup_fuzzy_incremental", "fuzzy_agree_ok"),
+        ("llm_dedup_embed_incremental", "embed_agree_ok")).foreach { case (q, v) =>
       val out = graft.SparkEntry.queries(q)(spark, sfDir)
       assert(out.filter(col(v) =!= 1L).count() == 0L,
         s"$q: verdict column $v has non-1 rows")
@@ -54,6 +55,45 @@ class FuzzyVerdictSpec extends SparkSpec {
     assert(n > 0, "vacuous: no exact pairs at sf0.001")
     assert(caught.toDouble / n < 0.9,
       s"single-band recall $caught/$n unexpectedly clears the 0.9 bound")
+    spark.catalog.clearCache()
+  }
+
+  test("embed_agree_ok is FALSIFIABLE: a never-suppressing embed index breaks the symdiff band") {
+    // same shape as the fuzzy falsification: delivery 0 of the embed
+    // scenario ingested with simThreshold = 2.0 (cosine can never reach
+    // it), so every planted rescale survives into the index while the
+    // exact replay suppresses them all — the symmetric difference must
+    // blow past the query's max(2, 2%) band.
+    import graft.streaming.EmbedIngest
+    import graft.functions.VectorFns.dot
+    val base = graft.util.Scratch.fresh("embed_falsify")
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val seed = vecs.filter(col("vec_id") % 5 === 0)
+    val b0 = seed.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * 1.01).cast("float")).as("embedding"),
+        col("label"))
+      .unionByName(vecs.filter(col("vec_id") % 5 === 1))
+    EmbedIngest.ingestBatch(seed, -1L, s"$base/index")
+    EmbedIngest.ingestBatch(b0, 0L, s"$base/index", simThreshold = 2.0)
+    val indexKept = EmbedIngest.index(spark, s"$base/index")
+      .filter(col("batch") >= 0).select(col("vec_id"))
+    val seedF = EmbedIngest.fingerprints(seed)
+    val b0F = EmbedIngest.fingerprints(b0)
+    val h = broadcast(seedF.select(col("embedding").as("h_emb"),
+      col("nrm").as("h_nrm")))
+    val replayKept = b0F.join(h,
+        dot(col("embedding"), col("h_emb")) /
+          (col("nrm") * col("h_nrm")) >= 0.99, "left_anti")
+      .select(col("vec_id"))
+    val symDiff =
+      indexKept.join(replayKept, Seq("vec_id"), "left_anti").count() +
+        replayKept.join(indexKept, Seq("vec_id"), "left_anti").count()
+    val band = math.max(2L, math.ceil(0.02 * b0F.count()).toLong)
+    assert(symDiff > band,
+      s"never-suppressing embed index symdiff $symDiff inside the $band " +
+        "band — the agree verdict would not catch a dead probe")
     spark.catalog.clearCache()
   }
 
