@@ -260,6 +260,35 @@ class PropertySpec extends SparkSpec {
     }, "mixture-threshold-lex-numeric-agree")
   }
 
+  test("prop: embed sign fingerprints are positive-scale invariant and flip under negation") {
+    // the property the semantic-ingest oracle leans on: a positive
+    // rescale changes NO hyperplane sign (identical fingerprint ⇒
+    // identical LSH buckets with certainty), while negating the vector
+    // flips EVERY decided sign (fingerprint complement up to exact-zero
+    // dots, which the ±1-entry planes make measure-zero for these
+    // non-degenerate float vectors)
+    val vecGenF: Gen[Array[Float]] =
+      Gen.choose(2, 16).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-8.0f, 8.0f).suchThat(v => math.abs(v) > 1e-3f))
+          .map(_.toArray))
+    val scaleGen: Gen[Float] = Gen.choose(0.01f, 50.0f)
+    def fpOf(vs: Seq[(Long, Array[Float])]): Map[Long, Long] =
+      graft.streaming.EmbedIngest.fingerprints(
+          vs.toDF("vec_id", "embedding")
+            .withColumn("label", org.apache.spark.sql.functions.lit(0)))
+        .select(col("vec_id"), col("fp")).as[(Long, Long)].collect().toMap
+    val p = Prop.forAll(vecGenF, scaleGen) { (v, c) =>
+      val fps = fpOf(Seq((1L, v), (2L, v.map(_ * c)), (3L, v.map(-_))))
+      // negation: allow a couple of exact-zero plane dots (both sides
+      // then take the >= 0 bit) — everything decided must flip
+      fps(1L) == fps(2L) &&
+        java.lang.Long.bitCount(fps(1L) ^ fps(3L)) >= 60
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, s"fingerprint-invariance failed: ${res.status}")
+    spark.catalog.clearCache()
+  }
+
   test("prop: shingleJaccardPairsGlobal equals driver-side brute force on random corpora") {
     // real Spark jobs per sample (like the dedup idempotence property):
     // few samples, dense 5-letter alphabet so shingle overlaps and

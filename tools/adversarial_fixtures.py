@@ -120,6 +120,16 @@ def main(out, float_edges=False):
     extra_emb = [
         dict(vec_id=90001, embedding=erows[0]["embedding"], label=None),
         dict(vec_id=90002, embedding=[1.0, -2.0, 3.0], label=0),
+        # a positively RESCALED copy of an organic vector (cosine exactly
+        # 1, sign fingerprint identical) and an exact duplicate of that
+        # copy in the SAME vec_id%5 class — together they exercise the
+        # semantic-ingest paths end-to-end through the oracle: within-
+        # batch exact dedup (90011 collapses into 90006), delivery-level
+        # rescale suppression, and the twin's common-prefix cosine
+        dict(vec_id=90006, embedding=[v * 2 for v in erows[1]["embedding"]],
+             label=7),
+        dict(vec_id=90011, embedding=[v * 2 for v in erows[1]["embedding"]],
+             label=8),
     ]
     merged_emb = pa.Table.from_pylist(erows + extra_emb, schema=emb.schema)
     pq.write_table(merged_emb, f"{out}/embeddings.parquet")
