@@ -97,10 +97,13 @@ object JudgeSmoke {
     op("op_manifest_merge") {
       val base = graft.util.Scratch.fresh("smoke_merge_m")
       val slim = docs.select(col("doc_id"), col("text"), col("lang"))
+      // DISJOINT id spaces (the family contract, enforced since r13) with
+      // overlapping CONTENT: the corpus carries exact-dup texts across
+      // the parity split, so cross-source digest collapse still exercises
       graft.streaming.CorpusIngest.ingestBatch(
         slim.filter(col("doc_id") % 2 === 0), 0L, s"$base/a")
       graft.streaming.CorpusIngest.ingestBatch(
-        slim.filter(col("doc_id") % 3 === 0), 0L, s"$base/b")
+        slim.filter(col("doc_id") % 2 === 1), 0L, s"$base/b")
       graft.streaming.CorpusIngest.merge(spark, s"$base/a", s"$base/b",
         s"$base/dst")
     }

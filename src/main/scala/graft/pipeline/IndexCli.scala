@@ -89,11 +89,17 @@ object IndexCli {
       case Stats("manifest", dir) =>
         val m = CorpusIngest.manifest(s, dir)
         s"manifest $dir rows=${m.count()} first_batch[${perBatch(m)}]"
+      // reconcile BEFORE s.table (ADVICE r12): the band tables exist only
+      // in the catalog after a reconcile registers them from disk — in the
+      // CLI's fresh-session deployment path a bare s.table would throw
+      // TABLE_OR_VIEW_NOT_FOUND even though the index is on disk
       case Stats("fuzzy", dir) =>
+        require(FuzzyIngest.reconcile(s, dir), s"no fuzzy index at $dir")
         val idx = FuzzyIngest.index(s, dir)
         val bands = s.table(FuzzyIngest.bandTable(s, dir)).count()
         s"fuzzy $dir sigs=${idx.count()} bands=$bands first_batch[${perBatch(idx)}]"
       case Stats(_, dir) =>
+        require(EmbedIngest.reconcile(s, dir), s"no embed index at $dir")
         val idx = EmbedIngest.index(s, dir)
         val bands = s.table(EmbedIngest.bandTable(s, dir)).count()
         s"embed $dir vecs=${idx.count()} bands=$bands first_batch[${perBatch(idx)}]"
@@ -146,9 +152,14 @@ object IndexCli {
           .appName("graft-index-admin")
           .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
           .getOrCreate()
+        // NonFatal, not just IllegalArgumentException (ADVICE r12):
+        // documented operation failures also surface as
+        // IllegalStateException (writer-lease conflict) and
+        // AnalysisException (missing tables) — all must honor the
+        // 'exit 1 with the message printed' contract, not stack-trace out
         try run(spark, cmd)
         catch {
-          case e: IllegalArgumentException =>
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"error: ${e.getMessage}")
             sys.exit(1)
         } finally spark.stop()

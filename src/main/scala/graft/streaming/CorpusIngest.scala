@@ -702,6 +702,14 @@ object CorpusIngest {
     require(reconcileTable(s, bDir), s"no manifest at $bDir")
     val (fs, dstPath) = fsOf(s, dstDir)
     require(!fs.exists(dstPath), s"merge destination already exists: $dstDir")
+    // same overlap guard as the fuzzy/embed twins (ADVICE r12): dedup is
+    // digest-keyed, so two manifests sharing a doc_id under DIFFERENT
+    // digests would silently put that id in the destination twice, and a
+    // later retract() of the id would remove both — an inconsistent
+    // family contract. Disjoint id spaces are required across the family.
+    require(manifest(s, aDir).select(col("doc_id"))
+        .join(manifest(s, bDir).select(col("doc_id")), "doc_id").isEmpty,
+      "doc_id spaces of the two manifests overlap - remap ids before merging")
     val union = manifest(s, aDir).unionByName(manifest(s, bDir))
     val w = Window.partitionBy(col("__h"), col("__len"))
       .orderBy(col("batch"), col("doc_id"))

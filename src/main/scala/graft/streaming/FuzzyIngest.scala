@@ -156,7 +156,7 @@ object FuzzyIngest {
     * (bucket spec in the DDL — the layout survives a new JVM/cluster).
     * Returns whether the index exists after reconciliation.
     */
-  private def reconcile(s: SparkSession, indexDir: String): Boolean = {
+  private[graft] def reconcile(s: SparkSession, indexDir: String): Boolean = {
     val (fs, _) = fsOf(s, indexDir)
     // sniff only when the sig table is NOT yet registered — a registered
     // entry already passed the sniff (or came from this object's own

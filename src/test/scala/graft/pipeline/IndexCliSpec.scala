@@ -70,6 +70,37 @@ class IndexCliSpec extends SparkSpec {
     assert(ret2.contains("rows=1"), ret2)
   }
 
+  test("fuzzy/embed stats reconcile an on-disk index the catalog has never seen") {
+    // ADVICE r12: the CLI's real deployment path is a FRESH SparkSession
+    // whose catalog has no entry for the index tables — stats must
+    // register them from disk (reconcile) before s.table, not assume the
+    // ingest ran in the same session. Simulated here by dropping the
+    // catalog entries after ingest.
+    import graft.streaming.{EmbedIngest, FuzzyIngest}
+    val base = graft.util.Scratch.fresh("index_cli_fresh")
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    FuzzyIngest.ingestBatch(
+      Seq((1L, text, "en")).toDF("doc_id", "text", "lang"), 0L, s"$base/f")
+    def unit(i: Int): Array[Float] = { val v = Array.fill(8)(0.0f); v(i) = 1.0f; v }
+    EmbedIngest.ingestBatch(
+      Seq((1L, unit(0), 0)).toDF("vec_id", "embedding", "label"), 0L, s"$base/e")
+    Seq(FuzzyIngest.sigTable(spark, s"$base/f"),
+        FuzzyIngest.bandTable(spark, s"$base/f"),
+        EmbedIngest.vecTable(spark, s"$base/e"),
+        EmbedIngest.bandTable(spark, s"$base/e"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val fs = IndexCli.run(spark, IndexCli.Stats("fuzzy", s"$base/f"))
+    assert(fs.contains("sigs=1"), fs)
+    val es = IndexCli.run(spark, IndexCli.Stats("embed", s"$base/e"))
+    assert(es.contains("vecs=1"), es)
+    // and a MISSING index fails the documented way (require message),
+    // not with a raw AnalysisException from s.table
+    val e = intercept[IllegalArgumentException] {
+      IndexCli.run(spark, IndexCli.Stats("fuzzy", s"$base/nothing"))
+    }
+    assert(e.getMessage.contains("no fuzzy index"), e.getMessage)
+  }
+
   test("embed kind routes to EmbedIngest") {
     import graft.streaming.EmbedIngest
     val base = graft.util.Scratch.fresh("index_cli_embed")

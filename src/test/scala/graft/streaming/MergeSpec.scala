@@ -82,6 +82,20 @@ class MergeSpec extends SparkSpec {
     assert(after == Set(1L, 11L, 22L), s"post-merge ingest: $after")
   }
 
+  test("manifest merge refuses overlapping doc_id spaces") {
+    // ADVICE r12: dedup is digest-keyed, so the same id under two
+    // DIFFERENT digests would land in the destination twice and a later
+    // retract of that id would remove both — the family's disjointness
+    // contract must hold for the exact manifest too
+    val base = graft.util.Scratch.fresh("merge_manifest_ids")
+    CorpusIngest.ingestBatch(docs((1L, baseA, "en")), 0L, s"$base/a")
+    CorpusIngest.ingestBatch(docs((1L, baseB, "en")), 0L, s"$base/b")
+    val e = intercept[IllegalArgumentException] {
+      CorpusIngest.merge(spark, s"$base/a", s"$base/b", s"$base/dst")
+    }
+    assert(e.getMessage.contains("overlap"), e.getMessage)
+  }
+
   test("fuzzy merge refuses overlapping doc_id spaces") {
     val base = graft.util.Scratch.fresh("merge_fuzzy_ids")
     FuzzyIngest.ingestBatch(docs((1L, baseA, "en")), 0L, s"$base/a")
