@@ -251,13 +251,28 @@ object StreamingQueries {
         seedU.select(col("doc_id")).unionByName(kept0.select(col("doc_id"))))
       val replayKept = kept0.unionByName(kept1).persist(mad)
       // ---- verdict: index survivors vs replay survivors ----
+      // ONE aggregate action (r13: this replaced two anti-join counts +
+      // two cached counts — four driver actions): tag membership bits,
+      // sum per doc_id (each source contributes an id at most once, and
+      // b0u/b1u id spaces are disjoint by construction), then count the
+      // idx/replay bit disagreements (= |idx Δ replay|) and the uniq rows
+      // in the same pass.
       val fuzzyKept = FuzzyIngest.index(s, s"$base/index")
         .filter(col("batch") >= 0).select(col("doc_id"))
       val replayIds = replayKept.select(col("doc_id"))
-      val symDiff =
-        fuzzyKept.join(replayIds, Seq("doc_id"), "left_anti").count() +
-          replayIds.join(fuzzyKept, Seq("doc_id"), "left_anti").count()
-      val nUniq = b0u.count() + b1u.count()
+      val vr = fuzzyKept.select(col("doc_id"), lit(1).as("__src"))
+        .unionByName(replayIds.select(col("doc_id"), lit(2).as("__src")))
+        .unionByName(b0u.select(col("doc_id"), lit(4).as("__src")))
+        .unionByName(b1u.select(col("doc_id"), lit(4).as("__src")))
+        .groupBy(col("doc_id")).agg(sum(col("__src")).as("__m"))
+        .agg(
+          coalesce(sum(when((col("__m").bitwiseAND(1) === 1) =!=
+            (col("__m").bitwiseAND(2) === 2), lit(1L))), lit(0L)),
+          coalesce(sum(when(col("__m").bitwiseAND(4) === 4, lit(1L))),
+            lit(0L)))
+        .head()
+      val symDiff = vr.getLong(0)
+      val nUniq = vr.getLong(1)
       val agreeOk =
         if (symDiff <= math.max(2L, math.ceil(0.02 * nUniq).toLong)) 1L else 0L
       replayKept
@@ -286,10 +301,13 @@ object StreamingQueries {
     // organic cosines top out at 0.51 on this corpus, so only the
     // planted rescales qualify and the index agrees with the replay
     // exactly). The persistent index still runs in full;
-    // `embed_agree_ok` pins the symdiff at <= max(2, 2%). The replay's
-    // batchxhistory cosine scan is a broadcast-history NLJ — exact-twin
-    // scaffolding at oracle/bench scale (PlanSweep-allowlisted); the
-    // INDEX is the scale path.
+    // `embed_agree_ok` pins the symdiff at <= max(2, 2%). Since r13 the
+    // replay finds candidates from the SAME sign bands the index uses
+    // (a positive rescale changes no sign bit, so every qualifying pair
+    // is candidate-guaranteed) and exact-verifies only those — the
+    // whole query is O(batch + collisions), no broadcast-history NLJ
+    // left — while the DuckDB twin stays brute-force exact, so a band
+    // recall miss reddens the driver hash row.
     "llm_dedup_embed_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("embed_incr")
       val vecs = Tables.embeddings(s, d)
@@ -320,25 +338,55 @@ object StreamingQueries {
       val b0u = uniq(b0).persist(mad)
       val b1u = uniq(b1).persist(mad)
       import graft.functions.VectorFns.dot
+      // candidates-from-the-fingerprint, then exact-verify (r13; VERDICT
+      // r12 #3): the replay probes the SAME 4×16-bit sign bands the
+      // index uses — a positive rescale changes no sign bit, so every
+      // planted near-dup (the only cosine ≥ 0.99 pairs in this corpus;
+      // organics top out at 0.51) is candidate-guaranteed — and verifies
+      // only candidates with the exact codegen cosine. This replaces a
+      // broadcast-HISTORY NLJ whose build side grew with history (the
+      // last BNLJ allowlist entry that wasn't a scalar cross): the
+      // replay is now the same O(batch + collisions) shape as the index
+      // itself, while the DuckDB twin stays brute-force exact — a recall
+      // miss here would redden the driver hash row, which is the
+      // falsifiability this oracle pins.
       def survivors(batch: org.apache.spark.sql.DataFrame,
           hist: org.apache.spark.sql.DataFrame) = {
-        val h = broadcast(hist.select(col("embedding").as("h_emb"),
-          col("nrm").as("h_nrm")))
-        batch.join(h,
-          dot(col("embedding"), col("h_emb")) /
-            (col("nrm") * col("h_nrm")) >= 0.99, "left_anti")
+        val cand = EmbedIngest.bandsOf(batch)
+          .join(EmbedIngest.bandsOf(hist.select(col("vec_id").as("h_id"),
+            col("fp")), "h_id"), Seq("band", "bh"))
+          .select(col("vec_id"), col("h_id")).distinct()
+        val dup = cand
+          .join(hist.select(col("vec_id").as("h_id"),
+            col("embedding").as("h_emb"), col("nrm").as("h_nrm")), "h_id")
+          .join(batch.select(col("vec_id"), col("embedding").as("b_emb"),
+            col("nrm").as("b_nrm")), "vec_id")
+          .filter(dot(col("b_emb"), col("h_emb")) /
+            (col("b_nrm") * col("h_nrm")) >= 0.99)
+          .select(col("vec_id")).distinct()
+        batch.join(dup, Seq("vec_id"), "left_anti")
       }
       val kept0 = survivors(b0u, seedU).persist(mad)
       val kept1 = survivors(b1u, seedU.unionByName(kept0))
       val replayKept = kept0.unionByName(kept1).persist(mad)
       // ---- verdict: index survivors vs replay survivors ----
+      // one aggregate action — the fuzzy twin's r13 bit-tag shape
       val idxKept = EmbedIngest.index(s, s"$base/index")
         .filter(col("batch") >= 0).select(col("vec_id"))
       val replayIds = replayKept.select(col("vec_id"))
-      val symDiff =
-        idxKept.join(replayIds, Seq("vec_id"), "left_anti").count() +
-          replayIds.join(idxKept, Seq("vec_id"), "left_anti").count()
-      val nUniq = b0u.count() + b1u.count()
+      val vr = idxKept.select(col("vec_id"), lit(1).as("__src"))
+        .unionByName(replayIds.select(col("vec_id"), lit(2).as("__src")))
+        .unionByName(b0u.select(col("vec_id"), lit(4).as("__src")))
+        .unionByName(b1u.select(col("vec_id"), lit(4).as("__src")))
+        .groupBy(col("vec_id")).agg(sum(col("__src")).as("__m"))
+        .agg(
+          coalesce(sum(when((col("__m").bitwiseAND(1) === 1) =!=
+            (col("__m").bitwiseAND(2) === 2), lit(1L))), lit(0L)),
+          coalesce(sum(when(col("__m").bitwiseAND(4) === 4, lit(1L))),
+            lit(0L)))
+        .head()
+      val symDiff = vr.getLong(0)
+      val nUniq = vr.getLong(1)
       val agreeOk =
         if (symDiff <= math.max(2L, math.ceil(0.02 * nUniq).toLong)) 1L else 0L
       replayKept

@@ -49,41 +49,76 @@ object Dedup {
     * (`numBands` bands of `numHashes/numBands` values).
     */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 32, numBands: Int = 8, shingleLen: Int = 3): DataFrame = {
+      numHashes: Int = 32, numBands: Int = 8, shingleLen: Int = 3,
+      carry: Seq[String] = Nil): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = if (text == null) Array.empty[String] else text.split(' ')
-          val nShingles = math.max(toks.length - shingleLen + 1, 1)
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          var i = 0
-          while (i < nShingles) {
-            val shingle = toks.slice(i, math.min(i + shingleLen, toks.length)).mkString(" ")
-            val base = scala.util.hashing.MurmurHash3.stringHash(shingle).toLong
-            var s = 0
-            while (s < numHashes) {
-              // splitmix64 of (base, seed): an independent-ish permutation family
-              var h = base * 0x9E3779B97F4A7C15L + s * 0xC2B2AE3D27D4EB4FL
-              h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
-              h ^= (h >>> 27); h *= 0x94D049BB133111EBL
-              h ^= (h >>> 31)
-              if (h < sig(s)) sig(s) = h
-              s += 1
-            }
-            i += 1
-          }
-          val bands = Array.tabulate(numBands) { b =>
-            var h = 17L; var r = 0
-            while (r < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + r); r += 1 }
-            h
-          }
-          (id, sig, bands)
+
+    @inline def signOne(text: String): (Array[Long], Array[Long]) = {
+      val toks = if (text == null) Array.empty[String] else text.split(' ')
+      val nShingles = math.max(toks.length - shingleLen + 1, 1)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < nShingles) {
+        val shingle = toks.slice(i, math.min(i + shingleLen, toks.length)).mkString(" ")
+        val base = scala.util.hashing.MurmurHash3.stringHash(shingle).toLong
+        var s = 0
+        while (s < numHashes) {
+          // splitmix64 of (base, seed): an independent-ish permutation family
+          var h = base * 0x9E3779B97F4A7C15L + s * 0xC2B2AE3D27D4EB4FL
+          h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+          h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+          h ^= (h >>> 31)
+          if (h < sig(s)) sig(s) = h
+          s += 1
         }
+        i += 1
       }
-      .toDF("doc_id", "minhash", "bands")
+      val bands = Array.tabulate(numBands) { b =>
+        var h = 17L; var r = 0
+        while (r < rowsPerBand) { h = h * 31 + sig(b * rowsPerBand + r); r += 1 }
+        h
+      }
+      (sig, bands)
+    }
+
+    if (carry.isEmpty)
+      docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val (sig, bands) = signOne(text)
+            (id, sig, bands)
+          }
+        }
+        .toDF("doc_id", "minhash", "bands")
+    else {
+      // carry mode (r13): pass metadata columns THROUGH the kernel 1:1
+      // instead of joining them back onto the signatures afterwards — the
+      // join was a full extra shuffle per ingest micro-batch, and a 1:1
+      // map keeps arrival counts exact (no join drop/dup semantics)
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val in = docs.select(
+        (Seq(col(idCol).cast("long").as("doc_id"), col(textCol)) ++
+          carry.map(col)): _*)
+      val outSchema = StructType(
+        Array(StructField("doc_id", LongType),
+          StructField("minhash", ArrayType(LongType, containsNull = false)),
+          StructField("bands", ArrayType(LongType, containsNull = false))) ++
+          in.schema.fields.drop(2))
+      val nCarry = carry.length
+      in.mapPartitions({ it =>
+        it.map { r =>
+          val (sig, bands) = signOne(r.getString(1))
+          val out = new Array[Any](3 + nCarry)
+          out(0) = r.get(0); out(1) = sig; out(2) = bands
+          var i = 0
+          while (i < nCarry) { out(3 + i) = r.get(2 + i); i += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        }
+      })(org.apache.spark.sql.Encoders.row(outSchema))
+    }
   }
 
   /** MinHash-LSH CANDIDATE pairs: docs sharing at least one band

@@ -254,11 +254,20 @@ private[streaming] object BloomSidecar {
     * `bucket`/`key` MUST be the same expressions the bank was built by.
     */
   def probeColumn(s: SparkSession, st: State, numBuckets: Int,
-      bucket: Column, key: Column): Column = {
+      bucket: Column, key: Column): Column =
+    probeFn(s, st, numBuckets)(bucket, key)
+
+  /** Probe FACTORY over one shared broadcast bank (r13): a batch that
+    * probes the sketches in two plan shapes — e.g. a scalar any-band
+    * column inside an aggregate AND an exploded (band,bh) filter —
+    * would otherwise torrent-broadcast the same bank once per shape.
+    */
+  def probeFn(s: SparkSession, st: State,
+      numBuckets: Int): (Column, Column) => Column = {
     val bytes = (0 until numBuckets).map { i =>
       if (st.saturated(i)) null else serialize(st.blooms(i))
     }.toArray
     val bank = s.sparkContext.broadcast(new BloomBank(bytes))
-    BloomBankProbe(bucket, key, bank)
+    (bucket, key) => BloomBankProbe(bucket, key, bank)
   }
 }

@@ -154,12 +154,34 @@ object EmbedIngest {
       .toDF("vec_id", "label", "embedding", "nrm", "fp")
   }
 
-  private def bandsOf(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), explode(sequence(lit(0), lit(NumBands - 1))).as("band"))
-      .join(df.select(col("vec_id"), col("fp")), "vec_id")
-      .select(col("vec_id"), col("band"),
-        expr(s"shiftrightunsigned(fp, band * $BitsPerBand) & ${(1L << BitsPerBand) - 1}")
-          .as("bh"))
+  /** Band b's 16-bit chunk of `fp` as a scalar column. */
+  private def bhOf(b: Int): org.apache.spark.sql.Column =
+    expr(s"shiftrightunsigned(fp, ${b * BitsPerBand}) & ${(1L << BitsPerBand) - 1}")
+
+  /** TRUE iff ANY of the row's 4 band keys probes probable — the scalar
+    * (non-exploded) form of the bloom pre-filter, usable inside an
+    * aggregate over the signed frame. The (bucket, key) expressions MUST
+    * mirror [[bandBucket]]/[[bandKey]] over (lit(b), bhOf(b)).
+    */
+  private def anyBandProbable(
+      probe: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until NumBands).map { b =>
+      probe(pmod(hash(lit(b), bhOf(b)), lit(IndexBuckets)).cast("int"),
+        xxhash64(lit(b), bhOf(b)))
+    }.reduce(_ || _)
+
+  /** (id, band, bh) postings of each row's fingerprint — ONE projection
+    * (r13: the first cut exploded a band-index sequence and JOINED the
+    * fingerprints back on vec_id, a real shuffle per call — and this is
+    * called up to three times per ingest batch).
+    */
+  private[graft] def bandsOf(df: DataFrame, idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${NumBands - 1}), " +
+          s"b -> shiftrightunsigned(fp, b * $BitsPerBand) & ${(1L << BitsPerBand) - 1})"))
+        .as(Seq("band", "bh")))
 
   private[graft] def reconcile(s: SparkSession, indexDir: String): Boolean = {
     val (fs, _) = fsOf(s, indexDir)
@@ -307,17 +329,49 @@ object EmbedIngest {
     require(batchId != CorpusIngest.CompactedBatch,
       s"batch id ${CorpusIngest.CompactedBatch} is reserved")
     val s = batch.sparkSession
+    // SPARK_GRAFT_INGEST_TIMING=1 → one stderr line per driver action
+    // (stage attribution for the per-batch constants; off = zero cost)
+    val trace = sys.env.contains("SPARK_GRAFT_INGEST_TIMING")
+    var t0 = System.nanoTime()
+    def mark(stage: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[embed_ingest b=$batchId] $stage%-14s ${(t1 - t0) / 1e9}%.2fs")
+      t0 = t1
+    }
     IngestPaths.acquireLease(s, indexDir)
     val exists = reconcile(s, indexDir)
+    mark("reconcile")
     val signed0 = fingerprints(batch)
     val w = Window.partitionBy(col("fp"), col("embedding")).orderBy(col("vec_id"))
+    val wAll = Window.partitionBy(col("fp"), col("embedding"))
     val signed = signed0
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__grp", count(lit(1)).over(wAll))
+      .filter(col("__rn") === 1)
       .drop("__rn")
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val st = if (exists) loadBloomState(s, indexDir) else None
-      var bloomProbable = -1L
+      val probe = st.map(bs => BloomSidecar.probeFn(s, bs, IndexBuckets))
+      // Arrival counts + cache materialization + the bloom pre-probe in
+      // ONE action (r13; this replaced a raw batch.count() at the end
+      // AND a separate probe-count job). docsIn counts the NON-DEGENERATE
+      // rows delivered (null/empty/zero-norm vectors are dropped
+      // pre-kernel by this object's contract); uniqueIn is the
+      // post-exact-dedup survivor count, so `suppressed` is meaningful
+      // for the embed pipeline too (it was -1 before r13). The probe is
+      // a SCALAR any-band column over fp — no band explosion needed to
+      // decide the all-miss skip — sharing one broadcast bank with the
+      // exploded probe-side filter below.
+      val arrivedCols = Seq(coalesce(sum(col("__grp")), lit(0L)).as("d"),
+        count(lit(1)).as("u")) ++
+        probe.map(p => coalesce(sum(when(anyBandProbable(p), lit(1L))),
+          lit(0L)).as("p")).toSeq
+      val arrived = signed.agg(arrivedCols.head, arrivedCols.tail: _*).head()
+      val docsIn = arrived.getLong(0)
+      val uniqueIn = arrived.getLong(1)
+      val bloomProbable = if (probe.isDefined) arrived.getLong(2) else -1L
+      mark("sign+dedup+probe")
       val survivors =
         if (!exists) signed
         else {
@@ -325,11 +379,10 @@ object EmbedIngest {
           // bloom pre-filter: bands the sketch has never seen are
           // definitely candidate-free — when NONE probe probable, the
           // bands table's data files are never opened this batch
-          val probed = st match {
-            case Some(bs) =>
-              val probable = newBands.filter(probeColumn(s, bs))
-              bloomProbable = probable.select(col("vec_id")).distinct().count()
-              if (bloomProbable == 0) None else Some(probable)
+          val probed = probe match {
+            case Some(p) =>
+              if (bloomProbable == 0) None
+              else Some(newBands.filter(p(bandBucket, bandKey)))
             case None => Some(newBands)
           }
           probed match {
@@ -359,7 +412,9 @@ object EmbedIngest {
         .select(col("vec_id"), col("label"), col("embedding"), col("nrm"), col("fp"))
         .localCheckpoint(true)
       try {
+        mark("verify+stage")
         val appended = staged.count()
+        mark("staged_count")
         // bloom-ahead of both inserts (survivors' bands only): a crash
         // between the merge and the inserts leaves FP-only sketch state
         // — the family contract
@@ -367,6 +422,7 @@ object EmbedIngest {
           BloomSidecar.merge(s, bloomDir(indexDir), IndexBuckets, batchId,
             bloomKeyed(bandsOf(staged).select(col("band"), col("bh"))),
             st, exists, defaultCapacity(s))
+        mark("bloom_merge")
         def insertInto(tbl: String, df: DataFrame, cols: String): Unit = {
           val view = stageView(s, indexDir)
           df.createOrReplaceTempView(view)
@@ -381,12 +437,14 @@ object EmbedIngest {
             .bucketBy(IndexBuckets, "vec_id").sortBy("vec_id")
             .option("path", vecPath(indexDir))
             .saveAsTable(vecTable(s, indexDir))
+          mark("write_vecs")
           bandsOf(staged).select(col("band"), col("bh"), col("vec_id"))
             .withColumn("batch", lit(batchId)).write.mode("overwrite")
             .partitionBy("batch")
             .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
             .option("path", bandPath(indexDir))
             .saveAsTable(bandTable(s, indexDir))
+          mark("write_bands")
         } else {
           // vecs BEFORE bands (the family's crash ordering: a band row
           // whose vector is missing would make a candidate verify
@@ -395,12 +453,14 @@ object EmbedIngest {
           insertInto(vecTable(s, indexDir),
             staged,
             s"vec_id, label, embedding, nrm, fp, $batchId AS first_batch")
+          mark("write_vecs")
           insertInto(bandTable(s, indexDir),
             bandsOf(staged).select(col("band"), col("bh"), col("vec_id")),
             "band, bh, vec_id")
+          mark("write_bands")
         }
         IngestEvents.post(IngestEvents.IngestProgress("embed_ingest",
-          indexDir, batchId, batch.count(), -1L, appended, bloomProbable))
+          indexDir, batchId, docsIn, uniqueIn, appended, bloomProbable))
       } finally staged.unpersist()
     } finally signed.unpersist()
   }

@@ -116,6 +116,20 @@ object FuzzyIngest {
       st: BloomSidecar.State): org.apache.spark.sql.Column =
     BloomSidecar.probeColumn(s, st, IndexBuckets, bandBucket, bandKey)
 
+  /** TRUE iff ANY of the row's band keys probes probable — the scalar
+    * (non-exploded) form over the `bands` array column, usable inside an
+    * aggregate over the signed frame (band index = array position). The
+    * (bucket, key) expressions mirror [[bandBucket]]/[[bandKey]].
+    */
+  private def anyBandProbable(
+      probe: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until NumBands).map { b =>
+      val bh = col("bands").getItem(b)
+      probe(pmod(hash(lit(b), bh), lit(IndexBuckets)).cast("int"),
+        xxhash64(lit(b), bh))
+    }.reduce(_ || _)
+
   private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
@@ -317,8 +331,18 @@ object FuzzyIngest {
     require(batchId != CorpusIngest.CompactedBatch,
       s"batch id ${CorpusIngest.CompactedBatch} is reserved for compacted history")
     val s = batch.sparkSession
+    // SPARK_GRAFT_INGEST_TIMING=1 → one stderr line per driver action
+    // (stage attribution for the per-batch constants; off = zero cost)
+    val trace = sys.env.contains("SPARK_GRAFT_INGEST_TIMING")
+    var t0 = System.nanoTime()
+    def mark(stage: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[fuzzy_ingest b=$batchId] $stage%-14s ${(t1 - t0) / 1e9}%.2fs")
+      t0 = t1
+    }
     IngestPaths.acquireLease(s, indexDir)
     val exists = reconcile(s, indexDir)
+    mark("reconcile")
     // within-batch EXACT dedup (min doc_id per text), then sign. __grp =
     // group size, carried so docsIn needs no separate raw-batch pass
     // (same shuffle; r11 constant-shave) — only ever read driver-side.
@@ -331,25 +355,44 @@ object FuzzyIngest {
       .withColumn("__grp", count(lit(1)).over(wAll))
       .filter(col("__rn") === 1)
       .select(col("doc_id"), col("lang"), col("text"), col("__grp"))
+    // carry mode (r13 constant-shave): lang/__grp ride THROUGH the
+    // signature kernel 1:1 instead of a join back onto the signatures —
+    // that join was a full extra shuffle per micro-batch
     val signed = Dedup
-      .minhashSignatures(uniq, "text", "doc_id", NumHashes, NumBands)
-      .join(uniq.select(col("doc_id"), col("lang"), col("__grp")), "doc_id")
+      .minhashSignatures(uniq, "text", "doc_id", NumHashes, NumBands,
+        carry = Seq("lang", "__grp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val sigs =
         if (collapseWithinBatch) collapseBatch(signed, simThreshold) else signed
-      // Both counts come from `uniq`, BEFORE the signature join (ADVICE
-      // r11: counting the joined frame undercounts null doc_ids and
-      // double-counts a doc_id shared by two text groups — the arrival
-      // counts must reflect what the batch delivered, not what survived
-      // the join). Still ONE action on the default path; the collapse
-      // path separately counts post-collapse survivors.
-      val arrived = uniq.agg(coalesce(sum(col("__grp")), lit(0L)),
-        count(lit(1))).head()
+      val st = if (exists) loadBloomState(s, indexDir) else None
+      val probe = st.map(bs => BloomSidecar.probeFn(s, bs, IndexBuckets))
+      // the scalar pre-probe fuses into the arrival agg only on the
+      // default path: under collapseWithinBatch the probe must count
+      // POST-collapse survivors (sigs ≠ signed), which the collapse
+      // branch below still does the exploded way
+      val fuseProbe = probe.isDefined && !collapseWithinBatch
+      // Arrival counts off `signed` — since carry mode the kernel maps
+      // uniq rows 1:1 (no join to drop null doc_ids or duplicate shared
+      // ids; the ADVICE-r11 concern is structurally gone), so these equal
+      // the r11 uniq-side counts exactly. This one action also
+      // MATERIALIZES the signed cache (so the verify stage reads cached
+      // rows instead of re-running the window dedup + kernel) and, on
+      // the default path, computes the bloom any-band pre-probe as a
+      // SCALAR column over the bands array — no explosion, no separate
+      // probe-count job (r13; shares one broadcast bank with the
+      // exploded probe-side filter below).
+      val arrivedCols = Seq(coalesce(sum(col("__grp")), lit(0L)).as("d"),
+        count(lit(1)).as("u")) ++
+        (if (fuseProbe)
+          Seq(coalesce(sum(when(anyBandProbable(probe.get), lit(1L))),
+            lit(0L)).as("p"))
+        else Nil)
+      val arrived = signed.agg(arrivedCols.head, arrivedCols.tail: _*).head()
       val docsIn = arrived.getLong(0)
       val uniqueIn = if (collapseWithinBatch) sigs.count() else arrived.getLong(1)
-      val st = if (exists) loadBloomState(s, indexDir) else None
-      var bloomProbable = -1L
+      var bloomProbable = if (fuseProbe) arrived.getLong(2) else -1L
+      mark("sign+dedup+probe")
       val survivors =
         if (!exists) sigs
         else {
@@ -358,15 +401,15 @@ object FuzzyIngest {
           // bloom pre-filter: bands the index has definitely never seen
           // produce no candidates — when NONE survive the probe, the
           // bands table's data files are never opened this batch
-          val probed = st match {
-            case Some(bs) =>
-              val probable = newBands.filter(probeColumn(s, bs))
-              // ONE job decides the skip AND yields the observability
-              // count (bands come off the persisted sigs — the distinct
-              // shuffle is batch-sized; r11: this replaced a separate
-              // limit(1) emptiness probe + count pair)
-              bloomProbable = probable.select(col("doc_id")).distinct().count()
-              if (bloomProbable == 0) None else Some(probable)
+          val probed = probe match {
+            case Some(p) =>
+              if (!fuseProbe)
+                // collapse path: ONE job decides the skip AND yields the
+                // observability count over the post-collapse survivors
+                bloomProbable = newBands.filter(p(bandBucket, bandKey))
+                  .select(col("doc_id")).distinct().count()
+              if (bloomProbable == 0) None
+              else Some(newBands.filter(p(bandBucket, bandKey)))
             case None => Some(newBands)
           }
           probed match {
@@ -394,7 +437,9 @@ object FuzzyIngest {
         .select(col("doc_id"), col("lang"), col("minhash"), col("bands"))
         .localCheckpoint(true)
       try {
+        mark("verify+stage")
         val appended = staged.count()
+        mark("staged_count")
         // bloom-ahead of BOTH inserts (only SURVIVORS' bands — suppressed
         // docs' bands never reach the table, and sketch bits for them
         // would only inflate FP routing): a crash after this merge and
@@ -407,6 +452,7 @@ object FuzzyIngest {
             bloomKeyed(staged.select(
               posexplode(col("bands")).as(Seq("band", "bh")))),
             st, exists, defaultCapacity(s))
+        mark("bloom_merge")
         def insertInto(tbl: String, df: DataFrame, cols: String): Unit = {
           val view = stageView(s, indexDir)
           df.createOrReplaceTempView(view)
@@ -426,6 +472,7 @@ object FuzzyIngest {
             .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
             .option("path", sigPath(indexDir))
             .saveAsTable(sigTable(s, indexDir))
+          mark("write_sigs")
           staged.select(posexplode(col("bands")).as(Seq("band", "bh")),
               col("doc_id"))
             .withColumn("batch", lit(batchId)).write.mode("overwrite")
@@ -433,15 +480,18 @@ object FuzzyIngest {
             .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
             .option("path", bandPath(indexDir))
             .saveAsTable(bandTable(s, indexDir))
+          mark("write_bands")
         } else {
           // sigs BEFORE bands: see crash-ordering note in the class doc
           insertInto(sigTable(s, indexDir),
             staged.select(col("doc_id"), col("lang"), col("minhash")),
             s"doc_id, lang, minhash, $batchId AS first_batch")
+          mark("write_sigs")
           insertInto(bandTable(s, indexDir),
             staged.select(posexplode(col("bands")).as(Seq("band", "bh")),
               col("doc_id")),
             "band, bh, doc_id")
+          mark("write_bands")
         }
         IngestEvents.post(IngestEvents.IngestProgress("fuzzy_ingest",
           indexDir, batchId, docsIn, uniqueIn, appended, bloomProbable))

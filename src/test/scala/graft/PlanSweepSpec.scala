@@ -28,12 +28,11 @@ class PlanSweepSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "join_theta_range", "join_cross", "llm_ngram_lm", "llm_ccnet_buckets",
     "llm_text_topterms", "llm_vocab_coverage", "fn_sql_subquery",
-    "llm_similarity_topk", "llm_similarity_ivf", "llm_cluster_stats",
-    // the semantic-ingest oracle's exact-replay scaffolding: a
-    // broadcast-HISTORY cosine anti-join (batch × |hist|, the declared
-    // exact baseline at oracle/bench scale — the persistent sign-LSH
-    // index is the scale path)
-    "llm_dedup_embed_incremental")
+    "llm_similarity_topk", "llm_similarity_ivf", "llm_cluster_stats")
+  // llm_dedup_embed_incremental left the list in r13: its replay now
+  // probes the sign-LSH bands for candidates and exact-verifies only
+  // those, so the broadcast-history NLJ (the one allowlist entry whose
+  // build side grew with history) no longer exists.
 
   test("plan sweep: zero CartesianProduct, BNLJ only in the by-design spots") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
