@@ -146,11 +146,19 @@ object Bench {
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
+    // per-query med/min (VERDICT r12 #5): a contended SINGLE query is
+    // machine-readable from the artifact — a ratio > ~1.15 on one row
+    // with flat neighbours means that row's headline min was drawn under
+    // contention, not that its plan changed; re-measure before chasing it
+    val ratios = times.map { case (k, v) =>
+      k -> (if (v.min > 0) median(v.toSeq) / v.min else 1.0)
+    }
     val fullJson =
       s"""{"metric":"total","value":${fmt(totalMin, 3)},"unit":"sec"""" +
         s""","runs":$runs,"total_median":${fmt(totalMedian, 3)}""" +
         s""","med_min_ratio":${fmt(medMinRatio, 3)}""" +
         s""","queries":${fullMap(mins)},"queries_median":${fullMap(med)}""" +
+        s""","queries_med_min_ratio":${fullMap(ratios)}""" +
         s""","sf":$sf}"""
     // subset runs (SPARK_GRAFT_BENCH_QUERIES) write to an override path so
     // they never clobber the driver's full-surface artifact
