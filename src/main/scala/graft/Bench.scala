@@ -4,9 +4,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle-partition override for scale rehearsals (r13): the default
+    // (= cpus) is sized for sf0.1 — at sf10 a corpus-sized shuffle body
+    // split 32 ways spills, which is a LOCAL-BENCH artifact (a cluster
+    // sizes initialPartitionNum to the data; AQE then coalesces down,
+    // but never splits an oversized uniform shuffle up). The decade
+    // analysis uses this to separate spill effects from plan shape.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -74,12 +74,13 @@ object LifecycleProbe {
       CorpusIngest.compact(spark, s"$base/m", (nBatches - 2).toLong)
     }
 
-    // second manifest (1/5 of the docs, half overlapping digests via
-    // unpadded text) then merge
+    // second manifest (1/5 of the docs, overlapping digests via the
+    // same " b0" padding) then merge; ids shifted OUT of m's space —
+    // merge requires disjoint id spaces across the family since r13
     CorpusIngest.ingestBatch(
       docs.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), concat(col("text"), lit(" b0")).as("text"),
-          col("lang")),
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(col("text"), lit(" b0")).as("text"), col("lang")),
       0L, s"$base/m2")
     val (nMerged, tMerge) = timed {
       CorpusIngest.merge(spark, s"$base/m", s"$base/m2", s"$base/dst")

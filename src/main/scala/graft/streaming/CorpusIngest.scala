@@ -426,28 +426,32 @@ object CorpusIngest {
     // and the final write; unpersisted deterministically below (ADVICE r9)
     val bg = digested(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // ONE materializing action delivers both observability counts:
+      val st = if (manifestExists) loadBloomState(s, manifestDir) else None
+      val probe = st.map(bs => probeColumn(s, bs))
+      // ONE materializing action delivers both observability counts —
       // docsIn = Σ group sizes (replaces the former raw batch.count()
-      // pass), uniqueIn = retained digests
-      val cnts = bg.agg(coalesce(sum(col("__grp")), lit(0L)),
-        count(lit(1))).head()
+      // pass), uniqueIn = retained digests — AND, when sketches exist,
+      // the bloom pre-probe count (r13: the probe over the digest key is
+      // a pure scalar column, so the former separate probable.count()
+      // job folds into this aggregate)
+      val cntCols = Seq(coalesce(sum(col("__grp")), lit(0L)).as("d"),
+        count(lit(1)).as("u")) ++
+        probe.map(p =>
+          coalesce(sum(when(p, lit(1L))), lit(0L)).as("p")).toSeq
+      val cnts = bg.agg(cntCols.head, cntCols.tail: _*).head()
       val docsIn = cnts.getLong(0)
       val uniqueIn = cnts.getLong(1)
+      val bloomProbable = if (probe.isDefined) cnts.getLong(2) else -1L
       val b = bg.drop("__grp")
-      val st = if (manifestExists) loadBloomState(s, manifestDir) else None
-      var bloomProbable = -1L
       val survivors =
         if (!manifestExists) b
-        else st match {
-          case Some(bs) =>
-            val probe = probeColumn(s, bs)
-            val probable = b.filter(probe)
-            bloomProbable = probable.count()
+        else probe match {
+          case Some(p) =>
             // empty probable set ⇒ the whole batch is definitely new and
             // the manifest's data files are never opened this batch
             if (bloomProbable == 0) b
-            else b.filter(!probe)
-              .unionByName(manifestAntiJoin(probable, batchId, tbl))
+            else b.filter(!p)
+              .unionByName(manifestAntiJoin(b.filter(p), batchId, tbl))
           case None => manifestAntiJoin(b, batchId, tbl)
         }
       mergeBloom(s, manifestDir, batchId, b, st, manifestExists) // bloom-ahead
