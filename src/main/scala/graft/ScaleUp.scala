@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *    nationkey/regionkey references valid)
   *  - customer/supplier/part/orders/lineitem: custkey/suppkey/partkey/
   *    orderkey shifted together
-  *  - events: event_id and user_id shifted; user stride = max(user)+1,
-  *    which for factor ≤ 10 keeps every shifted user_id inside copy-0's
-  *    customer key range — the stream-enrich join stays non-degenerate
-  *    (asserted). Timestamps unchanged: 10× rows per time bucket, same
-  *    bucket count, the realistic shape of a denser event stream.
+  *  - events: event_id shifted; user_id shifted modulo the copy-0
+  *    customer stride, so every copy's users land on valid copy-0
+  *    customers at any factor — the stream-enrich join stays
+  *    non-degenerate. For factor ≤ 10 the wrap never fires (identical
+  *    to a plain shift); at factor 100 users repeat with ~10× per-user
+  *    event density. Timestamps unchanged: N× rows per time bucket,
+  *    same bucket count, the realistic shape of a denser event stream.
   *  - documents: doc_id shifted and every TOKEN suffixed `_i`, making
   *    copy vocabularies disjoint — near-dup/containment/similarity pair
   *    outputs scale ~linearly (10× the sf0.1 pairs) instead of the ×100
@@ -77,6 +79,22 @@ object ScaleUp {
     def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
+
+    // CHAIN GUARD (r13): deriving from an already-derived directory is a
+    // measurement bug, not a bigger corpus. The per-copy rewrites are
+    // injective within ONE pass but NOT under composition — the token
+    // suffix chains (inner k, outer 0) and (inner 0, outer k) both yield
+    // `tok_k`, fabricating ~n_docs·(factor−1) identical cross-copy
+    // document twins, and the embeddings sign masks commute
+    // (m_a·m_b = m_b·m_a), mirroring copy pairs (a,b)/(b,a). A chained
+    // sf10 measured near-dup pair counts 2.9× the true ×100 derivation
+    // (49,608 fabricated cross-copy pairs at sf10 — SsjProbe), which
+    // read as a fake superlinear exponent on the exact SSJoin family.
+    // Always derive from the BASE sf directory in a single pass.
+    require(!new java.io.File(s"$src/_scaleup_derived").exists(),
+      s"$src is itself a ScaleUp derivation — chained derivation " +
+        "fabricates cross-copy near-dup pairs; derive from the base sf " +
+        "directory in one pass (factor 100 for sf10)")
     // getAs[Number]: a source parquet storing the key as INT32 would make
     // getLong throw ClassCastException (ADVICE r9); also fail with a clear
     // message on an empty table instead of an NPE
@@ -126,14 +144,17 @@ object ScaleUp {
 
     val events = Tables.normalizeEventTs(tbl("events"))
     val eS = stride(events, "event_id"); val uS = stride(events, "user_id")
-    require(uS * (factor - 1) + uS - 1 < cS,
-      s"user stride $uS x $factor escapes copy-0 customer keys ($cS) — " +
-        "the stream-enrich join would go degenerate")
+    // r13: shifted user_ids WRAP modulo the copy-0 customer stride instead
+    // of requiring uS·factor ≤ cS. For factor ≤ 10 the wrap never fires
+    // (uS·10 = cS in the driver data), so sf1 derivations are bit-identical
+    // to the old behavior; factor 100 now lands every user on a valid
+    // copy-0 customer with ~10× the per-user event density — the denser-
+    // stream shape a 100× corpus implies, instead of a hard failure.
     val hotUser = events.agg(min(col("user_id"))).head().getAs[Number](0).longValue
     write(replicate(events)(i => {
       val shifted = events
         .withColumn("event_id", col("event_id") + lit(i * eS))
-        .withColumn("user_id", col("user_id") + lit(i * uS))
+        .withColumn("user_id", pmod(col("user_id") + lit(i * uS), lit(cS)))
       if (skew && i > 0)
         shifted.withColumn("user_id",
           when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(hotUser))
@@ -179,6 +200,11 @@ object ScaleUp {
             .otherwise(col("label")))
       else copy
     }), "embeddings")
+
+    // marker consumed by the chain guard above
+    val mk = new java.io.File(s"$dst/_scaleup_derived")
+    val w = new java.io.FileWriter(mk)
+    try w.write(s"src=$src factor=$factor skew=$skew\n") finally w.close()
 
     println(s"[scaleup] wrote ${factor}x of $src to $dst" +
       (if (skew) " (SKEWED: hot custkey/user, dominant lang, hot label)" else ""))
