@@ -76,6 +76,15 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    derive(spark, src, dst, factor, skew)
+    spark.stop()
+  }
+
+  /** The derivation body, session-injected so specs can pin the chain
+    * guard and the user-id wrap without owning a session lifecycle.
+    */
+  def derive(spark: SparkSession, src: String, dst: String, factor: Int,
+      skew: Boolean): Unit = {
     def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$n.parquet")
@@ -208,6 +217,5 @@ object ScaleUp {
 
     println(s"[scaleup] wrote ${factor}x of $src to $dst" +
       (if (skew) " (SKEWED: hot custkey/user, dominant lang, hot label)" else ""))
-    spark.stop()
   }
 }
