@@ -62,7 +62,10 @@ object SsjProbe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     timed("probe (prefix postings)")(probe.count())
     val x = probe.as("x"); val y = posts.as("y")
+    // mirrors the r13 AllPairs length filter in Dedup.prefixCandidates
     val cand = x.join(y, col("x.gram") === col("y.gram") &&
+        col("y.sz").cast("double") * lit(threshold) <=
+          col("x.sz").cast("double") + lit(1e-9) &&
         (col("x.sz") < col("y.sz") ||
           (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),

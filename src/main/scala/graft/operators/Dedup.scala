@@ -548,7 +548,7 @@ object Dedup {
     * float-rounding the prefix short).
     */
   private def prefixCandidates(g: DataFrame, blockCols: Seq[String],
-      threshold: Double): DataFrame = {
+      threshold: Double, jaccardLengthFilter: Boolean = false): DataFrame = {
     val posts = g.select(col("doc_id") +: blockCols.map(col) :+
       size(col("grams")).as("sz") :+ explode(col("grams")).as("gram"): _*)
     val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -562,7 +562,19 @@ object Dedup {
     val x = probe.as("x"); val y = posts.as("y")
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
-    x.join(y, col("x.gram") === col("y.gram") && blockCond &&
+    // AllPairs length filter (Jaccard callers only): with |A| ≤ |B|,
+    // J(A,B) ≤ |A∩B|/|A∪B| ≤ |A|/|B|, so τ·|B| > |A| already implies
+    // J < τ — the verify join would discard the pair anyway, so pruning
+    // it here is recall-preserving. Boundary kept via the same 1e-9
+    // guard as the prefix bound (τ·|B| = |A| exactly CAN qualify: A ⊆ B
+    // with |A| = τ·|B|). MUST stay off for containment, whose whole
+    // point is small-doc-inside-large-doc pairs at unbounded size ratio.
+    val lenCond =
+      if (jaccardLengthFilter)
+        col("y.sz").cast("double") * lit(threshold) <=
+          col("x.sz").cast("double") + lit(1e-9)
+      else lit(true)
+    x.join(y, col("x.gram") === col("y.gram") && blockCond && lenCond &&
         (col("x.sz") < col("y.sz") ||
           (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
@@ -583,7 +595,8 @@ object Dedup {
   def ngramJaccardPairsIndexed(docs: DataFrame, n: Int, charBucket: Int,
       threshold: Double): DataFrame = {
     val g = persistGrams(gramSets(docs, n, charBucket))
-    val cand = prefixCandidates(g, Seq("lang", "source", "len_bkt"), threshold)
+    val cand = prefixCandidates(g, Seq("lang", "source", "len_bkt"), threshold,
+      jaccardLengthFilter = true)
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     cand
       .join(g.as("a"), col("a_id") === col("a.doc_id"))
@@ -633,7 +646,8 @@ object Dedup {
   def shingleJaccardPairsGlobal(docs: DataFrame, n: Int,
       threshold: Double): DataFrame = {
     val g = persistGrams(slimGramSets(docs, n))
-    val cand = prefixCandidates(g, Seq.empty, threshold)
+    val cand = prefixCandidates(g, Seq.empty, threshold,
+      jaccardLengthFilter = true)
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     cand
       .join(g.as("a"), col("a_id") === col("a.doc_id"))

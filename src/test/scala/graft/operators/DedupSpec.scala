@@ -384,4 +384,21 @@ class DedupSpec extends SparkSpec {
     assert(sp == Set((6L, 7L, 1.0)), s"got $sp")
     spark.catalog.clearCache()
   }
+
+  test("AllPairs length filter keeps the size-ratio boundary: A ⊆ B with " +
+      "|A| = τ·|B| exactly") {
+    // r13: the candidate join prunes pairs with τ·|B| > |A| (J ≤ |A|/|B|
+    // makes them unverifiable) — but τ·|B| = |A| CAN qualify, exactly
+    // when A ⊆ B. n=1 word grams: A = 5 tokens ⊂ B = 10 tokens,
+    // J = 5/10 = 0.5 at τ = 0.5. A float-sloppy filter (τ·10 > 5 by
+    // rounding) would silently drop it.
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "k l m n o p q r s t u v w x")).toDF("doc_id", "text")
+    val got = Dedup.shingleJaccardPairsGlobal(d, n = 1, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.5)), s"got $got")
+    spark.catalog.clearCache()
+  }
 }
