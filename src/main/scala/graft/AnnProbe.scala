@@ -19,6 +19,7 @@ import graft.operators.Similarity
   */
 object AnnProbe {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val nClusters = args.headOption.map(_.toInt).getOrElse(1200)
     val perCluster = args.lift(1).map(_.toInt).getOrElse(50)
     val target = args.lift(2).map(_.toLong).getOrElse(50L)

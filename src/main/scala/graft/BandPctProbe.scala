@@ -17,6 +17,7 @@ import graft.operators.Joins
   */
 object BandPctProbe {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val dir = args.headOption.getOrElse("/tmp/graft_sf1skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -2,6 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Shuffle-partition override for scale rehearsals (r13): the default
@@ -58,6 +59,13 @@ object Bench {
     }
     val times = scala.collection.mutable.LinkedHashMap(
       names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    // Failed runs are EXCLUDED from the stats and reported separately: a
+    // query that throws returns in milliseconds, and folding that into a
+    // min-of-N silently replaces the query's real cost with garbage (the
+    // r13 sf10 rehearsal summed 8 ms "times" for 56 queries whose run
+    // died with the tmp dir). An artifact with an "errors" map is
+    // self-describing; one with a tiny min is a trap.
+    val fails = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     for (run <- 1 to runs) {
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -69,7 +77,11 @@ object Bench {
         val n = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           -2L // rows not observable through the noop sink
-        } catch { case _: Throwable => -1L }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] run$run $name FAILED: " +
+            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+          -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // optional untimed sanity count, first run only (doubles per-query
         // work — off by default; correctness rows are Verify's job)
@@ -77,7 +89,8 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         } else n
         System.err.println(f"[bench] run$run $name%-28s rows=$rows%-8d $dt%.1fs")
-        times(name) += dt
+        if (n == -1L) fails(name) = fails.getOrElse(name, 0) + 1
+        else times(name) += dt
         // Untimed, after the clock stops: the dedup/ccnet families persist
         // corpus-sized gram frames (Dedup.persistGrams), and CacheManager's
         // plan-matching would hand run N+1 the run-N cache — later runs
@@ -91,6 +104,10 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Queries whose every run failed have no measurements at all — drop
+    // them from the stats (they live in the errors map instead).
+    val allFailed = times.collect { case (k, v) if v.isEmpty => k }.toSet
+    allFailed.foreach(times.remove)
     val med = times.map { case (k, v) => k -> median(v.toSeq) }
     // Headline = per-query MIN of N: on identical code the full sweep
     // measured 49-101 s across closes (uniform moves on untouched queries
@@ -119,6 +136,14 @@ object Bench {
     // moved the median, not the plans. (The min-of-N headline itself was
     // the r7→r8 metric cutover; see BASELINE.md "Bench metric".)
     val medMinRatio = if (totalMin > 0) totalMedian / totalMin else 1.0
+    // name -> failed-run count for every query with at least one failure;
+    // present in BOTH json forms whenever nonEmpty, so a partial artifact
+    // can never be mistaken for a healthy one
+    val errorsJson =
+      if (fails.isEmpty) ""
+      else fails.toSeq.sortBy(_._1)
+        .map { case (k, c) => s"\"" + k + "\":" + c }
+        .mkString(""","errors":{""", ",", "}")
     val sf = scala.util.Try(sfDir.split('/').last.stripPrefix("sf").toDouble)
       .map(_.toString).getOrElse("\"" + sfDir + "\"")
     def build(dp: Int, keep: Int): String = {
@@ -142,7 +167,7 @@ object Bench {
         }
       s"""{"metric":"total","value":${fmt(totalMin, 2)},"unit":"sec"""" +
         s""","runs":$runs,"total_median":${fmt(totalMedian, 2)}""" +
-        s""","med_min_ratio":${fmt(medMinRatio, 2)}$qs,"sf":$sf}"""
+        s""","med_min_ratio":${fmt(medMinRatio, 2)}$qs$errorsJson,"sf":$sf}"""
     }
     System.err.println("[bench] medians=" +
       med.map { case (k, v) => s"$k=$v" }.mkString(",") +
@@ -150,6 +175,9 @@ object Bench {
     // Full-precision artifact for plan audits: the stdout budget below can
     // force a subset, so the complete min AND median maps always land in
     // BENCH_full.json at the repo root (the driver runs Bench from there).
+    // env-sourced values may be non-numeric (e.g. cpus "*"): quote those
+    def jnum(s: String): String =
+      if (s.nonEmpty && s.forall(_.isDigit)) s else "\"" + s + "\""
     def fullMap(m: scala.collection.Map[String, Double]): String =
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 3) }
@@ -167,7 +195,8 @@ object Bench {
         s""","med_min_ratio":${fmt(medMinRatio, 3)}""" +
         s""","queries":${fullMap(mins)},"queries_median":${fullMap(med)}""" +
         s""","queries_med_min_ratio":${fullMap(ratios)}""" +
-        s""","sf":$sf}"""
+        s"""$errorsJson,"cpus":${jnum(cpus)}""" +
+        s""","shuffle_partitions":${jnum(shufflePartitions)},"sf":$sf}"""
     // subset runs (SPARK_GRAFT_BENCH_QUERIES) write to an override path so
     // they never clobber the driver's full-surface artifact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

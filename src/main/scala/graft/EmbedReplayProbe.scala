@@ -16,6 +16,7 @@ import graft.streaming.{CorpusIngest, EmbedIngest}
   */
 object EmbedReplayProbe {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

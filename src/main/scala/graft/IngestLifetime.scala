@@ -30,6 +30,7 @@ import graft.streaming.{CorpusIngest, FuzzyIngest, IngestEvents}
 object IngestLifetime {
 
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val pipeline = args.lift(1).getOrElse("corpus")
     val nBatches = args.lift(2).map(_.toInt).getOrElse(24)

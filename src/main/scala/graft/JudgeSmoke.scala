@@ -7,6 +7,7 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 object JudgeSmoke {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

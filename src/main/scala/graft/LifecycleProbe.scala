@@ -17,6 +17,7 @@ import graft.streaming.CorpusIngest
   */
 object LifecycleProbe {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nBatches = args.lift(1).map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -62,6 +62,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val skew = args.contains("--skew")
     val pos = args.filterNot(_ == "--skew")
     val src = pos.headOption.getOrElse("/root/testdata/sf0.1")

@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val dir = args.headOption.getOrElse("/tmp/graft_sf1_skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object SsjProbe {
   def main(args: Array[String]): Unit = {
+    JvmGuard.assertSparkModuleAccess()
     val dir = args.headOption.getOrElse("/tmp/graft_sf1_r13")
     val n = args.lift(1).map(_.toInt).getOrElse(3)
     val threshold = args.lift(2).map(_.toDouble).getOrElse(0.8)

@@ -148,6 +148,7 @@ object IndexCli {
         System.err.println(usage)
         sys.exit(2)
       case Right(cmd) =>
+        graft.JvmGuard.assertSparkModuleAccess()
         val spark = SparkSession.builder()
           .appName("graft-index-admin")
           .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))

@@ -167,6 +167,7 @@ object PipelineCli {
         System.err.println(usage)
         sys.exit(2)
       case Right(p) =>
+        graft.JvmGuard.assertSparkModuleAccess()
         val spark = SparkSession.builder()
           .appName("kafka-to-parquet")
           .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))

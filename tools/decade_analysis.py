@@ -24,10 +24,14 @@ def load(p):
 def main(c01, c1, c10):
     q01, q1, q10 = load(c01), load(c1), load(c10)
     rows = []
+    dropped = []
     for q in sorted(q10):
         if q not in q1 or q not in q01:
             continue
-        if q01[q] <= 0.03 or q1[q] <= 0.03:
+        if q01[q] <= 0.03 or q1[q] <= 0.03 or q10[q] <= 0.03:
+            # a <=30ms value at ANY scale is a failed/instant run, not a
+            # measurement — name it loudly instead of computing a fake exp
+            dropped.append(q)
             continue
         e1 = math.log10(q1[q] / q01[q])
         e2 = math.log10(q10[q] / q1[q])
@@ -55,6 +59,9 @@ def main(c01, c1, c10):
     jumps = [r[0] for r in rows if r[6] > 0.2 and r[5] <= 1.2]
     print(f"\n>1.2 non-declared: {over}")
     print(f"jump>0.2 (named, r10 rule): {jumps}")
+    if dropped:
+        print(f"DROPPED (<=30ms somewhere — failed/instant runs, "
+              f"no exponent computed): {dropped}")
 
 if __name__ == '__main__':
     main(*sys.argv[1:4])
