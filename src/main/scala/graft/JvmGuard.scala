@@ -24,6 +24,13 @@ object JvmGuard {
     "java.net", "java.nio", "java.util", "java.util.concurrent",
     "sun.nio.ch", "sun.security.action", "sun.util.calendar")
 
+  /** Standalone preflight: `java -cp <classes> graft.JvmGuard` exits 0 iff
+    * this JVM could run Spark; otherwise the exception names the flags. */
+  def main(args: Array[String]): Unit = {
+    assertSparkModuleAccess()
+    println("ok: Spark JDK-17 module options present")
+  }
+
   /** Throws IllegalStateException naming every missing `--add-opens` flag. */
   def assertSparkModuleAccess(): Unit = {
     val javaBase = classOf[Object].getModule
