@@ -598,18 +598,25 @@ object StreamingQueries {
          b1u AS (SELECT vec_id, embedding, label FROM (
              SELECT *, row_number() OVER (PARTITION BY embedding
                  ORDER BY vec_id) AS rn FROM b1) WHERE rn = 1),
-         ns AS (SELECT vec_id, embedding, label,
-                  sqrt(list_sum(list_transform(embedding,
+         -- isfinite mirrors the Spark kernel's door: zero-norm AND
+         -- non-finite (NaN/Inf element) vectors are DROPPED, not
+         -- suppressed (r13 float-edges fix — without it DuckDB's
+         -- NaN-greatest >= silently suppressed what Spark kept)
+         ns AS (SELECT vec_id, embedding, label, nrm FROM (
+                  SELECT *, sqrt(list_sum(list_transform(embedding,
                     x -> x::DOUBLE * x::DOUBLE))) AS nrm
-                FROM seed WHERE embedding IS NOT NULL),
-         n0 AS (SELECT vec_id, embedding, label,
-                  sqrt(list_sum(list_transform(embedding,
+                  FROM seed WHERE embedding IS NOT NULL)
+                WHERE isfinite(nrm)),
+         n0 AS (SELECT vec_id, embedding, label, nrm FROM (
+                  SELECT *, sqrt(list_sum(list_transform(embedding,
                     x -> x::DOUBLE * x::DOUBLE))) AS nrm
-                FROM b0u WHERE embedding IS NOT NULL),
-         n1 AS (SELECT vec_id, embedding, label,
-                  sqrt(list_sum(list_transform(embedding,
+                  FROM b0u WHERE embedding IS NOT NULL)
+                WHERE isfinite(nrm)),
+         n1 AS (SELECT vec_id, embedding, label, nrm FROM (
+                  SELECT *, sqrt(list_sum(list_transform(embedding,
                     x -> x::DOUBLE * x::DOUBLE))) AS nrm
-                FROM b1u WHERE embedding IS NOT NULL),
+                  FROM b1u WHERE embedding IS NOT NULL)
+                WHERE isfinite(nrm)),
          kept0 AS (SELECT u.* FROM n0 u
            WHERE u.nrm > 0 AND NOT EXISTS (
              SELECT 1 FROM ns h WHERE h.nrm > 0 AND

@@ -18,6 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Runs during SparkSession construction, which makes it the one hook
+    // that also covers EMBEDDERS (users calling graft library code from
+    // their own session, never passing through a graft main): a JVM
+    // missing Spark's JDK-17 --add-opens set fails HERE at session build,
+    // naming the flags, instead of mid-query on the first reflective path
+    // (see JvmGuard's scaladoc for the measured incident).
+    graft.JvmGuard.assertSparkModuleAccess()
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

@@ -45,9 +45,10 @@ import graft.functions.VectorFns.{dot, norm => vnorm}
   * [[BloomSidecar]] machinery; an all-miss batch never opens the bands
   * table) and the lifecycle verbs [[compact]] (intent marker +
   * roll-forward), [[retract]], [[expire]], [[merge]] with the twins'
-  * crash contracts. Zero-norm or null/empty embeddings are dropped at
-  * ingest (a NaN cosine can neither suppress nor be suppressed —
-  * dropping beats carrying rows no probe can ever match).
+  * crash contracts. Zero-norm, non-finite (NaN/±Inf element), or
+  * null/empty embeddings are dropped at ingest (a NaN cosine can
+  * neither suppress nor be suppressed — dropping beats carrying rows
+  * no probe can ever match).
   */
 object EmbedIngest {
 
@@ -119,7 +120,8 @@ object EmbedIngest {
 
   /** (vec_id, label, embedding, nrm, fp) — per-partition kernel (64
     * plane dots per row; the HOF form would re-evaluate its lambda
-    * per (plane × dim) element). Drops null/empty/zero-norm vectors.
+    * per (plane × dim) element). Drops null/empty/zero-norm/non-finite
+    * vectors.
     */
   private[graft] def fingerprints(batch: DataFrame): DataFrame = {
     val s = batch.sparkSession
@@ -136,7 +138,14 @@ object EmbedIngest {
           var n2 = 0.0
           var d = 0
           while (d < emb.length) { n2 += emb(d).toDouble * emb(d); d += 1 }
-          if (n2 == 0.0) None
+          // non-finite (any NaN/±Inf element) joins zero-norm at the door:
+          // a NaN vector's plane dots are all NaN, so its sign bits are a
+          // deterministic all-zero fp (Java NaN >= 0 is false) — it would
+          // never FIND candidates yet history could never suppress IT,
+          // silently diverging from any engine whose float comparisons
+          // order NaN greatest (Spark SQL, DuckDB). Found by the r13
+          // float-edges wave as a 1-row n_new drift.
+          if (n2 == 0.0 || !java.lang.Double.isFinite(n2)) None
           else {
             var fp = 0L
             var p = 0
@@ -356,8 +365,8 @@ object EmbedIngest {
       // Arrival counts + cache materialization + the bloom pre-probe in
       // ONE action (r13; this replaced a raw batch.count() at the end
       // AND a separate probe-count job). docsIn counts the NON-DEGENERATE
-      // rows delivered (null/empty/zero-norm vectors are dropped
-      // pre-kernel by this object's contract); uniqueIn is the
+      // rows delivered (null/empty/zero-norm/non-finite vectors are
+      // dropped pre-kernel by this object's contract); uniqueIn is the
       // post-exact-dedup survivor count, so `suppressed` is meaningful
       // for the embed pipeline too (it was -1 before r13). The probe is
       // a SCALAR any-band column over fp — no band explosion needed to

@@ -65,6 +65,26 @@ class EmbedIngestSpec extends SparkSpec {
     assert(idx == Set(4L), s"degenerate handling mismatch: $idx")
   }
 
+  test("non-finite vectors (NaN/Inf element) drop at the door like zero-norm") {
+    // r13 float-edges finding: a NaN vector's sign bits are all zero
+    // (Java NaN >= 0 is false), so it finds no band candidates and
+    // history can never suppress it, while NaN-greatest engines
+    // (Spark SQL's >=, DuckDB) suppress it — a silent 1-row count
+    // drift. The door drop removes the divergence by construction.
+    val nanVec = { val v = unit(3); v(5) = Float.NaN; v }
+    val infVec = { val v = unit(4); v(6) = Float.PositiveInfinity; v }
+    val fp = EmbedIngest.fingerprints(vecs(
+      (1L, unit(0), 0), (2L, nanVec, 0), (3L, infVec, 0)))
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(fp == Set(1L), s"non-finite rows must drop pre-kernel: $fp")
+    val dir = graft.util.Scratch.fresh("embed_nonfinite")
+    EmbedIngest.ingestBatch(vecs(
+      (1L, unit(0), 0), (2L, nanVec, 0), (3L, infVec, 0)), 0L, dir)
+    val idx = EmbedIngest.index(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(idx == Set(1L), s"non-finite handling mismatch: $idx")
+  }
+
   test("replaying a batch is idempotent and not self-suppressing") {
     val dir = graft.util.Scratch.fresh("embed_replay")
     EmbedIngest.ingestBatch(vecs((1L, unit(0), 0)), 0L, dir)
