@@ -145,6 +145,11 @@ private[streaming] object IngestPaths {
     * crashed writer never bricks the table.
     */
   def acquireLease(s: SparkSession, dir: String): Unit = {
+    // The one chokepoint every ingest-family write passes through — the
+    // right place to catch a bare-session EMBEDDER (no graft main, no
+    // GraftExtensions registration) on a JVM missing Spark's JDK-17
+    // module options, BEFORE it holds a lease it will die mid-batch with.
+    graft.JvmGuard.assertSparkModuleAccess()
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     val ttl = s.conf.getOption(LeaseTtlConf).map(_.toLong)
       .getOrElse(DefaultLeaseTtlMs)
