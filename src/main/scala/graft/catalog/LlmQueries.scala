@@ -814,6 +814,22 @@ object LlmQueries {
           min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
         .orderBy(col("lang"), col("source"))),
 
+    // Model-based quality filtering, the fastText-shaped stage (r13): a
+    // linear scorer over hashed unigram+bigram features with
+    // deterministic md5-derived weights, so the WHOLE model — features,
+    // weights, score, keep decision — is engine-reproducible and
+    // hash-oracled instead of rows-only. Per-lang keep counts + the
+    // integer-exact score sum; see TextAnalysis.qualityClassifier for
+    // the kernel and the cross-engine hash contract.
+    "llm_quality_classifier" -> ((s, d) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score_milli") >= 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_keep"),
+          sum(col("score_milli")).as("sum_score_milli"))
+        .orderBy(col("lang"))),
+
     // Deterministic per-source downsample: top-3 docs per source in
     // md5(text) order — a content-hash shuffle that is reproducible,
     // layout-independent, and portable (both engines compute the same md5
@@ -1801,6 +1817,32 @@ object LlmQueries {
            AND n_tokens BETWEEN $QualityTokMin AND $QualityTokMax
          GROUP BY lang, source
          ORDER BY lang NULLS FIRST, source NULLS FIRST""",
+
+    // the full linear model replayed in SQL: same tokenization
+    // (string_split keeps empties), same raw-order unigram+bigram
+    // feature union, same md5-derived weights ((md5_number_upper >> 1)
+    // keeps the modulus operand non-negative in both engines), same
+    // integer-exact floor/keep arithmetic
+    "llm_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, lang,
+                 list_distinct(list_concat(toks,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                   AS feats
+               FROM t),
+         s AS (SELECT doc_id, lang,
+                 CAST(floor(1000.0 * list_sum(list_transform(feats,
+                        ft -> CAST(md5_number_upper(ft) >> 1 AS BIGINT)
+                              % 2001 - 1000))
+                      / len(feats)) AS BIGINT) AS score_milli
+               FROM f)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_keep,
+                CAST(sum(score_milli) AS BIGINT) AS sum_score_milli
+         FROM s GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     // Gopher-rule flags single-sourced from TextAnalysis's thresholds and
     // stop list; coalesce(..., FALSE) mirrors the Spark side's null-text

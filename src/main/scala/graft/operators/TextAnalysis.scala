@@ -230,6 +230,65 @@ object TextAnalysis {
       .toDF("doc_id", "n_grams", "rep_ratio")
   }
 
+  /** fastText-style linear quality scorer over HASHED unigram+bigram
+    * features with deterministic pseudo-random weights — the shape of the
+    * model-based quality filters real pipelines run corpus-wide (CCNet's
+    * fastText langid/quality stage), reduced to an engine-reproducible
+    * kernel so the whole scorer is hash-oracled rather than rows-only:
+    *
+    *   features(doc) = distinct(tokens ++ adjacent-bigrams)     (raw order)
+    *   w(f)          = (md5_first8_le(f) >>> 1) % 2001 - 1000   (∈ [-1000,1000])
+    *   score_milli   = floor(1000 · Σ w(f) / |features|)        (BIGINT)
+    *   keep          = score_milli >= 0                         (integer-exact)
+    *
+    * The token hash is the simhash recipe (first 8 md5 digest bytes,
+    * little-endian = DuckDB `md5_number_upper`; `>>> 1` makes the modulus
+    * operand non-negative in BOTH engines — DuckDB's UBIGINT vs the JVM's
+    * signed `%` would otherwise disagree on sign). Tokenization is
+    * `split(text, ' ', -1)` = DuckDB `string_split`, empties kept. A
+    * compiled per-partition kernel (one MessageDigest per partition), not
+    * an HOF fold — the BPE/winnowing lesson: nested HOF lambdas run
+    * interpreted and re-evaluate inlined inputs per element. Pure map +
+    * one small aggregate shuffle downstream: linear in executors at
+    * 100 TB. Null text → no row (unscorable, the SQL twin's WHERE).
+    */
+  def qualityClassifier(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, Option[String], String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def w(f: String): Long = {
+          val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h |= (d(i) & 0xffL) << (8 * i); i += 1 }
+          (h >>> 1) % 2001L - 1000L
+        }
+        it.flatMap { case (id, lang, text) =>
+          if (text == null) None
+          else {
+            val toks = text.split(" ", -1)
+            val feats = new java.util.LinkedHashSet[String]
+            var i = 0
+            while (i < toks.length) { feats.add(toks(i)); i += 1 }
+            i = 0
+            while (i < toks.length - 1) {
+              feats.add(toks(i) + " " + toks(i + 1)); i += 1
+            }
+            var sum = 0L
+            val fit = feats.iterator()
+            while (fit.hasNext) sum += w(fit.next())
+            val scoreMilli =
+              math.floor(1000.0 * sum / feats.size).toLong
+            Some((id, lang, scoreMilli))
+          }
+        }
+      }
+      .toDF("doc_id", "lang", "score_milli")
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -115,6 +115,53 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 0, 2)))
   }
 
+  test("qualityClassifier: hand-computed score, feature union, null/empty text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Seq(
+      (1L, Some("es"), "a b a"),   // feats = {a, b, a b, b a} (raw-order distinct union)
+      (2L, Some("es"), null.asInstanceOf[String]), // null text -> no row
+      (3L, None: Option[String], ""),              // "" -> one feature: ""
+      (4L, Some("zh"), "solo"))                    // 1 token -> no bigrams
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.qualityClassifier(d)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L), "null text must drop")
+    // independent reimplementation of the weight contract
+    def w(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dg = md.digest(f.getBytes("UTF-8"))
+      var h = 0L; var i = 0
+      while (i < 8) { h |= (dg(i) & 0xffL) << (8 * i); i += 1 }
+      (h >>> 1) % 2001L - 1000L
+    }
+    val feats1 = Seq("a", "b", "a b", "b a")
+    val exp1 = math.floor(1000.0 * feats1.map(w).sum / feats1.size).toLong
+    assert(out(0).getLong(2) === exp1, "doc 1 score")
+    assert(out(1).getLong(2) === 1000L * w(""),
+      "empty text scores its one feature (x1000 milli-units)")
+    assert(out(1).isNullAt(1), "null lang rides through")
+    assert(out(2).getLong(2) === 1000L * w("solo"), "single token: no bigrams")
+  }
+
+  test("qualityClassifier: trailing empty tokens are features (split limit -1)") {
+    // "x " -> tokens [x, ""] -> feats {x, "", "x "} — the string_split
+    // parity rule every text kernel follows
+    import spark.implicits._
+    val out = TextAnalysis.qualityClassifier(
+      Seq((1L, Option("en"), "x ")).toDF("doc_id", "lang", "text")).collect()
+    def w(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dg = md.digest(f.getBytes("UTF-8"))
+      var h = 0L; var i = 0
+      while (i < 8) { h |= (dg(i) & 0xffL) << (8 * i); i += 1 }
+      (h >>> 1) % 2001L - 1000L
+    }
+    val feats = Seq("x", "", "x ")
+    assert(out(0).getLong(2) ===
+      math.floor(1000.0 * feats.map(w).sum / feats.size).toLong)
+  }
+
   test("fingerprint: null text is NULL, empty text fingerprints to 0") {
     // null ≠ empty: a null payload has NO fingerprint (the SQL twin's
     // fold over NULL is NULL); an empty one legitimately hashes to 0.
