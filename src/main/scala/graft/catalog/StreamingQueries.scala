@@ -99,6 +99,54 @@ object StreamingQueries {
     // docs per lang across both deliveries. The oracle twin replays the
     // same batch-ordered first-wins semantics in SQL; idempotent replay
     // is unit-tested in CorpusIngestSpec.
+    // The r13 quality classifier as a STREAMING curation gate — the shape
+    // a corpus pipeline actually deploys the model in (score each arriving
+    // delivery, persist only keepers). The gate is a STATELESS per-row
+    // map (compiled kernel, stream-compatible mapPartitions), so the sink
+    // contents are batch-split independent by construction and the DuckDB
+    // twin is the batch classifier filtered to keepers — while the query
+    // still exercises the real streaming machinery: two mtime-ordered
+    // deliveries through maxFilesPerTrigger=1, checkpointed parquet sink,
+    // AvailableNow termination. Scale path: zero state, zero shuffle in
+    // the hot loop (one small agg AFTER the stream) — linear in executors.
+    "stream_quality_gate" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("quality_gate")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
+      Seq(0, 1).foreach { i =>
+        val tmp = s"$base/tmp$i"
+        docs.filter(col("doc_id") % 2 === i).coalesce(1).write.parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dst =
+          new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
+        if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
+        fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+      }
+      val src = KafkaPipeline.fileStream(s, s"$base/today",
+        docs.schema, glob = "*.parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val q = graft.operators.TextAnalysis.qualityClassifier(src)
+        .filter(col("score_milli") >= 0)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$base/kept")
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/kept")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_keep"),
+          min(col("doc_id")).as("min_keep"),
+          sum(col("score_milli")).as("sum_score_milli"))
+        .orderBy(col("lang"))
+    }),
+
     "llm_dedup_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("dedup_incr")
       val docs = Tables.documents(s, d)
@@ -637,6 +685,29 @@ object StreamingQueries {
                 CAST(1 AS BIGINT) AS embed_agree_ok
          FROM (SELECT * FROM kept0 UNION ALL SELECT * FROM kept1)
          GROUP BY label ORDER BY label NULLS FIRST""",
+
+    // the streaming gate is a stateless per-row map, so the sink contents
+    // equal the batch classifier's keepers regardless of micro-batch split
+    "stream_quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, lang,
+                 list_distinct(list_concat(toks,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                   AS feats
+               FROM t),
+         s AS (SELECT doc_id, lang,
+                 CAST(floor(1000.0 * list_sum(list_transform(feats,
+                        ft -> CAST(md5_number_upper(ft) >> 1 AS BIGINT)
+                              % 2001 - 1000))
+                      / len(feats)) AS BIGINT) AS score_milli
+               FROM f)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_keep,
+                min(doc_id) AS min_keep,
+                CAST(sum(score_milli) AS BIGINT) AS sum_score_milli
+         FROM s WHERE score_milli >= 0
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n,

@@ -322,4 +322,43 @@ class PropertySpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
     assert(res.passed, s"shingle-global-vs-brute failed: ${res.status}")
   }
+
+  test("prop: qualityClassifier kernel equals a driver-side brute force") {
+    // independent reimplementation of the whole model (feature union,
+    // md5 first-8-LE weight, floor arithmetic) checked on random token
+    // corpora — pins the kernel against spec drift the fixed fixtures
+    // in TextAnalysisSpec can't see (r13, the 154th oracle key)
+    def brute(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def w(f: String): Long = {
+        val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L; var i = 0
+        while (i < 8) { h |= (d(i) & 0xffL) << (8 * i); i += 1 }
+        (h >>> 1) % 2001L - 1000L
+      }
+      val toks = text.split(" ", -1)
+      val feats = (toks ++ toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))).distinct
+      math.floor(1000.0 * feats.map(w).sum / feats.length).toLong
+    }
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { _ =>
+      val docs = (1 to 120).map { i =>
+        val n = rnd.nextInt(12) // 0 tokens -> "" (still one feature)
+        // small vocab forces repeated tokens/bigrams (the distinct path);
+        // occasional empty tokens exercise the split(-1) rule
+        val t = (1 to n).map(_ =>
+          if (rnd.nextInt(8) == 0) "" else s"w${rnd.nextInt(9)}")
+          .mkString(" ")
+        (i.toLong, Option(if (i % 3 == 0) null else s"l${i % 4}"), t)
+      }.toDF("doc_id", "lang", "text")
+      val got = graft.operators.TextAnalysis.qualityClassifier(docs)
+        .select(col("doc_id"), col("score_milli"))
+        .as[(Long, Long)].collect().toMap
+      val want = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toMap.map { case (k, v) => k -> brute(v) }
+      assert(got == want, s"kernel/brute divergence: ${
+        (got.toSet diff want.toSet).take(3)} vs ${(want.toSet diff got.toSet).take(3)}")
+    }
+  }
 }
