@@ -523,6 +523,33 @@ object RelationalQueries {
             .as("sum_price"))
         .orderBy(col("o_orderstatus"))),
 
+    // Z-ORDER clustering (r13): lineitem rewritten on the Morton curve of
+    // (l_orderkey, l_partkey), then a TWO-dimensional box predicate over
+    // the rewritten layout — the Delta/Iceberg OPTIMIZE ZORDER technique,
+    // here as pure Column bitwise codegen. The oracled result is layout-
+    // independent (the box aggregate over lineitem); the SCALE claim —
+    // the z-layout bounds BOTH columns per file so the box prunes on both
+    // where a single-column sort prunes on one — is pinned by ZOrderSpec,
+    // which reads per-file min/max back and counts slice intersections.
+    // Box bounds derive from the data's own min/max (middle quartiles),
+    // reproduced verbatim in the DuckDB twin.
+    "scan_zorder_prune" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("zorder")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_returnflag"), col("l_quantity"))
+      val (xlo, xhi, ylo, yhi) = graft.operators.ZOrder.writeZOrdered(
+        li, "l_orderkey", "l_partkey", nFiles = 16, s"$base/t")
+      def boxLo(lo: Long, hi: Long) = lo + math.floor((hi - lo) / 4.0).toLong
+      def boxHi(lo: Long, hi: Long) = lo + math.floor((hi - lo) / 2.0).toLong
+      s.read.parquet(s"$base/t")
+        .filter(col("l_orderkey").between(boxLo(xlo, xhi), boxHi(xlo, xhi)) &&
+          col("l_partkey").between(boxLo(ylo, yhi), boxHi(ylo, yhi)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Dynamic partition pruning: the fact side is the priority-partitioned
     // orders layout, the dim side a 5-row broadcast filtered to tier='hot'.
     // Catalyst plans a DynamicPruningExpression on the fact scan's
@@ -1466,6 +1493,22 @@ object RelationalQueries {
                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0 AS sum_price
          FROM orders WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // layout-independent twin of the z-ordered box scan: same
+    // middle-quartile bounds derived from the data's own min/max with the
+    // same floor-over-double arithmetic (exact below 2^53 in both engines)
+    "scan_zorder_prune" ->
+      """WITH b AS (SELECT min(l_orderkey) AS xlo, max(l_orderkey) AS xhi,
+                           min(l_partkey) AS ylo, max(l_partkey) AS yhi
+                    FROM lineitem)
+         SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM lineitem, b
+         WHERE l_orderkey BETWEEN xlo + CAST(floor((xhi - xlo) / 4.0) AS BIGINT)
+                              AND xlo + CAST(floor((xhi - xlo) / 2.0) AS BIGINT)
+           AND l_partkey BETWEEN ylo + CAST(floor((yhi - ylo) / 4.0) AS BIGINT)
+                             AND ylo + CAST(floor((yhi - ylo) / 2.0) AS BIGINT)
+         GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""",
 
     "join_dpp" ->
       s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

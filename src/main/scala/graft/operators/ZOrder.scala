@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data clustering — the multi-dimensional layout
+  * technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`: interleave the
+  * bits of two normalized sort keys so that RANGE LOCALITY holds in BOTH
+  * dimensions at once. A layout sorted by one column prunes parquet
+  * files/row-groups (via footer min/max stats) only on that column —
+  * every file spans the full domain of the other — while a z-ordered
+  * layout bounds BOTH columns per file, so a two-dimensional box
+  * predicate skips all but the files whose curve segment crosses the
+  * box. At 100 TB this is the difference between scanning 1/k of the
+  * files and scanning all of them for the second predicate.
+  *
+  * Everything here is pure `Column` bitwise arithmetic (whole-stage
+  * codegen; no UDF, no HOF): normalization is exact integer math (the
+  * scaled product stays far below 2^63 for any BIGINT key domain seen
+  * through a 16-bit lane), the interleave is an unrolled 16-term OR.
+  * The pruning property itself is pinned by `ZOrderSpec`, which reads
+  * the written files' per-file min/max back and counts how many
+  * intersect a one-dimensional slice: z-layout << all, single-sort = all.
+  */
+object ZOrder {
+
+  /** `x` normalized to a 16-bit lane via its [xmin, xmax] domain:
+    * floor((x - xmin) * 65535 / (xmax - xmin)) — monotone, endpoints map
+    * to 0 and 65535. Integer-exact: (x - xmin) * 65535 needs
+    * domain-width · 2^16 < 2^63, true for any realistic key domain.
+    */
+  private def lane(x: Column, lo: Long, hi: Long): Column =
+    if (hi == lo) lit(0L)
+    else (x.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+
+  /** 32-bit Morton code: bit i of the x lane lands at position 2i, bit i
+    * of the y lane at 2i+1. */
+  def zvalue(x: Column, y: Column,
+      xlo: Long, xhi: Long, ylo: Long, yhi: Long): Column = {
+    val xi = lane(x, xlo, xhi)
+    val yi = lane(y, ylo, yhi)
+    (0 until 16).map { i =>
+      (shiftright(xi, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(yi, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _) // disjoint bit positions: + == OR, and + folds constants
+  }
+
+  /** Write `df` z-ordered on (xCol, yCol) into `nFiles` parquet files:
+    * range-partition on the z-value (balanced curve segments), sort
+    * within each partition, drop the helper column at the sink. Returns
+    * the (xlo, xhi, ylo, yhi) domain used, so callers can derive
+    * layout-independent box predicates from the same bounds.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, path: String): (Long, Long, Long, Long) = {
+    val b = df.agg(
+      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val (xlo, xhi, ylo, yhi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    df.withColumn("__z", zvalue(col(xCol), col(yCol), xlo, xhi, ylo, yhi))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    (xlo, xhi, ylo, yhi)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins both halves of the z-order claim: the Morton code itself against
+  * a bit-twiddling reference, and the LOCALITY property the layout
+  * exists for — per-file footer min/max ranges bound BOTH dimensions, so
+  * a slice predicate on the second dimension intersects few files where
+  * a single-column-sorted layout intersects all of them.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue equals a scalar Morton reference on a full 16x16 lane grid") {
+    def mortonRef(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    // domain 0..65535 on both axes -> lanes are the raw values
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong * 4369L, y.toLong * 4369L) // spread over the lane
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.zvalue(col("x"), col("y"), 0L, 65535L, 0L, 65535L).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      val lx = x * 65535L / 65535L; val ly = y * 65535L / 65535L
+      assert(z == mortonRef(lx, ly), s"($x,$y)")
+    }
+  }
+
+  test("z-layout bounds both dims per file; x-sorted layout cannot") {
+    // uniform 2-D grid, 256x64 points; a narrow Y slice (1/8 of the
+    // domain) must intersect FEW z-ordered files, but EVERY x-sorted
+    // file (each spans the full y domain)
+    val grid = (for (x <- 0 until 256; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val dir = graft.util.Scratch.fresh("zorder_spec")
+    ZOrder.writeZOrdered(grid, "x", "y", nFiles = 16, s"$dir/z")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$dir/linear")
+    def filesIntersectingYSlice(path: String, lo: Long, hi: Long): Int = {
+      val files = spark.read.parquet(path).inputFiles
+      files.count { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("y")).cast("long"), max(col("y")).cast("long")).head()
+        r.getLong(0) <= hi && r.getLong(1) >= lo // [min,max] ∩ [lo,hi] ≠ ∅
+      }
+    }
+    val zHit = filesIntersectingYSlice(s"$dir/z", 24, 31)
+    val linHit = filesIntersectingYSlice(s"$dir/linear", 24, 31)
+    assert(linHit == 16, s"x-sorted files all span the y domain: $linHit")
+    // 1/8 y-slice over a 16-file z-layout: the curve visits the slice in
+    // a bounded number of segments; half the files is a loose ceiling
+    assert(zHit <= 8, s"z-layout must bound y per file: $zHit of 16")
+    assert(zHit < linHit)
+  }
+}
