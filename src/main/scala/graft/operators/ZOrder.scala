@@ -25,13 +25,19 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** `x` normalized to a 16-bit lane via its [xmin, xmax] domain:
-    * floor((x - xmin) * 65535 / (xmax - xmin)) — monotone, endpoints map
-    * to 0 and 65535. Integer-exact: (x - xmin) * 65535 needs
-    * domain-width · 2^16 < 2^63, true for any realistic key domain.
+    * ((x - xmin) * 65535) div (xmax - xmin) — monotone, endpoints map to
+    * 0 and 65535. `div` is Spark's INTEGRAL divide (ADVICE r13: the `/`
+    * operator is DOUBLE division, whose 2^53 mantissa would silently
+    * break lane monotonicity on domains wider than ~2^37). The one real
+    * bound left is the multiplication: domain-width · 65535 must stay
+    * below 2^63, i.e. width < 2^47 (~1.4e14) — far beyond any key
+    * domain this clusters, and an overflow there is ANSI-loud, not a
+    * silent mis-sort.
     */
   private def lane(x: Column, lo: Long, hi: Long): Column =
     if (hi == lo) lit(0L)
-    else (x.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)
+    else call_function("div",
+      (x.cast("long") - lit(lo)) * lit(65535L), lit(hi - lo))
 
   /** 32-bit Morton code: bit i of the x lane lands at position 2i, bit i
     * of the y lane at 2i+1. */

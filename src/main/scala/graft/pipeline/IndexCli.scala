@@ -101,7 +101,7 @@ object IndexCli {
       case Stats(_, dir) =>
         require(EmbedIngest.reconcile(s, dir), s"no embed index at $dir")
         val idx = EmbedIngest.index(s, dir)
-        val bands = s.table(EmbedIngest.bandTable(s, dir)).count()
+        val bands = EmbedIngest.bands(s, dir).count()
         s"embed $dir vecs=${idx.count()} bands=$bands first_batch[${perBatch(idx)}]"
       case Compact("manifest", dir, upTo) =>
         CorpusIngest.compact(s, dir, upTo); s"manifest $dir compacted upTo=$upTo"

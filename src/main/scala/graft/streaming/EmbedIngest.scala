@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.VectorFns.{dot, norm => vnorm}
+import graft.functions.VectorFns.dot
 
 /** Incremental SEMANTIC (embedding-cosine) corpus ingestion — the third
   * member of the persistent-dedup family beside [[CorpusIngest]] (exact
@@ -30,22 +30,34 @@ import graft.functions.VectorFns.{dot, norm => vnorm}
   * against DuckDB), so suppression is exact-on-candidates: the only
   * approximation is band recall.
   *
-  * Scale shape (the [[FuzzyIngest]] layout): state is TWO bucketed
-  * tables under `indexDir` — `vecs` (vec_id, label, embedding, nrm, fp,
-  * first_batch, batch) CLUSTERED BY vec_id and `bands` (band, bh,
-  * vec_id, batch) CLUSTERED BY (band, bh) — so a micro-batch's probe
-  * joins its ~4·|batch| band keys against the bands table and verifies
-  * only the candidates against `vecs`: per-batch cost O(batch +
-  * candidates), never O(corpus). Replay idempotence: static partition
-  * overwrite of `batch=<id>` plus self-exclusion in the probe, the
-  * family contract. Writer lease as in the twins.
+  * Storage (r14, VERDICT r13 #1): state is ONE table under
+  * `indexDir/idx`, PARTITIONED BY (batch, kind) and CLUSTERED BY vec_id
+  * — `kind='v'` rows carry (vec_id, label, embedding, nrm, fp,
+  * first_batch), `kind='b'` rows the (band, bh, vec_id) postings (their
+  * wide columns are null; parquet all-null chunks cost bytes of
+  * metadata). A micro-batch therefore pays ONE bucketed insert instead
+  * of the r13 layout's two table writes (measured ~0.7 s/batch of the
+  * per-batch constant), and kind-level partition pruning keeps the two
+  * access paths as separate file sets, so a probe never reads embedding
+  * bytes and a verify never reads postings. The probe joins the batch's
+  * ~4·|batch| band keys against the `kind='b'` slice with the batch
+  * side BROADCAST (micro-batches are bounded by contract; the r13
+  * layout's (band,bh) bucket locality bought the same no-index-exchange
+  * property at the cost of the second write), and the candidate verify
+  * joins bucket-locally on the table's own vec_id clustering: per-batch
+  * cost O(batch + candidates), never O(corpus). Replay idempotence:
+  * static-prefix partition overwrite of `batch=<id>` (both kinds in one
+  * atomic job commit — the r13 vecs-before-bands crash-window ordering
+  * is gone by construction) plus self-exclusion in the probe. Writer
+  * lease as in the twins.
   *
-  * Full family parity (same session as v1): the per-bucket band BLOOM
-  * sidecar (FP-only, bloom-ahead, per-bucket saturation — shared
-  * [[BloomSidecar]] machinery; an all-miss batch never opens the bands
-  * table) and the lifecycle verbs [[compact]] (intent marker +
-  * roll-forward), [[retract]], [[expire]], [[merge]] with the twins'
-  * crash contracts. Zero-norm, non-finite (NaN/±Inf element), or
+  * Full family parity: the per-bucket band BLOOM sidecar (FP-only,
+  * bloom-ahead, per-bucket saturation — shared [[BloomSidecar]]
+  * machinery; an all-miss batch never opens the band slice) and the
+  * lifecycle verbs [[compact]] (intent marker + roll-forward),
+  * [[retract]], [[expire]], [[merge]] with the twins' crash contracts —
+  * each verb now rewrites ONE partition pair per touched batch instead
+  * of two tables. Zero-norm, non-finite (NaN/±Inf element), or
   * null/empty embeddings are dropped at ingest (a NaN cosine can
   * neither suppress nor be suppressed — dropping beats carrying rows
   * no probe can ever match).
@@ -57,13 +69,26 @@ object EmbedIngest {
   val NumBands = 4
   val BitsPerBand = 16
 
-  def vecTable(s: SparkSession, indexDir: String): String =
-    "graft_embed_vecs_" + IngestPaths.digest(s, indexDir)
-  def bandTable(s: SparkSession, indexDir: String): String =
-    "graft_embed_bands_" + IngestPaths.digest(s, indexDir)
+  /** The single index table (both row kinds; see object doc). */
+  def idxTable(s: SparkSession, indexDir: String): String =
+    "graft_embed_idx_" + IngestPaths.digest(s, indexDir)
 
-  private def vecPath(indexDir: String) = s"$indexDir/vecs"
-  private def bandPath(indexDir: String) = s"$indexDir/bands"
+  private def idxPath(indexDir: String) = s"$indexDir/idx"
+
+  /** Vector rows (`kind='v'`) — the r13 `vecs` table's contract:
+    * (vec_id, label, embedding, nrm, fp, first_batch, batch).
+    */
+  def vecs(s: SparkSession, indexDir: String): DataFrame =
+    s.table(idxTable(s, indexDir)).filter(col("kind") === "v")
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("fp"), col("first_batch"), col("batch"))
+
+  /** Band-posting rows (`kind='b'`) — the r13 `bands` table's contract:
+    * (band, bh, vec_id, batch).
+    */
+  def bands(s: SparkSession, indexDir: String): DataFrame =
+    s.table(idxTable(s, indexDir)).filter(col("kind") === "b")
+      .select(col("band"), col("bh"), col("vec_id"), col("batch"))
 
   private def fsOf(s: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -74,11 +99,11 @@ object EmbedIngest {
     "graft_embed_stage_" + IngestPaths.digest(s, indexDir)
 
   // ---------------------------------------------------------------------
-  // Per-bucket bloom pre-filter over the band index — the FuzzyIngest
+  // Per-bucket bloom pre-filter over the band postings — the FuzzyIngest
   // design ported verbatim (shared machinery: BloomSidecar; same FP-only
   // / bloom-ahead / replay / per-bucket-saturation contracts): bands the
   // sketch rules out are DEFINITELY candidate-free, and an all-miss
-  // batch never opens the bands table.
+  // batch never opens the band slice.
   // ---------------------------------------------------------------------
 
   private def bloomDir(indexDir: String) = s"$indexDir/bands_bloom"
@@ -101,12 +126,12 @@ object EmbedIngest {
     BloomSidecar.probeColumn(s, st, IndexBuckets, bandBucket, bandKey)
 
   private def rebuildBlooms(s: SparkSession, indexDir: String): Unit = {
-    val bandT = bandTable(s, indexDir)
-    val maxAfter = s.table(bandT).agg(max(col("batch"))).head().getAs[Number](0)
+    val maxAfter = s.table(idxTable(s, indexDir))
+      .agg(max(col("batch"))).head().getAs[Number](0)
     if (maxAfter != null)
       BloomSidecar.rebuild(s, bloomDir(indexDir), IndexBuckets,
-        bloomKeyed(s.table(bandT)), maxAfter.longValue, defaultCapacity(s),
-        CorpusIngest.MaxBucketCapacity)
+        bloomKeyed(bands(s, indexDir)), maxAfter.longValue,
+        defaultCapacity(s), CorpusIngest.MaxBucketCapacity)
   }
 
   /** ±1 hyperplane entry for (plane, dim) — splitmix64 parity bit. */
@@ -192,32 +217,27 @@ object EmbedIngest {
           s"b -> shiftrightunsigned(fp, b * $BitsPerBand) & ${(1L << BitsPerBand) - 1})"))
         .as(Seq("band", "bh")))
 
+  private def createDdl(s: SparkSession, indexDir: String): String =
+    s"""CREATE TABLE `${idxTable(s, indexDir)}` (
+       |  vec_id BIGINT, label INT, embedding ARRAY<FLOAT>, nrm DOUBLE,
+       |  fp BIGINT, first_batch BIGINT, band INT, bh BIGINT,
+       |  batch BIGINT, kind STRING)
+       |USING PARQUET PARTITIONED BY (batch, kind)
+       |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $IndexBuckets BUCKETS
+       |LOCATION '${idxPath(indexDir)}'""".stripMargin
+
   private[graft] def reconcile(s: SparkSession, indexDir: String): Boolean = {
     val (fs, _) = fsOf(s, indexDir)
-    def one(tbl: String, path: String, ddl: String): Boolean = {
-      val exists = fs.exists(new Path(path)) &&
-        fs.listStatus(new Path(path)).nonEmpty
-      if (!exists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
-      if (exists && !s.catalog.tableExists(tbl)) {
-        s.sql(ddl); s.catalog.recoverPartitions(tbl)
-      }
-      s.catalog.tableExists(tbl)
+    val tbl = idxTable(s, indexDir)
+    val p = new Path(idxPath(indexDir))
+    val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
+    if (!exists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
+    if (exists && !s.catalog.tableExists(tbl)) {
+      s.sql(createDdl(s, indexDir)); s.catalog.recoverPartitions(tbl)
     }
-    val vecOk = one(vecTable(s, indexDir), vecPath(indexDir),
-      s"""CREATE TABLE `${vecTable(s, indexDir)}` (
-         |  vec_id BIGINT, label INT, embedding ARRAY<FLOAT>, nrm DOUBLE,
-         |  fp BIGINT, first_batch BIGINT, batch BIGINT)
-         |USING PARQUET PARTITIONED BY (batch)
-         |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $IndexBuckets BUCKETS
-         |LOCATION '${vecPath(indexDir)}'""".stripMargin)
-    val bandOk = one(bandTable(s, indexDir), bandPath(indexDir),
-      s"""CREATE TABLE `${bandTable(s, indexDir)}` (
-         |  band INT, bh BIGINT, vec_id BIGINT, batch BIGINT)
-         |USING PARQUET PARTITIONED BY (batch)
-         |CLUSTERED BY (band, bh) SORTED BY (band, bh) INTO $IndexBuckets BUCKETS
-         |LOCATION '${bandPath(indexDir)}'""".stripMargin)
-    if (vecOk && bandOk) rollForward(s, indexDir) // heal a crashed compact
-    vecOk && bandOk
+    val ok = s.catalog.tableExists(tbl) && exists
+    if (ok) rollForward(s, indexDir) // heal a crashed compact
+    ok
   }
 
   /** Complete a crashed [[compact]] — the family's one-entry redo-log
@@ -231,10 +251,8 @@ object EmbedIngest {
         .exists(_._1 == IngestPaths.leaseOwner)
       IngestPaths.acquireLease(s, indexDir)
       try {
-        if (s.catalog.tableExists(vecTable(s, indexDir)) &&
-            s.catalog.tableExists(bandTable(s, indexDir))) {
-          s.catalog.refreshTable(vecTable(s, indexDir))
-          s.catalog.refreshTable(bandTable(s, indexDir))
+        if (s.catalog.tableExists(idxTable(s, indexDir))) {
+          s.catalog.refreshTable(idxTable(s, indexDir))
           runCompaction(s, indexDir, upToBatch)
         }
         IngestPaths.clearMarker(s, indexDir)
@@ -242,19 +260,19 @@ object EmbedIngest {
     }
 
   /** Consolidate every index partition with `batch <= upToBatch` into
-    * the reserved [[CorpusIngest.CompactedBatch]] partition of BOTH
-    * tables — the family compaction (partition/file count stops growing
-    * O(lifetime), bucket specs survive). Same replay rule (`upToBatch`
-    * strictly below the newest batch) and crash-atomicity protocol
-    * (durable intent marker, rolled forward by the next
+    * the reserved [[CorpusIngest.CompactedBatch]] partition (both kinds,
+    * one insert) — the family compaction (partition/file count stops
+    * growing O(lifetime), the bucket spec survives). Same replay rule
+    * (`upToBatch` strictly below the newest batch) and crash-atomicity
+    * protocol (durable intent marker, rolled forward by the next
     * [[ingestBatch]]/[[index]]/[[compact]] call, cleared last).
     */
   def compact(s: SparkSession, indexDir: String, upToBatch: Long): Unit = {
     require(reconcile(s, indexDir), s"no embed index at $indexDir")
     IngestPaths.acquireLease(s, indexDir)
-    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
-    s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
-    val maxBatch = s.table(vecT).agg(max(col("batch"))).head().getAs[Number](0)
+    val tbl = idxTable(s, indexDir)
+    s.catalog.refreshTable(tbl)
+    val maxBatch = s.table(tbl).agg(max(col("batch"))).head().getAs[Number](0)
     require(maxBatch != null && upToBatch < maxBatch.longValue,
       s"compact(upToBatch=$upToBatch): the newest batch ($maxBatch) may " +
         "still replay under foreachBatch's at-least-once contract")
@@ -264,17 +282,15 @@ object EmbedIngest {
   }
 
   /** The compaction body — idempotent from any crash point (same
-    * consolidate→drop shape as the twins; vecs first, bands second,
-    * matching the ingest write order).
+    * consolidate→drop shape as the twins; one staged insert covers both
+    * row kinds, so there is no inter-table crash window left).
     */
   private def runCompaction(s: SparkSession, indexDir: String,
       upToBatch: Long): Unit = {
-    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    val tbl = idxTable(s, indexDir)
     val sentinel = CorpusIngest.CompactedBatch
-    val fresh = Seq(vecT, bandT).exists { t =>
-      !s.table(t).filter(col("batch") <= upToBatch &&
-        col("batch") =!= sentinel).isEmpty
-    }
+    val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
+    val fresh = !toMerge.filter(col("batch") =!= sentinel).isEmpty
     if (!fresh) {
       // manual compact() is the documented recovery path for a deleted
       // or saturated bloom sidecar (family contract)
@@ -284,54 +300,71 @@ object EmbedIngest {
         rebuildBlooms(s, indexDir)
       return
     }
-    def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
-        insertCols: String): Unit = {
-      val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
-      if (toMerge.isEmpty) return
-      val staged = dedup(toMerge).localCheckpoint(true)
-      try {
-        val view = stageView(s, indexDir)
-        staged.createOrReplaceTempView(view)
-        try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
-                     |SELECT $insertCols FROM `$view`""".stripMargin)
-        finally s.catalog.dropTempView(view)
-        // re-assert the writer lease before the destructive drop phase
-        IngestPaths.acquireLease(s, indexDir)
-        val (fs, p) = fsOf(s, path)
-        fs.listStatus(p).filter(_.isDirectory).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("batch=")) {
-            val v = n.stripPrefix("batch=").toLong
-            if (v <= upToBatch && v != sentinel) {
-              fs.delete(st.getPath, true)
-              s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
-            }
-          }
-        }
-        s.catalog.refreshTable(tbl)
-      } finally staged.unpersist()
-    }
     val wd = Window.partitionBy(col("vec_id"))
       .orderBy(col("first_batch"), col("batch"))
-    consolidate(vecT, vecPath(indexDir),
-      df => df.withColumn("__rn", row_number().over(wd))
-        .filter(col("__rn") === 1)
-        .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
-          col("fp"), col("first_batch")),
-      "vec_id, label, embedding, nrm, fp, first_batch")
-    consolidate(bandT, bandPath(indexDir),
-      df => df.select(col("band"), col("bh"), col("vec_id")).distinct(),
-      "band, bh, vec_id")
+    val vecRows = toMerge.filter(col("kind") === "v")
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("fp"), col("first_batch"), col("band"), col("bh"), col("kind"))
+    val bandRows = toMerge.filter(col("kind") === "b")
+      .select(col("band"), col("bh"), col("vec_id")).distinct()
+      .select(col("vec_id"), lit(null).cast("int").as("label"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(null).cast("double").as("nrm"), lit(null).cast("bigint").as("fp"),
+        lit(null).cast("bigint").as("first_batch"),
+        col("band"), col("bh"), lit("b").as("kind"))
+    val staged = vecRows.unionByName(bandRows).localCheckpoint(true)
+    try {
+      val view = stageView(s, indexDir)
+      staged.createOrReplaceTempView(view)
+      try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel, kind)
+                   |SELECT vec_id, label, embedding, nrm, fp, first_batch,
+                   |       band, bh, kind FROM `$view`""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      // re-assert the writer lease before the destructive drop phase
+      IngestPaths.acquireLease(s, indexDir)
+      val (fs, p) = fsOf(s, idxPath(indexDir))
+      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) {
+          val v = n.stripPrefix("batch=").toLong
+          if (v <= upToBatch && v != sentinel) {
+            fs.delete(st.getPath, true)
+            s.sql(s"""ALTER TABLE `$tbl` DROP IF EXISTS
+                     |PARTITION (batch=$v, kind='v'),
+                     |PARTITION (batch=$v, kind='b')""".stripMargin)
+          }
+        }
+      }
+      s.catalog.refreshTable(tbl)
+    } finally staged.unpersist()
     // rebuild the band sketches sized to bucket population (clears any
     // per-batch-capacity saturation — the family contract)
     rebuildBlooms(s, indexDir)
   }
 
+  /** The union frame one batch inserts: survivors as `kind='v'` rows +
+    * their band postings as `kind='b'` rows (wide columns null).
+    */
+  private def unionRows(staged: DataFrame, firstBatch: Long): DataFrame =
+    staged.select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("fp"), lit(firstBatch).as("first_batch"),
+        lit(null).cast("int").as("band"), lit(null).cast("bigint").as("bh"),
+        lit("v").as("kind"))
+      .unionByName(bandsOf(staged)
+        .select(col("vec_id"), lit(null).cast("int").as("label"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit(null).cast("double").as("nrm"),
+          lit(null).cast("bigint").as("fp"),
+          lit(null).cast("bigint").as("first_batch"),
+          col("band"), col("bh"), lit("b").as("kind")))
+
   /** One ingest merge — batch columns `(vec_id, embedding, label)`.
     * Within-batch EXACT dedup (identical embedding → min vec_id; the
     * within-batch NEAR-dup case is deliberately not collapsed, matching
     * [[FuzzyIngest]]'s default), then LSH-probe + exact-cosine verify
-    * against history, then append survivors to both tables.
+    * against history, then ONE insert of survivors + postings.
     */
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, simThreshold: Double = 0.99): Unit = {
@@ -349,6 +382,10 @@ object EmbedIngest {
     }
     IngestPaths.acquireLease(s, indexDir)
     val exists = reconcile(s, indexDir)
+    // the single write path needs the table up front; the DDL is a
+    // driver-only catalog op (the r13 layout paid two saveAsTable jobs
+    // ~2.4 s for the same first batch)
+    if (!exists) s.sql(createDdl(s, indexDir))
     mark("reconcile")
     val signed0 = fingerprints(batch)
     val w = Window.partitionBy(col("fp"), col("embedding")).orderBy(col("vec_id"))
@@ -387,7 +424,7 @@ object EmbedIngest {
           val newBands = bandsOf(signed)
           // bloom pre-filter: bands the sketch has never seen are
           // definitely candidate-free — when NONE probe probable, the
-          // bands table's data files are never opened this batch
+          // band slice's data files are never opened this batch
           val probed = probe match {
             case Some(p) =>
               if (bloomProbable == 0) None
@@ -396,24 +433,29 @@ object EmbedIngest {
           }
           probed match {
             case None => signed
-            case Some(bands) =>
-              val idx = s.table(bandTable(s, indexDir))
+            case Some(nb) =>
+              // batch side broadcast (bounded by the micro-batch
+              // contract, and pre-shrunk by the bloom filter); the
+              // kind='b' partition slice is scanned without shuffle
+              val idx = bands(s, indexDir)
                 .filter(col("batch") =!= batchId)
                 .select(col("band"), col("bh"), col("vec_id").as("old_id"))
-              val cand = bands.alias("n").join(idx.alias("o"),
+              val cand = broadcast(nb).alias("n").join(idx.alias("o"),
                   col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
                 .select(col("n.vec_id").as("new_id"), col("old_id")).distinct()
-              val oldVecs = s.table(vecTable(s, indexDir))
+              val oldVecs = vecs(s, indexDir)
                 .filter(col("batch") =!= batchId)
                 .select(col("vec_id").as("old_id"),
                   col("embedding").as("old_emb"), col("nrm").as("old_nrm"))
+              // no distinct on the verified pairs: the left_anti below is
+              // duplicate-insensitive, and dropping it saves a shuffle
               val dup = cand
                 .join(oldVecs, "old_id")
                 .join(signed.select(col("vec_id").as("new_id"),
                   col("embedding").as("new_emb"), col("nrm").as("new_nrm")), "new_id")
                 .filter(dot(col("new_emb"), col("old_emb")) /
                   (col("new_nrm") * col("old_nrm")) >= simThreshold)
-                .select(col("new_id").as("vec_id")).distinct()
+                .select(col("new_id").as("vec_id"))
               signed.join(dup, Seq("vec_id"), "left_anti")
           }
         }
@@ -424,50 +466,26 @@ object EmbedIngest {
         mark("verify+stage")
         val appended = staged.count()
         mark("staged_count")
-        // bloom-ahead of both inserts (survivors' bands only): a crash
-        // between the merge and the inserts leaves FP-only sketch state
+        // bloom-ahead of the insert (survivors' bands only): a crash
+        // between the merge and the insert leaves FP-only sketch state
         // — the family contract
         if (appended > 0 || !exists)
           BloomSidecar.merge(s, bloomDir(indexDir), IndexBuckets, batchId,
             bloomKeyed(bandsOf(staged).select(col("band"), col("bh"))),
             st, exists, defaultCapacity(s))
         mark("bloom_merge")
-        def insertInto(tbl: String, df: DataFrame, cols: String): Unit = {
-          val view = stageView(s, indexDir)
-          df.createOrReplaceTempView(view)
-          try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$batchId)
-                       |SELECT $cols FROM `$view`""".stripMargin)
-          finally s.catalog.dropTempView(view)
-        }
-        if (!exists) {
-          staged.withColumn("first_batch", lit(batchId))
-            .withColumn("batch", lit(batchId)).write.mode("overwrite")
-            .partitionBy("batch")
-            .bucketBy(IndexBuckets, "vec_id").sortBy("vec_id")
-            .option("path", vecPath(indexDir))
-            .saveAsTable(vecTable(s, indexDir))
-          mark("write_vecs")
-          bandsOf(staged).select(col("band"), col("bh"), col("vec_id"))
-            .withColumn("batch", lit(batchId)).write.mode("overwrite")
-            .partitionBy("batch")
-            .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
-            .option("path", bandPath(indexDir))
-            .saveAsTable(bandTable(s, indexDir))
-          mark("write_bands")
-        } else {
-          // vecs BEFORE bands (the family's crash ordering: a band row
-          // whose vector is missing would make a candidate verify
-          // against nothing; the reverse gap only delays suppression
-          // until replay)
-          insertInto(vecTable(s, indexDir),
-            staged,
-            s"vec_id, label, embedding, nrm, fp, $batchId AS first_batch")
-          mark("write_vecs")
-          insertInto(bandTable(s, indexDir),
-            bandsOf(staged).select(col("band"), col("bh"), col("vec_id")),
-            "band, bh, vec_id")
-          mark("write_bands")
-        }
+        val view = stageView(s, indexDir)
+        unionRows(staged, batchId).createOrReplaceTempView(view)
+        // ONE bucketed insert for both kinds: the static batch prefix +
+        // dynamic kind overwrite replays idempotently (STATIC mode wipes
+        // every (batch=$batchId, *) partition first), and both kinds land
+        // in the same job commit — no vecs-before-bands crash window
+        try s.sql(s"""INSERT OVERWRITE TABLE `${idxTable(s, indexDir)}`
+                     |PARTITION (batch=$batchId, kind)
+                     |SELECT vec_id, label, embedding, nrm, fp, first_batch,
+                     |       band, bh, kind FROM `$view`""".stripMargin)
+        finally s.catalog.dropTempView(view)
+        mark("write_idx")
         IngestEvents.post(IngestEvents.IngestProgress("embed_ingest",
           indexDir, batchId, docsIn, uniqueIn, appended, bloomProbable))
       } finally staged.unpersist()
@@ -488,128 +506,119 @@ object EmbedIngest {
       }
       .start()
 
-  private val VecCols = Seq("vec_id", "label", "embedding", "nrm", "fp",
-    "first_batch")
-  private val VecColsSql = VecCols.mkString(", ")
+  private val AllCols = Seq("vec_id", "label", "embedding", "nrm", "fp",
+    "first_batch", "band", "bh", "kind")
+  private val AllColsSql = AllCols.mkString(", ")
 
   /** RETRACT (takedown) vectors by id — the family verb ported
-    * ([[FuzzyIngest.retract]] shape): bands dropped before sigs/vecs,
-    * staged static-partition overwrites under the lease, newest REAL
-    * batch refused (the consolidated partition never replays),
-    * partial-crash re-run contract. Returns vec rows removed.
+    * ([[FuzzyIngest.retract]] shape): staged static-partition overwrites
+    * under the lease rewrite BOTH kinds of each touched batch in one
+    * insert (the r13 bands-before-vecs ordering is gone by
+    * construction), newest REAL batch refused (the consolidated
+    * partition never replays), partial-crash re-run contract. Returns
+    * vec rows removed.
     */
   def retract(s: SparkSession, indexDir: String, vecIds: DataFrame): Long = {
     require(reconcile(s, indexDir), s"no embed index at $indexDir")
     IngestPaths.acquireLease(s, indexDir)
-    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
-    s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
+    val tbl = idxTable(s, indexDir)
+    s.catalog.refreshTable(tbl)
     val ids = vecIds.select(col(vecIds.columns.head).cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
     try {
       val sentinel = CorpusIngest.CompactedBatch
-      val maxBatch = s.table(vecT).filter(col("batch") =!= sentinel)
+      val maxBatch = s.table(tbl).filter(col("batch") =!= sentinel)
         .agg(max(col("batch"))).head().getAs[Number](0)
-      def affected(tbl: String): Map[Long, Long] =
-        s.table(tbl).join(ids, Seq("vec_id"), "left_semi")
-          .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
-      val vecHits = affected(vecT); val bandHits = affected(bandT)
-      require(maxBatch == null ||
-          (!vecHits.contains(maxBatch.longValue) &&
-            !bandHits.contains(maxBatch.longValue)),
+      // per-batch hit counts over BOTH kinds in one pass; nv = vec rows
+      // (the verb's return value)
+      val hits = s.table(tbl).join(ids, Seq("vec_id"), "left_semi")
+        .groupBy(col("batch"))
+        .agg(sum(when(col("kind") === "v", 1L).otherwise(0L)).as("nv"))
+        .collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      require(maxBatch == null || !hits.contains(maxBatch.longValue),
         s"retract: ids live in the newest batch ($maxBatch) which may " +
           "still replay under foreachBatch's at-least-once contract and " +
           "would resurrect them - compact first or retract after the " +
           "next batch")
-      def rewrite(tbl: String, hits: Map[Long, Long], cols: Seq[String],
-          insertCols: String): Unit =
-        hits.keys.foreach { v =>
-          val staged = s.table(tbl).filter(col("batch") === v)
-            .join(ids, Seq("vec_id"), "left_anti")
-            .select(cols.map(col): _*)
-            .localCheckpoint(true)
-          val view = stageView(s, indexDir)
-          staged.createOrReplaceTempView(view)
-          try s.sql(
-            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v)
-               |SELECT $insertCols FROM `$view`""".stripMargin)
-          finally {
-            s.catalog.dropTempView(view)
-            staged.unpersist()
-          }
+      hits.keys.foreach { v =>
+        val staged = s.table(tbl).filter(col("batch") === v)
+          .join(ids, Seq("vec_id"), "left_anti")
+          .select(AllCols.map(col): _*)
+          .localCheckpoint(true)
+        val view = stageView(s, indexDir)
+        staged.createOrReplaceTempView(view)
+        try s.sql(
+          s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v, kind)
+             |SELECT $AllColsSql FROM `$view`""".stripMargin)
+        finally {
+          s.catalog.dropTempView(view)
+          staged.unpersist()
         }
-      rewrite(bandT, bandHits, Seq("band", "bh", "vec_id"),
-        "band, bh, vec_id")
-      rewrite(vecT, vecHits, VecCols, VecColsSql)
-      s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
-      vecHits.values.sum
+      }
+      s.catalog.refreshTable(tbl)
+      hits.values.sum
     } finally ids.unpersist()
   }
 
   /** EXPIRE (retention) — the family verb ported: whole-partition drops
-    * for per-batch partitions, consolidated vecs filtered on
-    * `first_batch`, consolidated bands anti-joined against the expired
-    * ids, bands before vecs. Returns vec rows removed.
+    * for per-batch partitions (both kinds live under one batch dir),
+    * then the consolidated partition rewritten once — vec rows filtered
+    * on `first_batch`, band rows anti-joined against the expired ids.
+    * Returns vec rows removed.
     */
   def expire(s: SparkSession, indexDir: String, olderThanBatch: Long): Long = {
     require(reconcile(s, indexDir), s"no embed index at $indexDir")
     IngestPaths.acquireLease(s, indexDir)
-    val vecT = vecTable(s, indexDir); val bandT = bandTable(s, indexDir)
-    s.catalog.refreshTable(vecT); s.catalog.refreshTable(bandT)
+    val tbl = idxTable(s, indexDir)
+    s.catalog.refreshTable(tbl)
     val sentinel = CorpusIngest.CompactedBatch
-    val maxBatch = s.table(vecT).filter(col("batch") =!= sentinel)
+    val maxBatch = s.table(tbl).filter(col("batch") =!= sentinel)
       .agg(max(col("batch"))).head().getAs[Number](0)
     require(maxBatch == null || olderThanBatch < maxBatch.longValue,
       s"expire(olderThanBatch=$olderThanBatch): the newest batch " +
         s"($maxBatch) may still replay under foreachBatch's at-least-once " +
         "contract and must stay")
     var removed = 0L
-    def dropOld(tbl: String, path: String, countRows: Boolean): Unit = {
-      val (fs, p) = fsOf(s, path)
-      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("batch=")) {
-          val v = n.stripPrefix("batch=").toLong
-          if (v != sentinel && v <= olderThanBatch) {
-            if (countRows)
-              removed += s.table(tbl).filter(col("batch") === v).count()
-            fs.delete(st.getPath, true)
-            s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
-          }
+    val (fs, p) = fsOf(s, idxPath(indexDir))
+    fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=")) {
+        val v = n.stripPrefix("batch=").toLong
+        if (v != sentinel && v <= olderThanBatch) {
+          removed += s.table(tbl)
+            .filter(col("batch") === v && col("kind") === "v").count()
+          fs.delete(st.getPath, true)
+          s.sql(s"""ALTER TABLE `$tbl` DROP IF EXISTS
+                   |PARTITION (batch=$v, kind='v'),
+                   |PARTITION (batch=$v, kind='b')""".stripMargin)
         }
       }
-      s.catalog.refreshTable(tbl)
     }
-    dropOld(bandT, bandPath(indexDir), countRows = false)
-    dropOld(vecT, vecPath(indexDir), countRows = true)
-    val vecC = s.table(vecT).filter(col("batch") === sentinel)
-    val expired = vecC.filter(col("first_batch") <= olderThanBatch)
+    s.catalog.refreshTable(tbl)
+    val consolidated = s.table(tbl).filter(col("batch") === sentinel)
+    val expired = consolidated
+      .filter(col("kind") === "v" && col("first_batch") <= olderThanBatch)
       .select(col("vec_id")).localCheckpoint(true)
     try {
       val nExpired = expired.count()
       if (nExpired > 0) {
-        def rewrite(tbl: String, df: DataFrame, insertCols: String): Unit = {
-          val staged = df.localCheckpoint(true)
-          val view = stageView(s, indexDir)
-          staged.createOrReplaceTempView(view)
-          try s.sql(
-            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
-               |SELECT $insertCols FROM `$view`""".stripMargin)
-          finally {
-            s.catalog.dropTempView(view)
-            staged.unpersist()
-          }
-          s.catalog.refreshTable(tbl)
+        val keptVecs = consolidated.filter(col("kind") === "v" &&
+          col("first_batch") > olderThanBatch)
+        val keptBands = consolidated.filter(col("kind") === "b")
+          .join(expired, Seq("vec_id"), "left_anti")
+        val staged = keptVecs.unionByName(keptBands)
+          .select(AllCols.map(col): _*).localCheckpoint(true)
+        val view = stageView(s, indexDir)
+        staged.createOrReplaceTempView(view)
+        try s.sql(
+          s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel, kind)
+             |SELECT $AllColsSql FROM `$view`""".stripMargin)
+        finally {
+          s.catalog.dropTempView(view)
+          staged.unpersist()
         }
-        rewrite(bandT,
-          s.table(bandT).filter(col("batch") === sentinel)
-            .join(expired, Seq("vec_id"), "left_anti")
-            .select(col("band"), col("bh"), col("vec_id")),
-          "band, bh, vec_id")
-        rewrite(vecT,
-          vecC.filter(col("first_batch") > olderThanBatch)
-            .select(VecCols.map(col): _*),
-          VecColsSql)
+        s.catalog.refreshTable(tbl)
         removed += nExpired
       }
     } finally expired.unpersist()
@@ -619,9 +628,10 @@ object EmbedIngest {
   /** MERGE two independently built embed indexes into a FRESH third —
     * the family verb ported, with the cross-index step: `b` vectors
     * within `simThreshold` cosine of SOME `a` vector are suppressed
-    * (candidates from a (band,bh) join of the band tables — O(|b| +
-    * collisions)), `a` senior. doc-id spaces must be disjoint;
-    * destination must not exist. Returns merged vec count.
+    * (candidates from a (band,bh) join of the band slices — a shuffled
+    * join, acceptable for an offline verb whose output write is O(index)
+    * anyway), `a` senior. doc-id spaces must be disjoint; destination
+    * must not exist. Returns merged vec count.
     */
   def merge(s: SparkSession, aDir: String, bDir: String, dstDir: String,
       simThreshold: Double = 0.99): Long = {
@@ -629,13 +639,13 @@ object EmbedIngest {
     require(reconcile(s, bDir), s"no embed index at $bDir")
     val (fs, dstPath) = fsOf(s, dstDir)
     require(!fs.exists(dstPath), s"merge destination already exists: $dstDir")
-    val aVec = s.table(vecTable(s, aDir))
-    val bVec = s.table(vecTable(s, bDir))
+    val aVec = vecs(s, aDir)
+    val bVec = vecs(s, bDir)
     require(aVec.select(col("vec_id"))
         .join(bVec.select(col("vec_id")), "vec_id").isEmpty,
       "vec_id spaces of the two indexes overlap - remap ids before merging")
-    val aBands = s.table(bandTable(s, aDir)).select(col("band"), col("bh"), col("vec_id"))
-    val bBands = s.table(bandTable(s, bDir)).select(col("band"), col("bh"), col("vec_id"))
+    val aBands = bands(s, aDir).select(col("band"), col("bh"), col("vec_id"))
+    val bBands = bands(s, bDir).select(col("band"), col("bh"), col("vec_id"))
     val cand = bBands.alias("n").join(aBands.alias("o"),
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
       .select(col("n.vec_id").as("new_id"), col("o.vec_id").as("old_id"))
@@ -648,29 +658,36 @@ object EmbedIngest {
       .filter(dot(col("new_emb"), col("old_emb")) /
         (col("new_nrm") * col("old_nrm")) >= simThreshold)
       .select(col("new_id").as("vec_id")).distinct()
-    val vecsOut = aVec.select(VecCols.map(col): _*)
+    val vecCols = Seq("vec_id", "label", "embedding", "nrm", "fp",
+      "first_batch")
+    val keptVecs = aVec.select(vecCols.map(col): _*)
       .unionByName(bVec.join(dup, Seq("vec_id"), "left_anti")
-        .select(VecCols.map(col): _*))
-    val bandsOut = aBands
+        .select(vecCols.map(col): _*))
+      .withColumn("band", lit(null).cast("int"))
+      .withColumn("bh", lit(null).cast("bigint"))
+      .withColumn("kind", lit("v"))
+    val keptBands = aBands
       .unionByName(bBands.join(dup, Seq("vec_id"), "left_anti"))
       .distinct()
+      .select(col("vec_id"), lit(null).cast("int").as("label"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit(null).cast("double").as("nrm"), lit(null).cast("bigint").as("fp"),
+        lit(null).cast("bigint").as("first_batch"),
+        col("band"), col("bh"), lit("b").as("kind"))
     val sentinel = CorpusIngest.CompactedBatch
-    vecsOut.withColumn("batch", lit(sentinel)).write
-      .partitionBy("batch")
-      .bucketBy(IndexBuckets, "vec_id").sortBy("vec_id")
-      .option("path", vecPath(dstDir))
-      .saveAsTable(vecTable(s, dstDir))
-    bandsOut.withColumn("batch", lit(sentinel)).write
-      .partitionBy("batch")
-      .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
-      .option("path", bandPath(dstDir))
-      .saveAsTable(bandTable(s, dstDir))
+    s.sql(createDdl(s, dstDir))
+    val view = stageView(s, dstDir)
+    keptVecs.unionByName(keptBands).createOrReplaceTempView(view)
+    try s.sql(s"""INSERT OVERWRITE TABLE `${idxTable(s, dstDir)}`
+                 |PARTITION (batch=$sentinel, kind)
+                 |SELECT $AllColsSql FROM `$view`""".stripMargin)
+    finally s.catalog.dropTempView(view)
     rebuildBlooms(s, dstDir)
-    s.table(vecTable(s, dstDir)).count()
+    vecs(s, dstDir).count()
   }
 
   /** Every surviving vector with the batch that first saw it. */
   def index(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(vecPath(indexDir))
+    s.read.parquet(idxPath(indexDir)).filter(col("kind") === "v")
       .select(col("vec_id"), col("label"), col("first_batch").as("batch"))
 }

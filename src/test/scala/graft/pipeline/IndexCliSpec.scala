@@ -86,8 +86,7 @@ class IndexCliSpec extends SparkSpec {
       Seq((1L, unit(0), 0)).toDF("vec_id", "embedding", "label"), 0L, s"$base/e")
     Seq(FuzzyIngest.sigTable(spark, s"$base/f"),
         FuzzyIngest.bandTable(spark, s"$base/f"),
-        EmbedIngest.vecTable(spark, s"$base/e"),
-        EmbedIngest.bandTable(spark, s"$base/e"))
+        EmbedIngest.idxTable(spark, s"$base/e"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val fs = IndexCli.run(spark, IndexCli.Stats("fuzzy", s"$base/f"))
     assert(fs.contains("sigs=1"), fs)

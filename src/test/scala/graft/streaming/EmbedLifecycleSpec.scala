@@ -28,7 +28,7 @@ class EmbedLifecycleSpec extends SparkSpec {
     EmbedIngest.ingestBatch(vecs((3L, unit(2), 2)), 2L, dir)
     EmbedIngest.compact(spark, dir, upToBatch = 1L)
     // physical layout: batches 0-1 consolidated, batch 2 intact
-    val parts = spark.table(EmbedIngest.vecTable(spark, dir))
+    val parts = EmbedIngest.vecs(spark, dir)
       .select(col("batch").cast("long")).distinct().as[Long].collect().toSet
     assert(parts == Set(CorpusIngest.CompactedBatch, 2L), s"partitions: $parts")
     // provenance survives; suppression against CONSOLIDATED history works
@@ -50,7 +50,7 @@ class EmbedLifecycleSpec extends SparkSpec {
       (1L, unit(0), 0), (2L, unit(1), 1)), 0L, dir)
     EmbedIngest.ingestBatch(vecs((3L, unit(2), 2)), 1L, dir)
     assert(EmbedIngest.retract(spark, dir, idsOf(1L, 999L)) == 1L)
-    val bandDocs = spark.table(EmbedIngest.bandTable(spark, dir))
+    val bandDocs = EmbedIngest.bands(spark, dir)
       .select(col("vec_id")).distinct().as[Long].collect().toSet
     assert(bandDocs == Set(2L, 3L), s"band postings after retract: $bandDocs")
     EmbedIngest.ingestBatch(vecs(

@@ -9,13 +9,15 @@ declared baselines). Usage:
     python3 tools/decade_analysis.py BENCH_r13_sf01_control.json \
         BENCH_scale_r13_sf1.json BENCH_scale_r13_sf10_clean.json
 """
-import json, math, sys
+import json, math, os, sys
 
-DECLARED = {  # declared exact baselines with shipped escapes (VERDICT r12 #3)
-    'llm_similarity_join': 'exact all-pairs by contract; escape llm_similarity_ann_join',
-    'join_theta_range': 'exact theta by contract; escape join_range_agg',
-    'join_range_bucketed': 'exact range semantics; escape join_range_agg',
-}
+# declared exact baselines with shipped escapes — single source of truth
+# shared with the VERDICT/SURVEY declaration (see the _comment inside):
+# tools/declared_baselines.json
+with open(os.path.join(os.path.dirname(__file__),
+                       'declared_baselines.json')) as f:
+    DECLARED = {k: v for k, v in json.load(f).items()
+                if not k.startswith('_')}
 
 def load(p):
     d = json.load(open(p))
@@ -53,8 +55,6 @@ def main(c01, c1, c10):
           f"sf10 {t10:.1f}s")
     print(f"overall exponents: sf0.1->sf1 {math.log10(t1/t01):.3f}  "
           f"sf1->sf10 {math.log10(t10/t1):.3f}")
-    over = [q for q, *_, e2, _j in [(r[0], r[4], r[5], r[6]) for r in rows]
-            ]  # placeholder to keep lint simple
     over = [r[0] for r in rows if r[5] > 1.2 and r[0] not in DECLARED]
     jumps = [r[0] for r in rows if r[6] > 0.2 and r[5] <= 1.2]
     print(f"\n>1.2 non-declared: {over}")
