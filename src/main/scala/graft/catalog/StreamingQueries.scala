@@ -118,7 +118,12 @@ object StreamingQueries {
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
       Seq(0, 1).foreach { i =>
         val tmp = s"$base/tmp$i"
-        docs.filter(col("doc_id") % 2 === i).coalesce(1).write.parquet(tmp)
+        // pmod over a null-coalesced id: every document (null or negative
+        // doc_id included) rides EXACTLY one delivery — the twin scores
+        // every non-null-text doc, so a plain `% 2 === i` split would
+        // silently drop null-id rows from both deliveries (ADVICE r13)
+        docs.filter(pmod(coalesce(col("doc_id"), lit(0L)), lit(2)) === i)
+          .coalesce(1).write.parquet(tmp)
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(sys.error(s"no part file in $tmp"))

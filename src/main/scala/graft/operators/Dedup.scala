@@ -96,7 +96,10 @@ object Dedup {
       // carry mode (r13): pass metadata columns THROUGH the kernel 1:1
       // instead of joining them back onto the signatures afterwards — the
       // join was a full extra shuffle per ingest micro-batch, and a 1:1
-      // map keeps arrival counts exact (no join drop/dup semantics)
+      // map keeps arrival counts exact (no join drop/dup semantics).
+      // 1:1 also means null doc_ids ride through (the old join dropped
+      // them) — callers own the null-id policy; FuzzyIngest.ingestBatch
+      // drops them at the door as degenerate (unretractable) rows.
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
       val in = docs.select(

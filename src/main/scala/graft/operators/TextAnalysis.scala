@@ -250,13 +250,16 @@ object TextAnalysis {
     * an HOF fold — the BPE/winnowing lesson: nested HOF lambdas run
     * interpreted and re-evaluate inlined inputs per element. Pure map +
     * one small aggregate shuffle downstream: linear in executors at
-    * 100 TB. Null text → no row (unscorable, the SQL twin's WHERE).
+    * 100 TB. Null text → no row (unscorable, the SQL twin's WHERE); a
+    * null doc_id rides through scored (Option id — ADVICE r13: the
+    * non-nullable Long encoder would have thrown, and the SQL twin
+    * scores every non-null-text document regardless of id).
     */
   def qualityClassifier(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
-      .as[(Long, Option[String], String)]
+      .as[(Option[Long], Option[String], String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def w(f: String): Long = {

@@ -346,9 +346,16 @@ object FuzzyIngest {
     // within-batch EXACT dedup (min doc_id per text), then sign. __grp =
     // group size, carried so docsIn needs no separate raw-batch pass
     // (same shuffle; r11 constant-shave) — only ever read driver-side.
+    // Null-id rows drop at the door (ADVICE r13): a document the index
+    // could never retract/merge (no id) is degenerate, the same
+    // principle that drops non-finite embeddings in the semantic twin —
+    // and before r13's carry mode the join-back dropped them implicitly,
+    // so this restores that contract explicitly. They are excluded from
+    // docsIn too (arrival counts are defined over non-degenerate rows).
     val w = Window.partitionBy(col("__h"), col("__len")).orderBy(col("doc_id"))
     val wAll = Window.partitionBy(col("__h"), col("__len"))
     val uniq = batch
+      .filter(col("doc_id").isNotNull)
       .withColumn("__h", xxhash64(coalesce(col("text"), lit(""))))
       .withColumn("__len", coalesce(length(col("text")), lit(-1)))
       .withColumn("__rn", row_number().over(w))

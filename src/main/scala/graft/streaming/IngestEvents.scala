@@ -22,8 +22,14 @@ object IngestEvents {
 
   /** One ingest micro-batch, after its state writes committed.
     *
-    * `bloomProbable` = docs the bloom routed to the anti-join (-1 when no
-    * bloom pre-filter was active this batch); `suppressed` counts only
+    * `bloomProbable` = post-dedup ROWS the bloom routed to the
+    * join/anti-join (-1 when no bloom pre-filter was active this batch).
+    * Row semantics, declared (ADVICE r13): the fused scalar pre-probe
+    * counts signed rows, and on the fuzzy collapse path the exploded
+    * probe counts distinct doc_ids — the two differ only when one doc_id
+    * arrives under two different texts in the same delivery, a
+    * duplicate-id corner this observability metric does not chase at the
+    * cost of an Expand in the hot aggregate. `suppressed` counts only
     * CROSS-batch suppression (uniqueIn - appended).
     */
   final case class IngestProgress(pipeline: String, stateDir: String,

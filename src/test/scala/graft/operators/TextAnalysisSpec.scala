@@ -144,6 +144,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getLong(2) === 1000L * w("solo"), "single token: no bigrams")
   }
 
+  test("qualityClassifier: a null doc_id rides through scored (ADVICE r13)") {
+    // the SQL twin scores every non-null-TEXT document regardless of id;
+    // the old non-nullable Long encoder would have thrown on the null
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = TextAnalysis.qualityClassifier(
+      Seq((Option.empty[Long], Option("en"), "x y"),
+          (Some(2L), Option("en"), "x y")).toDF("doc_id", "lang", "text"))
+      .orderBy(col("doc_id").asc_nulls_first).collect()
+    assert(out.length == 2, "null-id row must be scored, not dropped")
+    assert(out(0).isNullAt(0), "id stays null")
+    assert(out(0).getLong(2) == out(1).getLong(2), "same text, same score")
+  }
+
   test("qualityClassifier: trailing empty tokens are features (split limit -1)") {
     // "x " -> tokens [x, ""] -> feats {x, "", "x "} — the string_split
     // parity rule every text kernel follows

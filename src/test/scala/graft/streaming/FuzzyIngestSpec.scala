@@ -327,6 +327,24 @@ class FuzzyIngestSpec extends SparkSpec {
       s"pre-join arrival counts: ${ev2(0).line}")
   }
 
+  test("null-id rows are degenerate: dropped at the door, excluded from counts") {
+    // ADVICE r13: carry mode rides rows 1:1 through the signature kernel,
+    // so without the door filter a null-id doc would enter the index as
+    // an unretractable, merge-invisible row (the pre-r13 join-back
+    // dropped it implicitly). The door makes the old contract explicit:
+    // not indexed, not counted.
+    val dir = graft.util.Scratch.fresh("fuzzy_nullid_spec")
+    val d = Seq((Some(1L), baseA, "en"), (Option.empty[Long], baseB, "en"))
+      .toDF("doc_id", "text", "lang")
+    FuzzyIngest.ingestBatch(d, 0L, dir)
+    val idx = FuzzyIngest.index(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(idx === Set(1L), s"null-id row must not enter the index: $idx")
+    val ev = IngestEvents.recent(Some(dir))
+    assert(ev(0).docsIn === 1 && ev(0).uniqueIn === 1 && ev(0).appended === 1,
+      s"null-id row must not count as an arrival: ${ev(0).line}")
+  }
+
   test("band bloom: a fresh batch skips the bands join; near-dups still route through it") {
     val dir = graft.util.Scratch.fresh("fuzzy_bloom_spec")
     FuzzyIngest.ingestBatch(docs((1L, baseA, "en"), (2L, baseB, "en")), 0L, dir)
