@@ -152,6 +152,57 @@ object StreamingQueries {
         .orderBy(col("lang"))
     }),
 
+    // The composed curation pipeline (VERDICT r13 item 5): the quality
+    // gate FEEDING the persistent dedup manifest in one foreachBatch —
+    // CurationPipeline.gatedIngestBatch scores each delivery and ingests
+    // only keepers, so this key pins the interaction the two standalone
+    // keys (stream_quality_gate, llm_dedup_incremental) cannot see: a
+    // gated-out document must not claim a text digest, and the gate's
+    // keepers ride the manifest's batch-ordered first-wins replay. The
+    // oracle composes the two existing twins (score → keep → first-wins).
+    // Replay idempotence of the composition is spec-pinned in
+    // CurationPipelineSpec.
+    "stream_curation_pipeline" -> ((s, d) => {
+      val base = graft.util.Scratch.fresh("curation_pipeline")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString)
+      // seed = yesterday's (already curated) corpus — enters UNGATED, so
+      // a seed text suppresses a later keeper even if the seed doc itself
+      // would score below the gate today
+      CorpusIngest.ingestBatch(
+        docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
+      Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
+        val tmp = s"$base/tmp$i"
+        docs.filter((col("doc_id") % 5).isin(residues: _*))
+          .coalesce(1).write.parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file in $tmp"))
+        val dst =
+          new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
+        if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
+        fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+      }
+      val src = KafkaPipeline.fileStream(s, s"$base/today",
+        docs.schema, glob = "*.parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val q = graft.streaming.CurationPipeline.gatedIngest(
+        src, s"$base/manifest", s"$base/chk")
+      q.awaitTermination()
+      val m = CorpusIngest.manifest(s, s"$base/manifest")
+      val maxBatch = m.agg(max(col("batch"))).head().getAs[Number](0).longValue
+      require(maxBatch == 1,
+        s"stream_curation_pipeline expects two micro-batches, saw max batch=$maxBatch")
+      m.filter(col("batch") >= 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("min_new"))
+        .orderBy(col("lang"))
+    }),
+
     "llm_dedup_incremental" -> ((s, d) => {
       val base = graft.util.Scratch.fresh("dedup_incr")
       val docs = Tables.documents(s, d)
@@ -690,6 +741,49 @@ object StreamingQueries {
                 CAST(1 AS BIGINT) AS embed_agree_ok
          FROM (SELECT * FROM kept0 UNION ALL SELECT * FROM kept1)
          GROUP BY label ORDER BY label NULLS FIRST""",
+
+    // composed twin: the full classifier replay (the stream_quality_gate
+    // twin) picks the keepers, then the batch-ordered first-wins replay
+    // (the llm_dedup_incremental twin) runs over KEEPERS ONLY — the seed
+    // stays ungated, mirroring the Spark side's direct seed ingest. Every
+    // `today` row has non-null text by construction (keepers are scored),
+    // but a null-text SEED doc still holds its digest, so the seed
+    // NOT-EXISTS keeps the null-safe compare.
+    "stream_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                    FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, lang,
+                 list_distinct(list_concat(toks,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                   AS feats
+               FROM t),
+         sc AS (SELECT doc_id,
+                 CAST(floor(1000.0 * list_sum(list_transform(feats,
+                        ft -> CAST(md5_number_upper(ft) >> 1 AS BIGINT)
+                              % 2001 - 1000))
+                      / len(feats)) AS BIGINT) AS score_milli
+               FROM f),
+         keep AS (SELECT doc_id FROM sc WHERE score_milli >= 0),
+         seedd AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
+         today AS (
+           SELECT d.doc_id, d.lang, d.text,
+                  CASE WHEN d.doc_id % 5 IN (1, 2) THEN 0 ELSE 1 END AS b
+           FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+           WHERE d.doc_id % 5 <> 0
+         ), w AS (
+           SELECT min(t.doc_id) AS keep_id
+           FROM today t
+           WHERE NOT EXISTS (SELECT 1 FROM seedd sd
+                             WHERE sd.text IS NOT DISTINCT FROM t.text)
+             AND t.b = (SELECT min(e.b) FROM today e
+                        WHERE e.text IS NOT DISTINCT FROM t.text)
+           GROUP BY t.text
+         )
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+                min(doc_id) AS min_new
+         FROM today JOIN w ON doc_id = keep_id
+         GROUP BY lang ORDER BY lang NULLS FIRST""",
 
     // the streaming gate is a stateless per-row map, so the sink contents
     // equal the batch classifier's keepers regardless of micro-batch split
