@@ -57,63 +57,92 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => want(k) }.toSeq.sortBy(_._1)
       case None => SparkEntry.queries.toSeq.sortBy(_._1)
     }
-    val times = scala.collection.mutable.LinkedHashMap(
-      names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
-    // Failed runs are EXCLUDED from the stats and reported separately: a
-    // query that throws returns in milliseconds, and folding that into a
-    // min-of-N silently replaces the query's real cost with garbage (the
-    // r13 sf10 rehearsal summed 8 ms "times" for 56 queries whose run
-    // died with the tmp dir). An artifact with an "errors" map is
-    // self-describing; one with a tiny min is a trap.
-    val fails = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    for (run <- 1 to runs) {
-      names.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // Execute the query's OWN physical plan via the noop sink:
-        // df.count() would replan as Aggregate(count(1)) — column pruning
-        // and sort elimination would then benchmark a different (cheaper)
-        // query than the one declared. (Not toRdd: it bypasses the SQL
-        // execution context and deadlocks AQE's final-plan update.)
-        val n = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          -2L // rows not observable through the noop sink
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] run$run $name FAILED: " +
-            s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
-          -1L
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // optional untimed sanity count, first run only (doubles per-query
-        // work — off by default; correctness rows are Verify's job)
-        val rows = if (n == -2L && run == 1 && sys.env.contains("SPARK_GRAFT_BENCH_ROWS")) {
-          try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        } else n
-        System.err.println(f"[bench] run$run $name%-28s rows=$rows%-8d $dt%.1fs")
-        if (n == -1L) fails(name) = fails.getOrElse(name, 0) + 1
-        else times(name) += dt
-        // Untimed, after the clock stops: the dedup/ccnet families persist
-        // corpus-sized gram frames (Dedup.persistGrams), and CacheManager's
-        // plan-matching would hand run N+1 the run-N cache — later runs
-        // would measure cache hits, and 143 queries' frames would pile up
-        // on LRU eviction (ADVICE r9). Clearing per query makes every
-        // measured run cold and the cache lifetime deterministic.
-        spark.catalog.clearCache()
-      }
-    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // Queries whose every run failed have no measurements at all — drop
-    // them from the stats (they live in the errors map instead).
-    val allFailed = times.collect { case (k, v) if v.isEmpty => k }.toSet
-    allFailed.foreach(times.remove)
+    // One DRAW = `runs` timed passes over the surface + its summary stats.
+    final case class Draw(
+        times: scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]],
+        fails: scala.collection.mutable.LinkedHashMap[String, Int],
+        totalMin: Double, totalMedian: Double, ratio: Double)
+    def runDraw(drawNo: Int): Draw = {
+      val times = scala.collection.mutable.LinkedHashMap(
+        names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+      // Failed runs are EXCLUDED from the stats and reported separately: a
+      // query that throws returns in milliseconds, and folding that into a
+      // min-of-N silently replaces the query's real cost with garbage (the
+      // r13 sf10 rehearsal summed 8 ms "times" for 56 queries whose run
+      // died with the tmp dir). An artifact with an "errors" map is
+      // self-describing; one with a tiny min is a trap.
+      val fails = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      for (run <- 1 to runs) {
+        names.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          // Execute the query's OWN physical plan via the noop sink:
+          // df.count() would replan as Aggregate(count(1)) — column pruning
+          // and sort elimination would then benchmark a different (cheaper)
+          // query than the one declared. (Not toRdd: it bypasses the SQL
+          // execution context and deadlocks AQE's final-plan update.)
+          val n = try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            -2L // rows not observable through the noop sink
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] d$drawNo run$run $name FAILED: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+            -1L
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // optional untimed sanity count, first run only (doubles per-query
+          // work — off by default; correctness rows are Verify's job)
+          val rows = if (n == -2L && run == 1 && drawNo == 1 &&
+              sys.env.contains("SPARK_GRAFT_BENCH_ROWS")) {
+            try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          } else n
+          System.err.println(f"[bench] d$drawNo run$run $name%-28s rows=$rows%-8d $dt%.1fs")
+          if (n == -1L) fails(name) = fails.getOrElse(name, 0) + 1
+          else times(name) += dt
+          // Untimed, after the clock stops: the dedup/ccnet families persist
+          // corpus-sized gram frames (Dedup.persistGrams), and CacheManager's
+          // plan-matching would hand run N+1 the run-N cache — later runs
+          // would measure cache hits, and 143 queries' frames would pile up
+          // on LRU eviction (ADVICE r9). Clearing per query makes every
+          // measured run cold and the cache lifetime deterministic.
+          spark.catalog.clearCache()
+        }
+      }
+      // Queries whose every run failed have no measurements at all — drop
+      // them from the stats (they live in the errors map instead).
+      val allFailed = times.collect { case (k, v) if v.isEmpty => k }.toSet
+      allFailed.foreach(times.remove)
+      val tMin = times.valuesIterator.map(_.min).sum
+      val tMed = times.valuesIterator.map(v => median(v.toSeq)).sum
+      Draw(times, fails, tMin, tMed, if (tMin > 0) tMed / tMin else 1.0)
+    }
+    // Calm-draw convention (VERDICT r13 #4): the 2x-vs-baseline gate is
+    // judged on single driver draws inside a wide machine band (identical
+    // code measured 110-150 s across same-day draws). A total med/min
+    // above 1.15 marks a CONTENDED draw, so re-draw automatically (up to
+    // SPARK_GRAFT_BENCH_MAX_DRAWS, default 2) and headline the calmest
+    // draw — every draw's summary stays in the artifact, so the band is
+    // visible instead of laundered.
+    val maxDraws = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_DRAWS", "2").toInt max 1
+    val CalmRatio = 1.15
+    val drawsBuf = scala.collection.mutable.ArrayBuffer(runDraw(1))
+    while (drawsBuf.last.ratio > CalmRatio && drawsBuf.size < maxDraws) {
+      System.err.println(f"[bench] draw ${drawsBuf.size} contended " +
+        f"(med/min ${drawsBuf.last.ratio}%.2f > $CalmRatio) - redrawing")
+      drawsBuf += runDraw(drawsBuf.size + 1)
+    }
+    val best = drawsBuf.minBy(d => (d.ratio, d.totalMin))
+    val times = best.times
+    val fails = best.fails
     val med = times.map { case (k, v) => k -> median(v.toSeq) }
-    // Headline = per-query MIN of N: on identical code the full sweep
-    // measured 49-101 s across closes (uniform moves on untouched queries
-    // — machine contention, not the plans), so the min is the
-    // contention-free floor that tracks CODE changes; the median rides
-    // along as total_median for honesty about a typical draw.
+    // Headline = per-query MIN of N from the CALMEST draw: on identical
+    // code the full sweep measured 49-101 s across closes (uniform moves
+    // on untouched queries — machine contention, not the plans), so the
+    // min is the contention-free floor that tracks CODE changes; the
+    // median rides along as total_median for honesty about a typical draw.
     val mins = times.map { case (k, v) => k -> v.min }
     // The stdout JSON line must stay SHORT: the driver keeps only the last
     // ~2000 chars of the sbt output (the line shares that window with the
@@ -136,6 +165,19 @@ object Bench {
     // moved the median, not the plans. (The min-of-N headline itself was
     // the r7→r8 metric cutover; see BASELINE.md "Bench metric".)
     val medMinRatio = if (totalMin > 0) totalMedian / totalMin else 1.0
+    // multi-draw band, compact (stdout) and full (artifact) forms — only
+    // emitted on stdout when a redraw actually happened, to protect the
+    // driver's 2000-char window
+    val drawsShort =
+      if (drawsBuf.size <= 1) ""
+      else s""","draws":${drawsBuf.size}""" +
+        s""","draw_ratios":[${drawsBuf.map(d => fmt(d.ratio, 2)).mkString(",")}]""" +
+        s""","draw_mins":[${drawsBuf.map(d => fmt(d.totalMin, 1)).mkString(",")}]"""
+    val drawsFull =
+      s""","draws":[${drawsBuf.map(d =>
+        s"""{"value":${fmt(d.totalMin, 3)},"total_median":${fmt(d.totalMedian, 3)}""" +
+          s""","med_min_ratio":${fmt(d.ratio, 3)}}""").mkString(",")}]""" +
+        s""","draw_used":${drawsBuf.indexOf(best) + 1}"""
     // name -> failed-run count for every query with at least one failure;
     // present in BOTH json forms whenever nonEmpty, so a partial artifact
     // can never be mistaken for a healthy one
@@ -167,7 +209,7 @@ object Bench {
         }
       s"""{"metric":"total","value":${fmt(totalMin, 2)},"unit":"sec"""" +
         s""","runs":$runs,"total_median":${fmt(totalMedian, 2)}""" +
-        s""","med_min_ratio":${fmt(medMinRatio, 2)}$qs$errorsJson,"sf":$sf}"""
+        s""","med_min_ratio":${fmt(medMinRatio, 2)}$drawsShort$qs$errorsJson,"sf":$sf}"""
     }
     System.err.println("[bench] medians=" +
       med.map { case (k, v) => s"$k=$v" }.mkString(",") +
@@ -195,7 +237,7 @@ object Bench {
         s""","med_min_ratio":${fmt(medMinRatio, 3)}""" +
         s""","queries":${fullMap(mins)},"queries_median":${fullMap(med)}""" +
         s""","queries_med_min_ratio":${fullMap(ratios)}""" +
-        s"""$errorsJson,"cpus":${jnum(cpus)}""" +
+        s"""$drawsFull$errorsJson,"cpus":${jnum(cpus)}""" +
         s""","shuffle_partitions":${jnum(shufflePartitions)},"sf":$sf}"""
     // subset runs (SPARK_GRAFT_BENCH_QUERIES) write to an override path so
     // they never clobber the driver's full-surface artifact
