@@ -217,6 +217,16 @@ object EmbedIngest {
           s"b -> shiftrightunsigned(fp, b * $BitsPerBand) & ${(1L << BitsPerBand) - 1})"))
         .as(Seq("band", "bh")))
 
+  /** Create the (empty) index table. mkdirs first: CREATE TABLE probes
+    * its LOCATION during relation resolution and logs a noisy (benign)
+    * FileNotFoundException WARN when the dir does not exist yet.
+    */
+  private def createTable(s: SparkSession, indexDir: String): Unit = {
+    val (fs, _) = fsOf(s, indexDir)
+    fs.mkdirs(new Path(idxPath(indexDir)))
+    s.sql(createDdl(s, indexDir))
+  }
+
   private def createDdl(s: SparkSession, indexDir: String): String =
     s"""CREATE TABLE `${idxTable(s, indexDir)}` (
        |  vec_id BIGINT, label INT, embedding ARRAY<FLOAT>, nrm DOUBLE,
@@ -385,7 +395,7 @@ object EmbedIngest {
     // the single write path needs the table up front; the DDL is a
     // driver-only catalog op (the r13 layout paid two saveAsTable jobs
     // ~2.4 s for the same first batch)
-    if (!exists) s.sql(createDdl(s, indexDir))
+    if (!exists) createTable(s, indexDir)
     mark("reconcile")
     val signed0 = fingerprints(batch)
     val w = Window.partitionBy(col("fp"), col("embedding")).orderBy(col("vec_id"))
@@ -675,7 +685,7 @@ object EmbedIngest {
         lit(null).cast("bigint").as("first_batch"),
         col("band"), col("bh"), lit("b").as("kind"))
     val sentinel = CorpusIngest.CompactedBatch
-    s.sql(createDdl(s, dstDir))
+    createTable(s, dstDir)
     val view = stageView(s, dstDir)
     keptVecs.unionByName(keptBands).createOrReplaceTempView(view)
     try s.sql(s"""INSERT OVERWRITE TABLE `${idxTable(s, dstDir)}`
