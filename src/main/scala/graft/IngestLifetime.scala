@@ -57,7 +57,7 @@ object IngestLifetime {
     def stateStats(): (Int, Int) = {
       val roots = pipeline match {
         case "corpus" => Seq(new Path(state))
-        case _ => Seq(new Path(s"$state/sigs"), new Path(s"$state/bands"))
+        case _ => Seq(new Path(s"$state/idx"))
       }
       val existing = roots.filter(fs.exists(_))
       val parts = existing.map(r => fs.listStatus(r)

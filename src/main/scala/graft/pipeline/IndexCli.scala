@@ -96,7 +96,7 @@ object IndexCli {
       case Stats("fuzzy", dir) =>
         require(FuzzyIngest.reconcile(s, dir), s"no fuzzy index at $dir")
         val idx = FuzzyIngest.index(s, dir)
-        val bands = s.table(FuzzyIngest.bandTable(s, dir)).count()
+        val bands = FuzzyIngest.bands(s, dir).count()
         s"fuzzy $dir sigs=${idx.count()} bands=$bands first_batch[${perBatch(idx)}]"
       case Stats(_, dir) =>
         require(EmbedIngest.reconcile(s, dir), s"no embed index at $dir")

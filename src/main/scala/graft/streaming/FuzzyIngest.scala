@@ -17,17 +17,25 @@ import graft.operators.Dedup
   * historical docs, and the surviving (genuinely new) docs' signatures
   * and bands are appended.
   *
-  * Scale shape (same lifetime-cost design as the exact manifest):
-  * state is TWO bucketed tables under `indexDir` —
-  * `sigs` (doc_id, lang, minhash[32], first_batch, batch) CLUSTERED BY
-  * doc_id, and `bands` (band, bh, doc_id, batch) CLUSTERED BY (band, bh)
-  * — so a micro-batch never re-shuffles history: the LSH probe joins the
-  * batch's exploded bands against the bands table bucket-locally
-  * (plan-asserted in FuzzyIngestSpec), and the verify step joins the
-  * (few) candidates against the sigs table bucket-locally on doc_id.
+  * Scale shape (same lifetime-cost design as the exact manifest;
+  * r14: the [[EmbedIngest]] single-table layout, ported): state is ONE
+  * table under `indexDir/idx`, PARTITIONED BY (batch, kind) and
+  * CLUSTERED BY doc_id — `kind='s'` rows carry (doc_id, lang,
+  * minhash[32], first_batch), `kind='b'` rows the (band, bh, doc_id)
+  * postings with null wide columns (parquet all-null chunks are
+  * metadata-sized) — so a micro-batch pays ONE bucketed insert instead
+  * of two table writes, never re-shuffles history, and kind-level
+  * partition pruning keeps the two access paths separate file sets.
+  * The LSH probe BROADCASTS the batch's (bloom-pre-shrunk, micro-batch
+  * bounded) exploded bands against the `kind='b'` slice — zero
+  * index-side exchange, plan-asserted in FuzzyIngestSpec (the r13
+  * (band,bh) bucketing bought the same property at the cost of the
+  * second write; `merge()`, offline and O(index) anyway, keeps a
+  * shuffled band join) — and the verify step joins the (few)
+  * candidates against the `kind='s'` slice bucket-locally on doc_id.
   * Per-batch network cost is O(batch + candidates), not O(corpus
-  * lifetime). Signatures live ONCE per doc (32×8 bytes); the bands
-  * table carries only (hash, id) pairs — no ×numBands signature
+  * lifetime). Signatures live ONCE per doc (32×8 bytes); the band
+  * rows carry only (hash, id) pairs — no ×numBands signature
   * duplication and never text bodies. [[compact]] consolidates the
   * accumulated per-batch partitions so partition/file count stops
   * growing O(lifetime).
@@ -52,12 +60,11 @@ import graft.operators.Dedup
   * per cluster — off by default because a daily batch is small against
   * history and the flag costs a batch-local self-join.
   *
-  * Crash ordering: sigs are written BEFORE bands. A crash in between
-  * leaves history docs whose bands are not yet probed-able — possible
-  * under-suppression until the batch REPLAYS (foreachBatch at-least-once
-  * re-runs it; both reads exclude the replayed batch's own partitions,
-  * both writes are static-partition overwrites — idempotent, same as
-  * CorpusIngest).
+  * Crash ordering: both kinds land in ONE job commit (r14 — the old
+  * sigs-before-bands crash window is gone by construction); the
+  * static-prefix partition overwrite of `batch=<id>` replays
+  * idempotently, and both reads exclude the replayed batch's own
+  * partitions — same contract as CorpusIngest.
   */
 object FuzzyIngest {
 
@@ -69,16 +76,29 @@ object FuzzyIngest {
   val NumHashes = 32
   val NumBands = 8
 
-  /** Index-table names: md5 of the canonical dir URI, same rationale as
-    * [[CorpusIngest.tableName]] (ADVICE r10).
+  /** Index-table name: md5 of the canonical dir URI, same rationale as
+    * [[CorpusIngest.tableName]] (ADVICE r10). One table since r14 (both
+    * row kinds; see class doc).
     */
-  def sigTable(s: SparkSession, indexDir: String): String =
-    "graft_fuzzy_sigs_" + IngestPaths.digest(s, indexDir)
-  def bandTable(s: SparkSession, indexDir: String): String =
-    "graft_fuzzy_bands_" + IngestPaths.digest(s, indexDir)
+  def idxTable(s: SparkSession, indexDir: String): String =
+    "graft_fuzzy_idx_" + IngestPaths.digest(s, indexDir)
 
-  private def sigPath(indexDir: String) = s"$indexDir/sigs"
-  private def bandPath(indexDir: String) = s"$indexDir/bands"
+  private def idxPath(indexDir: String) = s"$indexDir/idx"
+
+  /** Signature rows (`kind='s'`) — the r13 `sigs` table's contract:
+    * (doc_id, lang, minhash, first_batch, batch).
+    */
+  def sigs(s: SparkSession, indexDir: String): DataFrame =
+    s.table(idxTable(s, indexDir)).filter(col("kind") === "s")
+      .select(col("doc_id"), col("lang"), col("minhash"),
+        col("first_batch"), col("batch"))
+
+  /** Band-posting rows (`kind='b'`) — the r13 `bands` table's contract:
+    * (band, bh, doc_id, batch).
+    */
+  def bands(s: SparkSession, indexDir: String): DataFrame =
+    s.table(idxTable(s, indexDir)).filter(col("kind") === "b")
+      .select(col("band"), col("bh"), col("doc_id"), col("batch"))
 
   // ---------------------------------------------------------------------
   // Per-bucket bloom pre-filter over the band index (r11 — the
@@ -148,59 +168,70 @@ object FuzzyIngest {
 
   /** Same layout guard as [[CorpusIngest]]: refuse an index written by an
     * older code version with a clear error instead of Spark's mid-query
-    * 'Invalid bucket file' (ADVICE r10).
+    * 'Invalid bucket file' (ADVICE r10). r14 adds the two-table layout
+    * itself to the legacy set (a `sigs/` dir under indexDir).
     */
-  private def sniffLegacy(s: SparkSession, fs: FileSystem, sigP: Path): Unit =
-    firstDataFile(fs, sigP).foreach { dataFile =>
+  private def sniffLegacy(s: SparkSession, fs: FileSystem,
+      indexDir: String): Unit = {
+    if (fs.exists(new Path(s"$indexDir/sigs")))
+      throw new IllegalStateException(
+        s"fuzzy index at $indexDir uses the pre-r14 two-table (sigs+bands) " +
+          "layout. Re-ingest into a fresh indexDir.")
+    val idxP = new Path(idxPath(indexDir))
+    firstDataFile(fs, idxP).foreach { dataFile =>
       val why =
         if (!dataFile.matches(""".*_\d{5}\.c\d+.*"""))
-          Some(s"sig file '$dataFile' is not bucket-encoded")
-        else if (!s.read.parquet(sigP.toString).schema.fieldNames
+          Some(s"index file '$dataFile' is not bucket-encoded")
+        else if (!s.read.parquet(idxP.toString).schema.fieldNames
             .contains("first_batch"))
-          Some("sig schema lacks the first_batch column (pre-r11 layout)")
+          Some("index schema lacks the first_batch column")
         else None
       why.foreach { w =>
         throw new IllegalStateException(
-          s"fuzzy index at $sigP was written by an older graft version ($w). " +
+          s"fuzzy index at $idxP was written by an older graft version ($w). " +
             "Re-ingest into a fresh indexDir.")
       }
     }
+  }
 
-  /** Drop stale catalog entries / re-register long-lived index tables
+  private def createDdl(s: SparkSession, indexDir: String): String =
+    s"""CREATE TABLE `${idxTable(s, indexDir)}` (
+       |  doc_id BIGINT, lang STRING, minhash ARRAY<BIGINT>,
+       |  first_batch BIGINT, band INT, bh BIGINT,
+       |  batch BIGINT, kind STRING)
+       |USING PARQUET PARTITIONED BY (batch, kind)
+       |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $IndexBuckets BUCKETS
+       |LOCATION '${idxPath(indexDir)}'""".stripMargin
+
+  /** Create the (empty) index table — mkdirs first ([[EmbedIngest]]
+    * rationale: CREATE TABLE probes its LOCATION and logs a noisy benign
+    * FileNotFoundException WARN on a missing dir).
+    */
+  private def createTable(s: SparkSession, indexDir: String): Unit = {
+    val (fs, _) = fsOf(s, indexDir)
+    fs.mkdirs(new Path(idxPath(indexDir)))
+    s.sql(createDdl(s, indexDir))
+  }
+
+  /** Drop stale catalog entries / re-register the long-lived index table
     * (bucket spec in the DDL — the layout survives a new JVM/cluster).
     * Returns whether the index exists after reconciliation.
     */
   private[graft] def reconcile(s: SparkSession, indexDir: String): Boolean = {
     val (fs, _) = fsOf(s, indexDir)
-    // sniff only when the sig table is NOT yet registered — a registered
-    // entry already passed the sniff (or came from this object's own
-    // saveAsTable); re-reading the schema per micro-batch is a wasted
-    // listing+footer job (r11 constant-shave, CorpusIngest twin)
-    if (!s.catalog.tableExists(sigTable(s, indexDir)))
-      sniffLegacy(s, fs, new Path(sigPath(indexDir)))
-    def one(tbl: String, path: String, ddl: String): Boolean = {
-      val exists = firstDataFile(fs, new Path(path)).isDefined
-      if (!exists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
-      if (exists && !s.catalog.tableExists(tbl)) {
-        s.sql(ddl); s.catalog.recoverPartitions(tbl)
-      }
-      s.catalog.tableExists(tbl)
+    val tbl = idxTable(s, indexDir)
+    // sniff only when the table is NOT yet registered — a registered
+    // entry already passed the sniff; re-reading the schema per
+    // micro-batch is a wasted listing+footer job (r11 constant-shave)
+    if (!s.catalog.tableExists(tbl)) sniffLegacy(s, fs, indexDir)
+    val exists = firstDataFile(fs, new Path(idxPath(indexDir))).isDefined
+    if (!exists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
+    if (exists && !s.catalog.tableExists(tbl)) {
+      s.sql(createDdl(s, indexDir)); s.catalog.recoverPartitions(tbl)
     }
-    val sigOk = one(sigTable(s, indexDir), sigPath(indexDir),
-      s"""CREATE TABLE `${sigTable(s, indexDir)}` (
-         |  doc_id BIGINT, lang STRING, minhash ARRAY<BIGINT>,
-         |  first_batch BIGINT, batch BIGINT)
-         |USING PARQUET PARTITIONED BY (batch)
-         |CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $IndexBuckets BUCKETS
-         |LOCATION '${sigPath(indexDir)}'""".stripMargin)
-    val bandOk = one(bandTable(s, indexDir), bandPath(indexDir),
-      s"""CREATE TABLE `${bandTable(s, indexDir)}` (
-         |  band INT, bh BIGINT, doc_id BIGINT, batch BIGINT)
-         |USING PARQUET PARTITIONED BY (batch)
-         |CLUSTERED BY (band, bh) SORTED BY (band, bh) INTO $IndexBuckets BUCKETS
-         |LOCATION '${bandPath(indexDir)}'""".stripMargin)
-    if (sigOk && bandOk) rollForward(s, indexDir) // heal a crashed compact
-    sigOk && bandOk
+    val ok = s.catalog.tableExists(tbl) && exists
+    if (ok) rollForward(s, indexDir) // heal a crashed compact
+    ok
   }
 
   /** Complete a crashed [[compact]] (no-op without a pending intent
@@ -219,27 +250,26 @@ object FuzzyIngest {
         .exists(_._1 == IngestPaths.leaseOwner)
       IngestPaths.acquireLease(s, indexDir)
       try {
-        if (s.catalog.tableExists(sigTable(s, indexDir)) &&
-            s.catalog.tableExists(bandTable(s, indexDir))) {
-          s.catalog.refreshTable(sigTable(s, indexDir))
-          s.catalog.refreshTable(bandTable(s, indexDir))
+        if (s.catalog.tableExists(idxTable(s, indexDir))) {
+          s.catalog.refreshTable(idxTable(s, indexDir))
           runCompaction(s, indexDir, upToBatch)
         }
         IngestPaths.clearMarker(s, indexDir)
       } finally if (!ownedBefore) IngestPaths.releaseLease(s, indexDir)
     }
 
-  /** The bucket-local LSH probe: every (band, bh) of `newBands` that the
-    * index has seen outside `batchId`, as (new_id, old_id) candidates.
-    * Exposed for the plan assertion in FuzzyIngestSpec: the index side
-    * must scan bucketed with NO shuffle exchange.
+  /** The LSH probe: every (band, bh) of `newBands` that the index has
+    * seen outside `batchId`, as (new_id, old_id) candidates. The batch
+    * side is BROADCAST (bounded by the micro-batch contract and
+    * pre-shrunk by the bloom filter); `idxBands` — the `kind='b'`
+    * partition slice — scans with NO exchange. Exposed for the plan
+    * assertion in FuzzyIngestSpec.
     */
   private[graft] def bandCandidates(newBands: DataFrame, batchId: Long,
-      tbl: String): DataFrame = {
-    val s = newBands.sparkSession
-    val idx = s.table(tbl).filter(col("batch") =!= batchId)
+      idxBands: DataFrame): DataFrame = {
+    val idx = idxBands.filter(col("batch") =!= batchId)
       .select(col("band"), col("bh"), col("doc_id").as("old_id"))
-    newBands.alias("n").join(idx.alias("o"),
+    broadcast(newBands).alias("n").join(idx.alias("o"),
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
       .select(col("n.doc_id").as("new_id"), col("old_id"))
       .distinct()
@@ -272,10 +302,10 @@ object FuzzyIngest {
   private[graft] def maybeAutoCompact(s: SparkSession, indexDir: String,
       batchId: Long, compactEvery: Int): Unit =
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-      // silent no-op before the first non-empty batch creates the tables
+      // silent no-op before the first non-empty batch creates the table
       // (ADVICE r11: a require would fail the streaming query when the
       // trigger fires during an all-empty prefix) — CorpusIngest twin
-      if (s.catalog.tableExists(sigTable(s, indexDir))) {
+      if (s.catalog.tableExists(idxTable(s, indexDir))) {
         IngestPaths.writeMarker(s, indexDir, batchId - 1)
         runCompaction(s, indexDir, batchId - 1)
         IngestPaths.clearMarker(s, indexDir)
@@ -324,6 +354,21 @@ object FuzzyIngest {
   def releaseWriterLease(s: SparkSession, indexDir: String): Unit =
     IngestPaths.releaseLease(s, indexDir)
 
+  /** The union frame one batch inserts: survivors as `kind='s'` rows +
+    * their exploded band postings as `kind='b'` rows (wide columns null).
+    */
+  private def unionRows(staged: DataFrame, firstBatch: Long): DataFrame =
+    staged.select(col("doc_id"), col("lang"), col("minhash"),
+        lit(firstBatch).as("first_batch"),
+        lit(null).cast("int").as("band"), lit(null).cast("bigint").as("bh"),
+        lit("s").as("kind"))
+      .unionByName(staged
+        .select(posexplode(col("bands")).as(Seq("band", "bh")), col("doc_id"))
+        .select(col("doc_id"), lit(null).cast("string").as("lang"),
+          lit(null).cast("array<bigint>").as("minhash"),
+          lit(null).cast("bigint").as("first_batch"),
+          col("band"), col("bh"), lit("b").as("kind")))
+
   /** One fuzzy ingest merge (batch mode; the streaming form above). */
   private[graft] def ingestBatch(batch: DataFrame, batchId: Long,
       indexDir: String, simThreshold: Double = 0.5,
@@ -342,6 +387,9 @@ object FuzzyIngest {
     }
     IngestPaths.acquireLease(s, indexDir)
     val exists = reconcile(s, indexDir)
+    // the single write path needs the table up front; driver-only DDL
+    // (the r13 layout paid two saveAsTable jobs for the same first batch)
+    if (!exists) createTable(s, indexDir)
     mark("reconcile")
     // within-batch EXACT dedup (min doc_id per text), then sign. __grp =
     // group size, carried so docsIn needs no separate raw-batch pass
@@ -421,11 +469,12 @@ object FuzzyIngest {
           }
           probed match {
             case None => sigs
-            case Some(bands) =>
-              val cand = bandCandidates(bands, batchId, bandTable(s, indexDir))
+            case Some(nb) =>
+              val cand = bandCandidates(nb, batchId,
+                FuzzyIngest.bands(s, indexDir))
               // verify candidates only: bucket-local fetch of the historical
               // signatures, then the standard agreement-fraction estimate
-              val oldSigs = s.table(sigTable(s, indexDir))
+              val oldSigs = FuzzyIngest.sigs(s, indexDir)
                 .filter(col("batch") =!= batchId)
                 .select(col("doc_id").as("old_id"), col("minhash").as("old_sig"))
               val dup = cand
@@ -447,10 +496,10 @@ object FuzzyIngest {
         mark("verify+stage")
         val appended = staged.count()
         mark("staged_count")
-        // bloom-ahead of BOTH inserts (only SURVIVORS' bands — suppressed
+        // bloom-ahead of the insert (only SURVIVORS' bands — suppressed
         // docs' bands never reach the table, and sketch bits for them
         // would only inflate FP routing): a crash after this merge and
-        // before the inserts leaves FP-only sketch state, same contract
+        // before the insert leaves FP-only sketch state, same contract
         // as the exact manifest. Fully-suppressed batches skip the merge
         // (no bands to add) — but only when state already exists, so a
         // fresh index still gets its sidecar created on batch 0.
@@ -460,46 +509,19 @@ object FuzzyIngest {
               posexplode(col("bands")).as(Seq("band", "bh")))),
             st, exists, defaultCapacity(s))
         mark("bloom_merge")
-        def insertInto(tbl: String, df: DataFrame, cols: String): Unit = {
-          val view = stageView(s, indexDir)
-          df.createOrReplaceTempView(view)
-          try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$batchId)
-                       |SELECT $cols FROM `$view`""".stripMargin)
-          finally s.catalog.dropTempView(view)
-        }
-        if (!exists) {
-          // mode overwrite: a crash between the two CTAS calls leaves ONE
-          // table registered; the replay's reconcile re-registers it from
-          // the on-disk layout and this overwrite then converges instead
-          // of erroring on table-already-exists
-          staged.select(col("doc_id"), col("lang"), col("minhash"))
-            .withColumn("first_batch", lit(batchId))
-            .withColumn("batch", lit(batchId)).write.mode("overwrite")
-            .partitionBy("batch")
-            .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
-            .option("path", sigPath(indexDir))
-            .saveAsTable(sigTable(s, indexDir))
-          mark("write_sigs")
-          staged.select(posexplode(col("bands")).as(Seq("band", "bh")),
-              col("doc_id"))
-            .withColumn("batch", lit(batchId)).write.mode("overwrite")
-            .partitionBy("batch")
-            .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
-            .option("path", bandPath(indexDir))
-            .saveAsTable(bandTable(s, indexDir))
-          mark("write_bands")
-        } else {
-          // sigs BEFORE bands: see crash-ordering note in the class doc
-          insertInto(sigTable(s, indexDir),
-            staged.select(col("doc_id"), col("lang"), col("minhash")),
-            s"doc_id, lang, minhash, $batchId AS first_batch")
-          mark("write_sigs")
-          insertInto(bandTable(s, indexDir),
-            staged.select(posexplode(col("bands")).as(Seq("band", "bh")),
-              col("doc_id")),
-            "band, bh, doc_id")
-          mark("write_bands")
-        }
+        // ONE bucketed insert for both kinds (r14): the static batch
+        // prefix + dynamic kind overwrite replays idempotently (STATIC
+        // mode wipes every (batch=$batchId, *) partition first), and both
+        // kinds land in the same job commit — no sigs-before-bands crash
+        // window
+        val view = stageView(s, indexDir)
+        unionRows(staged, batchId).createOrReplaceTempView(view)
+        try s.sql(s"""INSERT OVERWRITE TABLE `${idxTable(s, indexDir)}`
+                     |PARTITION (batch=$batchId, kind)
+                     |SELECT doc_id, lang, minhash, first_batch, band, bh,
+                     |       kind FROM `$view`""".stripMargin)
+        finally s.catalog.dropTempView(view)
+        mark("write_idx")
         IngestEvents.post(IngestEvents.IngestProgress("fuzzy_ingest",
           indexDir, batchId, docsIn, uniqueIn, appended, bloomProbable))
       } finally staged.unpersist()
@@ -522,9 +544,9 @@ object FuzzyIngest {
     // validate before taking the lease (CorpusIngest twin, r12 review)
     require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
     IngestPaths.acquireLease(s, indexDir)
-    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
-    s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
-    val maxBatch = s.table(sigT).agg(max(col("batch"))).head().getAs[Number](0)
+    val tbl = idxTable(s, indexDir)
+    s.catalog.refreshTable(tbl)
+    val maxBatch = s.table(tbl).agg(max(col("batch"))).head().getAs[Number](0)
     require(maxBatch != null && upToBatch < maxBatch.longValue,
       s"compact(upToBatch=$upToBatch): the newest batch ($maxBatch) may " +
         "still replay under foreachBatch's at-least-once contract")
@@ -536,23 +558,20 @@ object FuzzyIngest {
   /** The compaction body — everything between marker write and clear;
     * idempotent from any crash point (consolidation re-reads whatever
     * state the crash left, including the previous consolidated partition,
-    * and dedups per table).
+    * and dedups per kind; one staged insert covers both kinds, so there
+    * is no inter-table crash window left).
     */
   private def runCompaction(s: SparkSession, indexDir: String,
       upToBatch: Long): Unit = {
-    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
+    val tbl = idxTable(s, indexDir)
     val sentinel = CorpusIngest.CompactedBatch
     // fresh-partition guard (CorpusIngest twin): nothing below upToBatch
-    // outside the consolidated partition of EITHER table (a crash between
-    // the sigs and bands consolidations leaves stragglers only in bands —
-    // checking sigs alone would strand them) ⇒ metadata no-op, so
+    // outside the consolidated partition ⇒ metadata no-op, so
     // auto-compaction costs O(new partitions) per trigger, not O(index).
     // Bloom-rebuild skip is safe for the same reason as CorpusIngest:
     // compaction moves bands, never removes them.
-    val fresh = Seq(sigT, bandT).exists { t =>
-      !s.table(t).filter(col("batch") <= upToBatch &&
-        col("batch") =!= sentinel).isEmpty
-    }
+    val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
+    val fresh = !toMerge.filter(col("batch") =!= sentinel).isEmpty
     if (!fresh) {
       // manual compact() is the documented recovery path for a deleted or
       // saturated bloom sidecar (ADVICE r11; CorpusIngest twin): rebuild
@@ -563,144 +582,131 @@ object FuzzyIngest {
         rebuildBlooms(s, indexDir)
       return
     }
-
-    def consolidate(tbl: String, path: String, dedup: DataFrame => DataFrame,
-        insertCols: String): Unit = {
-      val toMerge = s.table(tbl).filter(col("batch") <= upToBatch)
-      if (toMerge.isEmpty) return
-      val staged = dedup(toMerge).localCheckpoint(true)
-      try {
-        val view = stageView(s, indexDir)
-        staged.createOrReplaceTempView(view)
-        try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
-                     |SELECT $insertCols FROM `$view`""".stripMargin)
-        finally s.catalog.dropTempView(view)
-        // re-assert the writer lease before the destructive drop phase
-        // (CorpusIngest twin): refresh when ours, abort loudly if a
-        // TTL-expiry steal happened mid-consolidation — the intent
-        // marker lets the new owner roll forward
-        IngestPaths.acquireLease(s, indexDir)
-        val (fs, p) = fsOf(s, path)
-        fs.listStatus(p).filter(_.isDirectory).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("batch=")) {
-            val v = n.stripPrefix("batch=").toLong
-            if (v <= upToBatch && v != sentinel) {
-              fs.delete(st.getPath, true)
-              s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
-            }
-          }
-        }
-        s.catalog.refreshTable(tbl)
-      } finally staged.unpersist()
-    }
-
-    // sigs first, bands second (same write order as ingest): a crash in
-    // between leaves band partitions a re-run re-consolidates
     val wd = Window.partitionBy(col("doc_id"))
       .orderBy(col("first_batch"), col("batch"))
-    consolidate(sigT, sigPath(indexDir),
-      df => df.withColumn("__rn", row_number().over(wd))
-        .filter(col("__rn") === 1)
-        .select(col("doc_id"), col("lang"), col("minhash"), col("first_batch")),
-      "doc_id, lang, minhash, first_batch")
-    consolidate(bandT, bandPath(indexDir),
-      df => df.select(col("band"), col("bh"), col("doc_id")).distinct(),
-      "band, bh, doc_id")
-
+    val sigRows = toMerge.filter(col("kind") === "s")
+      .withColumn("__rn", row_number().over(wd))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("minhash"), col("first_batch"),
+        col("band"), col("bh"), col("kind"))
+    val bandRows = toMerge.filter(col("kind") === "b")
+      .select(col("band"), col("bh"), col("doc_id")).distinct()
+      .select(col("doc_id"), lit(null).cast("string").as("lang"),
+        lit(null).cast("array<bigint>").as("minhash"),
+        lit(null).cast("bigint").as("first_batch"),
+        col("band"), col("bh"), lit("b").as("kind"))
+    val staged = sigRows.unionByName(bandRows).localCheckpoint(true)
+    try {
+      val view = stageView(s, indexDir)
+      staged.createOrReplaceTempView(view)
+      try s.sql(s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel, kind)
+                   |SELECT doc_id, lang, minhash, first_batch, band, bh,
+                   |       kind FROM `$view`""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      // re-assert the writer lease before the destructive drop phase
+      // (CorpusIngest twin): refresh when ours, abort loudly if a
+      // TTL-expiry steal happened mid-consolidation — the intent
+      // marker lets the new owner roll forward
+      IngestPaths.acquireLease(s, indexDir)
+      val (fs, p) = fsOf(s, idxPath(indexDir))
+      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch=")) {
+          val v = n.stripPrefix("batch=").toLong
+          if (v <= upToBatch && v != sentinel) {
+            fs.delete(st.getPath, true)
+            s.sql(s"""ALTER TABLE `$tbl` DROP IF EXISTS
+                     |PARTITION (batch=$v, kind='s'),
+                     |PARTITION (batch=$v, kind='b')""".stripMargin)
+          }
+        }
+      }
+      s.catalog.refreshTable(tbl)
+    } finally staged.unpersist()
     // rebuild the band sketches from the consolidated table (sized to
     // bucket population, clearing saturation — the CorpusIngest twin;
     // also the upgrade path for a pre-bloom index)
     rebuildBlooms(s, indexDir)
   }
 
-  /** Rebuild the per-bucket band sketches from the current bands table —
+  /** Rebuild the per-bucket band sketches from the current band rows —
     * the tail of [[runCompaction]] and the fresh-guard's sidecar-recovery
     * path.
     */
   private def rebuildBlooms(s: SparkSession, indexDir: String): Unit = {
-    val bandT = bandTable(s, indexDir)
-    val maxAfter = s.table(bandT).agg(max(col("batch"))).head().getAs[Number](0)
+    val maxAfter = s.table(idxTable(s, indexDir))
+      .agg(max(col("batch"))).head().getAs[Number](0)
     if (maxAfter != null)
       BloomSidecar.rebuild(s, bloomDir(indexDir), IndexBuckets,
-        bloomKeyed(s.table(bandT)), maxAfter.longValue, defaultCapacity(s),
-        CorpusIngest.MaxBucketCapacity)
+        bloomKeyed(bands(s, indexDir)), maxAfter.longValue,
+        defaultCapacity(s), CorpusIngest.MaxBucketCapacity)
   }
 
   /** EXPIRE (retention) — the [[CorpusIngest.expire]] twin: drop every
-    * doc FIRST SEEN in a batch <= `olderThanBatch` from BOTH tables.
-    * Non-compacted partitions are whole-partition drops (both tables are
-    * partitioned by the ingest batch); the consolidated partitions pay a
-    * staged rewrite — sigs filtered on `first_batch`, bands anti-joined
-    * against the expired ids (band rows carry no first_batch). Bands are
-    * rewritten BEFORE sigs, same direction as [[retract]]: a mid-crash
-    * leaves docs that can no longer generate candidates — expiry
-    * effective early, and the re-run still sees the expired ids in sigs
-    * to finish. Same newest-batch guard and FP-only-stale-bloom
-    * reasoning as the exact twin. Returns signature rows removed.
+    * doc FIRST SEEN in a batch <= `olderThanBatch`. Non-compacted
+    * partitions are whole-partition drops (both kinds live under one
+    * batch dir); the consolidated partition pays ONE staged rewrite —
+    * sig rows filtered on `first_batch`, band rows anti-joined against
+    * the expired ids (band rows carry no first_batch). Same newest-batch
+    * guard and FP-only-stale-bloom reasoning as the exact twin. Returns
+    * signature rows removed.
     */
   def expire(s: SparkSession, indexDir: String, olderThanBatch: Long): Long = {
     require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
     IngestPaths.acquireLease(s, indexDir)
-    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
-    s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
+    val tbl = idxTable(s, indexDir)
+    s.catalog.refreshTable(tbl)
     val sentinel = CorpusIngest.CompactedBatch
-    val maxBatch = s.table(sigT).filter(col("batch") =!= sentinel)
+    val maxBatch = s.table(tbl).filter(col("batch") =!= sentinel)
       .agg(max(col("batch"))).head().getAs[Number](0)
     require(maxBatch == null || olderThanBatch < maxBatch.longValue,
       s"expire(olderThanBatch=$olderThanBatch): the newest batch " +
         s"($maxBatch) may still replay under foreachBatch's at-least-once " +
         "contract and must stay")
     var removed = 0L
-    def dropOld(tbl: String, path: String, countRows: Boolean): Unit = {
-      val (fs, p) = fsOf(s, path)
-      fs.listStatus(p).filter(_.isDirectory).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("batch=")) {
-          val v = n.stripPrefix("batch=").toLong
-          if (v != sentinel && v <= olderThanBatch) {
-            if (countRows)
-              removed += s.table(tbl).filter(col("batch") === v).count()
-            fs.delete(st.getPath, true)
-            s.sql(s"ALTER TABLE `$tbl` DROP IF EXISTS PARTITION (batch=$v)")
-          }
+    val (fs, p) = fsOf(s, idxPath(indexDir))
+    fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch=")) {
+        val v = n.stripPrefix("batch=").toLong
+        if (v != sentinel && v <= olderThanBatch) {
+          removed += s.table(tbl)
+            .filter(col("batch") === v && col("kind") === "s").count()
+          fs.delete(st.getPath, true)
+          s.sql(s"""ALTER TABLE `$tbl` DROP IF EXISTS
+                   |PARTITION (batch=$v, kind='s'),
+                   |PARTITION (batch=$v, kind='b')""".stripMargin)
         }
       }
-      s.catalog.refreshTable(tbl)
     }
-    // bands first (candidates disappear before their signatures)
-    dropOld(bandT, bandPath(indexDir), countRows = false)
-    dropOld(sigT, sigPath(indexDir), countRows = true)
-    // consolidated partitions: expired ids from sigs, bands anti-joined
-    val sigC = s.table(sigT).filter(col("batch") === sentinel)
-    val expired = sigC.filter(col("first_batch") <= olderThanBatch)
+    s.catalog.refreshTable(tbl)
+    // consolidated partition: expired ids from sig rows, bands anti-joined
+    val consolidated = s.table(tbl).filter(col("batch") === sentinel)
+    val expired = consolidated
+      .filter(col("kind") === "s" && col("first_batch") <= olderThanBatch)
       .select(col("doc_id")).localCheckpoint(true)
     try {
       val nExpired = expired.count()
       if (nExpired > 0) {
-        def rewrite(tbl: String, df: DataFrame, insertCols: String): Unit = {
-          val staged = df.localCheckpoint(true)
-          val view = stageView(s, indexDir)
-          staged.createOrReplaceTempView(view)
-          try s.sql(
-            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel)
-               |SELECT $insertCols FROM `$view`""".stripMargin)
-          finally {
-            s.catalog.dropTempView(view)
-            staged.unpersist()
-          }
-          s.catalog.refreshTable(tbl)
+        val keptSigs = consolidated.filter(col("kind") === "s" &&
+          col("first_batch") > olderThanBatch)
+        val keptBands = consolidated.filter(col("kind") === "b")
+          .join(expired, Seq("doc_id"), "left_anti")
+        val staged = keptSigs.unionByName(keptBands)
+          .select(col("doc_id"), col("lang"), col("minhash"),
+            col("first_batch"), col("band"), col("bh"), col("kind"))
+          .localCheckpoint(true)
+        val view = stageView(s, indexDir)
+        staged.createOrReplaceTempView(view)
+        try s.sql(
+          s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$sentinel, kind)
+             |SELECT doc_id, lang, minhash, first_batch, band, bh, kind
+             |FROM `$view`""".stripMargin)
+        finally {
+          s.catalog.dropTempView(view)
+          staged.unpersist()
         }
-        rewrite(bandT,
-          s.table(bandT).filter(col("batch") === sentinel)
-            .join(expired, Seq("doc_id"), "left_anti")
-            .select(col("band"), col("bh"), col("doc_id")),
-          "band, bh, doc_id")
-        rewrite(sigT,
-          sigC.filter(col("first_batch") > olderThanBatch)
-            .select(col("doc_id"), col("lang"), col("minhash"),
-              col("first_batch")),
-          "doc_id, lang, minhash, first_batch")
+        s.catalog.refreshTable(tbl)
         removed += nExpired
       }
     } finally expired.unpersist()
@@ -731,13 +737,15 @@ object FuzzyIngest {
     require(reconcile(s, bDir), s"no fuzzy index at $bDir")
     val (fs, dstPath) = fsOf(s, dstDir)
     require(!fs.exists(dstPath), s"merge destination already exists: $dstDir")
-    val aSig = s.table(sigTable(s, aDir))
-    val bSig = s.table(sigTable(s, bDir))
+    val aSig = sigs(s, aDir)
+    val bSig = sigs(s, bDir)
     require(aSig.select(col("doc_id"))
         .join(bSig.select(col("doc_id")), "doc_id").isEmpty,
       "doc_id spaces of the two indexes overlap - remap ids before merging")
-    val aBands = s.table(bandTable(s, aDir)).select(col("band"), col("bh"), col("doc_id"))
-    val bBands = s.table(bandTable(s, bDir)).select(col("band"), col("bh"), col("doc_id"))
+    // cross-index candidates: a shuffled band join — acceptable for an
+    // offline verb whose output write is O(index) anyway
+    val aBands = bands(s, aDir).select(col("band"), col("bh"), col("doc_id"))
+    val bBands = bands(s, bDir).select(col("band"), col("bh"), col("doc_id"))
     val cand = bBands.alias("n").join(aBands.alias("o"),
         col("n.band") === col("o.band") && col("n.bh") === col("o.bh"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
@@ -749,25 +757,31 @@ object FuzzyIngest {
         col("minhash").as("new_sig")), "new_id")
       .filter(agreement(col("new_sig"), col("old_sig")) >= simThreshold)
       .select(col("new_id").as("doc_id")).distinct()
-    val sigs = aSig.select(col("doc_id"), col("lang"), col("minhash"), col("first_batch"))
+    val sigCols = Seq("doc_id", "lang", "minhash", "first_batch")
+    val keptSigs = aSig.select(sigCols.map(col): _*)
       .unionByName(bSig.join(dup, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("minhash"), col("first_batch")))
-    val bands = aBands
+        .select(sigCols.map(col): _*))
+      .withColumn("band", lit(null).cast("int"))
+      .withColumn("bh", lit(null).cast("bigint"))
+      .withColumn("kind", lit("s"))
+    val keptBands = aBands
       .unionByName(bBands.join(dup, Seq("doc_id"), "left_anti"))
       .distinct()
+      .select(col("doc_id"), lit(null).cast("string").as("lang"),
+        lit(null).cast("array<bigint>").as("minhash"),
+        lit(null).cast("bigint").as("first_batch"),
+        col("band"), col("bh"), lit("b").as("kind"))
     val sentinel = CorpusIngest.CompactedBatch
-    sigs.withColumn("batch", lit(sentinel)).write
-      .partitionBy("batch")
-      .bucketBy(IndexBuckets, "doc_id").sortBy("doc_id")
-      .option("path", sigPath(dstDir))
-      .saveAsTable(sigTable(s, dstDir))
-    bands.withColumn("batch", lit(sentinel)).write
-      .partitionBy("batch")
-      .bucketBy(IndexBuckets, "band", "bh").sortBy("band", "bh")
-      .option("path", bandPath(dstDir))
-      .saveAsTable(bandTable(s, dstDir))
+    createTable(s, dstDir)
+    val view = stageView(s, dstDir)
+    keptSigs.unionByName(keptBands).createOrReplaceTempView(view)
+    try s.sql(s"""INSERT OVERWRITE TABLE `${idxTable(s, dstDir)}`
+                 |PARTITION (batch=$sentinel, kind)
+                 |SELECT doc_id, lang, minhash, first_batch, band, bh,
+                 |       kind FROM `$view`""".stripMargin)
+    finally s.catalog.dropTempView(view)
     rebuildBlooms(s, dstDir)
-    s.table(sigTable(s, dstDir)).count()
+    sigs(s, dstDir).count()
   }
 
   /** RETRACT (takedown) documents from the fuzzy index by doc_id — the
@@ -793,52 +807,47 @@ object FuzzyIngest {
   def retract(s: SparkSession, indexDir: String, docIds: DataFrame): Long = {
     require(reconcile(s, indexDir), s"no fuzzy index at $indexDir")
     IngestPaths.acquireLease(s, indexDir)
-    val sigT = sigTable(s, indexDir); val bandT = bandTable(s, indexDir)
-    s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
+    val tbl = idxTable(s, indexDir)
+    s.catalog.refreshTable(tbl)
     val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
       .distinct().localCheckpoint(true)
     try {
       // real batches only: the consolidated partition never replays (a
       // fresh merge() destination is entirely retractable)
-      val maxBatch = s.table(sigT)
+      val maxBatch = s.table(tbl)
         .filter(col("batch") =!= CorpusIngest.CompactedBatch)
         .agg(max(col("batch"))).head().getAs[Number](0)
-      def affected(tbl: String): Map[Long, Long] =
-        s.table(tbl).join(ids, Seq("doc_id"), "left_semi")
-          .groupBy(col("batch")).agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
-      val sigHits = affected(sigT); val bandHits = affected(bandT)
-      require(maxBatch == null ||
-          (!sigHits.contains(maxBatch.longValue) &&
-            !bandHits.contains(maxBatch.longValue)),
+      // per-batch hit counts over BOTH kinds in one pass; ns = sig rows
+      // (the verb's return value)
+      val hits = s.table(tbl).join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("batch"))
+        .agg(sum(when(col("kind") === "s", 1L).otherwise(0L)).as("ns"))
+        .collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+      require(maxBatch == null || !hits.contains(maxBatch.longValue),
         s"retract: ids live in the newest batch ($maxBatch) which may " +
           "still replay under foreachBatch's at-least-once contract and " +
           "would resurrect them - compact first or retract after the " +
           "next batch")
-      def rewrite(tbl: String, hits: Map[Long, Long], cols: Seq[String],
-          insertCols: String): Unit =
-        hits.keys.foreach { v =>
-          val staged = s.table(tbl).filter(col("batch") === v)
-            .join(ids, Seq("doc_id"), "left_anti")
-            .select(cols.map(col): _*)
-            .localCheckpoint(true)
-          val view = stageView(s, indexDir)
-          staged.createOrReplaceTempView(view)
-          try s.sql(
-            s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v)
-               |SELECT $insertCols FROM `$view`""".stripMargin)
-          finally {
-            s.catalog.dropTempView(view)
-            staged.unpersist()
-          }
+      val allCols = Seq("doc_id", "lang", "minhash", "first_batch",
+        "band", "bh", "kind")
+      hits.keys.foreach { v =>
+        val staged = s.table(tbl).filter(col("batch") === v)
+          .join(ids, Seq("doc_id"), "left_anti")
+          .select(allCols.map(col): _*)
+          .localCheckpoint(true)
+        val view = stageView(s, indexDir)
+        staged.createOrReplaceTempView(view)
+        try s.sql(
+          s"""INSERT OVERWRITE TABLE `$tbl` PARTITION (batch=$v, kind)
+             |SELECT ${allCols.mkString(", ")} FROM `$view`""".stripMargin)
+        finally {
+          s.catalog.dropTempView(view)
+          staged.unpersist()
         }
-      // bands first (candidates disappear before their signatures)
-      rewrite(bandT, bandHits, Seq("band", "bh", "doc_id"),
-        "band, bh, doc_id")
-      rewrite(sigT, sigHits, Seq("doc_id", "lang", "minhash", "first_batch"),
-        "doc_id, lang, minhash, first_batch")
-      s.catalog.refreshTable(sigT); s.catalog.refreshTable(bandT)
-      sigHits.values.sum
+      }
+      s.catalog.refreshTable(tbl)
+      hits.values.sum
     } finally ids.unpersist()
   }
 
@@ -850,9 +859,7 @@ object FuzzyIngest {
     */
   def index(s: SparkSession, indexDir: String): DataFrame = {
     if (IngestPaths.readMarker(s, indexDir).isDefined) reconcile(s, indexDir)
-    val df = s.read.parquet(sigPath(indexDir))
-    if (df.schema.fieldNames.contains("first_batch"))
-      df.select(col("doc_id"), col("lang"), col("first_batch").as("batch"))
-    else df.select(col("doc_id"), col("lang"), col("batch"))
+    s.read.parquet(idxPath(indexDir)).filter(col("kind") === "s")
+      .select(col("doc_id"), col("lang"), col("first_batch").as("batch"))
   }
 }

@@ -84,8 +84,7 @@ class IndexCliSpec extends SparkSpec {
     def unit(i: Int): Array[Float] = { val v = Array.fill(8)(0.0f); v(i) = 1.0f; v }
     EmbedIngest.ingestBatch(
       Seq((1L, unit(0), 0)).toDF("vec_id", "embedding", "label"), 0L, s"$base/e")
-    Seq(FuzzyIngest.sigTable(spark, s"$base/f"),
-        FuzzyIngest.bandTable(spark, s"$base/f"),
+    Seq(FuzzyIngest.idxTable(spark, s"$base/f"),
         EmbedIngest.idxTable(spark, s"$base/e"))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val fs = IndexCli.run(spark, IndexCli.Stats("fuzzy", s"$base/f"))

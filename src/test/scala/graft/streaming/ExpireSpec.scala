@@ -75,7 +75,7 @@ class ExpireSpec extends SparkSpec {
     val ids = FuzzyIngest.index(spark, dir)
       .select(col("doc_id")).as[Long].collect().toSet
     assert(ids == Set(2L, 3L), s"after expire: $ids")
-    val bandDocs = spark.table(FuzzyIngest.bandTable(spark, dir))
+    val bandDocs = FuzzyIngest.bands(spark, dir)
       .select(col("doc_id")).distinct().as[Long].collect().toSet
     assert(bandDocs == Set(2L, 3L), s"band postings after expire: $bandDocs")
 

@@ -68,7 +68,11 @@ class FuzzyIngestSpec extends SparkSpec {
       s"replay must reproduce the same index: $idx")
   }
 
-  test("LSH probe is bucket-local: NO exchange on the band-index side") {
+  test("LSH probe ships the BATCH side: NO exchange on the band-index side") {
+    // r14 single-table contract: the probe broadcasts the (micro-batch
+    // bounded) new bands, the kind='b' partition slice scans with no
+    // shuffle and no sort — partition pruning must reach the scan so a
+    // probe never reads signature bytes
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -82,7 +86,7 @@ class FuzzyIngestSpec extends SparkSpec {
     val probe = graft.operators.Dedup
       .minhashSignatures(docs2((30L, baseA + " x", "en")), "text", "doc_id")
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val cand = FuzzyIngest.bandCandidates(probe, 2L, FuzzyIngest.bandTable(s2, dir))
+    val cand = FuzzyIngest.bandCandidates(probe, 2L, FuzzyIngest.bands(s2, dir))
 
     val plan = cand.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -90,18 +94,22 @@ class FuzzyIngestSpec extends SparkSpec {
       case p => p
     }
     val joins = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
-    assert(joins.nonEmpty, s"expected a sort-merge probe join:\n$plan")
-    val idxSide = joins.head.right
+    assert(joins.nonEmpty, s"expected a broadcast probe join:\n$plan")
+    val idxSide = joins.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => joins.head.right
+      case _ => joins.head.left
+    }
     assert(idxSide.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, s"band index must not re-shuffle per batch:\n$plan")
     val scans = idxSide.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    assert(scans.nonEmpty && scans.head.bucketedScan,
-      s"band-index scan fell back to unbucketed:\n${scans.headOption.map(_.metadata)}")
+    assert(scans.nonEmpty &&
+      scans.head.metadata("PartitionFilters").contains("kind"),
+      s"probe scan must partition-prune to kind='b':\n${scans.headOption.map(_.metadata)}")
     // and the near-dup of A is a candidate against A
     assert(cand.select(col("old_id")).as[Long].collect().toSet === Set(1L))
   }
@@ -157,17 +165,15 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(idxSet() === expected, s"index after auto-compaction: ${idxSet()}")
 
     // nothing below the newest trigger survives outside the consolidated
-    // partition, in EITHER table
+    // partition
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("sigs", "bands").foreach { sub =>
-      val stale = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong)
-        .filter(v => v <= 3L && v != CorpusIngest.CompactedBatch)
-      assert(stale.isEmpty, s"$sub: stale partitions ${stale.toSeq}")
-    }
+    val stale = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(v => v <= 3L && v != CorpusIngest.CompactedBatch)
+    assert(stale.isEmpty, s"idx: stale partitions ${stale.toSeq}")
 
     // replay of the newest trigger re-runs ingest + the auto hook:
     // idempotent (fresh-partition guard), nothing self-suppressed
@@ -264,7 +270,7 @@ class FuzzyIngestSpec extends SparkSpec {
     val expected = Set((0L, 1L), (1L, 10L), (2L, 20L), (3L, 30L))
     assert(idxSet() === expected, "first-seen batches survive compaction")
 
-    // partitions consolidated in BOTH tables
+    // batch partitions consolidated (both kinds live under one batch dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s2.sparkContext.hadoopConfiguration)
     def parts(sub: String) = fs
@@ -272,29 +278,32 @@ class FuzzyIngestSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).toSet
     val want = Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=3")
-    assert(parts("sigs") === want, s"sigs partitions: ${parts("sigs")}")
-    assert(parts("bands") === want, s"bands partitions: ${parts("bands")}")
+    assert(parts("idx") === want, s"idx partitions: ${parts("idx")}")
 
     // near-dups of COMPACTED docs are still suppressed post-compaction
     FuzzyIngest.ingestBatch(docs2((40L, baseA + " tail", "de"),
       (41L, "fresh new doc text", "en")), 4L, dir)
     assert(idxSet() === expected + ((4L, 41L)))
 
-    // the bucket-local probe contract survives compaction
+    // the no-index-exchange probe contract survives compaction
     val probe = graft.operators.Dedup
       .minhashSignatures(docs2((90L, baseB + " x", "en")), "text", "doc_id",
         FuzzyIngest.NumHashes, FuzzyIngest.NumBands)
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-    val cand = FuzzyIngest.bandCandidates(probe, 5L, FuzzyIngest.bandTable(s2, dir))
+    val cand = FuzzyIngest.bandCandidates(probe, 5L, FuzzyIngest.bands(s2, dir))
     val plan = cand.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case p => p
     }
     val joins = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
-    assert(joins.nonEmpty && joins.head.right.collect {
+    val idxSide2 = joins.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft => joins.head.right
+      case _ => joins.head.left
+    }
+    assert(joins.nonEmpty && idxSide2.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, s"compacted band index must not be re-shuffled:\n$plan")
     assert(cand.select(col("old_id")).as[Long].collect().toSet === Set(10L))
@@ -412,13 +421,11 @@ class FuzzyIngestSpec extends SparkSpec {
     assert(indexSet() === expected,
       "roll-forward must yield exactly the compacted index, no duplicates")
     assert(!fs.exists(IngestPaths.markerPath(dir)), "marker must be cleared")
-    for (sub <- Seq("sigs", "bands")) {
-      val parts = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$sub"))
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("batch=")).toSet
-      assert(parts === Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=2"),
-        s"$sub partitions after roll-forward: $parts")
-    }
+    val partsAfter = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(partsAfter === Set(s"batch=${CorpusIngest.CompactedBatch}", "batch=2"),
+      s"idx partitions after roll-forward: $partsAfter")
 
     // heal also runs on the merge path, and suppression still sees the
     // consolidated history: a near-dup of compacted A is dropped

@@ -64,7 +64,7 @@ class MergeSpec extends SparkSpec {
     val ids = FuzzyIngest.index(spark, s"$base/dst")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(ids == Set(1L, 11L), s"merged index: $ids")
-    val bandDocs = spark.table(FuzzyIngest.bandTable(spark, s"$base/dst"))
+    val bandDocs = FuzzyIngest.bands(spark, s"$base/dst")
       .select(col("doc_id")).distinct().as[Long].collect().toSet
     assert(bandDocs == Set(1L, 11L), s"merged band postings: $bandDocs")
 

@@ -70,7 +70,7 @@ class RetractSpec extends SparkSpec {
     val sigs = FuzzyIngest.index(spark, dir)
       .select(col("doc_id")).as[Long].collect().toSet
     assert(sigs == Set(2L, 3L), s"sigs after retract: $sigs")
-    val bandDocs = spark.table(FuzzyIngest.bandTable(spark, dir))
+    val bandDocs = FuzzyIngest.bands(spark, dir)
       .select(col("doc_id")).distinct().as[Long].collect().toSet
     assert(bandDocs == Set(2L, 3L), s"band postings after retract: $bandDocs")
 
