@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Derive an sf-N× rehearsal dataset from a driver sf directory by
@@ -113,44 +113,56 @@ object ScaleUp {
       require(v != null, s"stride($key): source table is empty")
       v.longValue + 1L
     }
-    def replicate(df: DataFrame)(copy: Int => DataFrame): DataFrame =
-      (0 until factor).map(copy).reduce(_ unionByName _)
+    // r15: replication is EXPLODE-based — one generator row per copy —
+    // not an N-way unionByName. The union form's plan is O(factor)
+    // subtrees per table; at factor 1000 (sf0.1 → sf100, the third
+    // decade) analysis alone ran >10 minutes on KB-sized inputs before
+    // timing out, while the explode plan is O(1) regardless of factor.
+    // Per-copy expressions are the SAME formulas with the literal copy
+    // index replaced by the generated `__copy` column (ScaleUpSpec pins
+    // copy-1 output against the literal-int formulas exactly — the
+    // xxhash64 sign/skew masks hash (INT, INT), so `__copy` is cast to
+    // INT wherever the literal was one).
+    def replicated(df: DataFrame)(f: (DataFrame, Column) => DataFrame): DataFrame =
+      f(df.withColumn("__copy",
+          explode(expr(s"sequence(0L, ${factor - 1}L)"))), col("__copy"))
+        .drop("__copy")
 
     // dims referenced by every copy: single copy, verbatim
     write(tbl("region"), "region")
     write(tbl("nation"), "nation")
 
     val customer = tbl("customer"); val cS = stride(customer, "c_custkey")
-    write(replicate(customer)(i =>
-      customer.withColumn("c_custkey", col("c_custkey") + lit(i * cS))), "customer")
+    write(replicated(customer)((d, i) =>
+      d.withColumn("c_custkey", col("c_custkey") + i * lit(cS))), "customer")
 
     val supplier = tbl("supplier"); val sS = stride(supplier, "s_suppkey")
-    write(replicate(supplier)(i =>
-      supplier.withColumn("s_suppkey", col("s_suppkey") + lit(i * sS))), "supplier")
+    write(replicated(supplier)((d, i) =>
+      d.withColumn("s_suppkey", col("s_suppkey") + i * lit(sS))), "supplier")
 
     val part = tbl("part"); val pS = stride(part, "p_partkey")
-    write(replicate(part)(i =>
-      part.withColumn("p_partkey", col("p_partkey") + lit(i * pS))), "part")
+    write(replicated(part)((d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + i * lit(pS))), "part")
 
     val orders = tbl("orders"); val oS = stride(orders, "o_orderkey")
     // hot targets are copy-0 keys, so skewed FKs stay valid
     val hotCust = customer.agg(min(col("c_custkey"))).head().getAs[Number](0).longValue
-    write(replicate(orders)(i => {
-      val shifted = orders
-        .withColumn("o_orderkey", col("o_orderkey") + lit(i * oS))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * cS))
-      if (skew && i > 0)
+    write(replicated(orders)((d, i) => {
+      val shifted = d
+        .withColumn("o_orderkey", col("o_orderkey") + i * lit(oS))
+        .withColumn("o_custkey", col("o_custkey") + i * lit(cS))
+      if (skew)
         shifted.withColumn("o_custkey",
-          when(pmod(xxhash64(col("o_orderkey")), lit(5)) === 0, lit(hotCust))
-            .otherwise(col("o_custkey")))
+          when(i > 0 && pmod(xxhash64(col("o_orderkey")), lit(5)) === 0,
+            lit(hotCust)).otherwise(col("o_custkey")))
       else shifted
     }), "orders")
 
     val lineitem = tbl("lineitem")
-    write(replicate(lineitem)(i =>
-      lineitem.withColumn("l_orderkey", col("l_orderkey") + lit(i * oS))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * pS))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * sS))), "lineitem")
+    write(replicated(lineitem)((d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + i * lit(oS))
+        .withColumn("l_partkey", col("l_partkey") + i * lit(pS))
+        .withColumn("l_suppkey", col("l_suppkey") + i * lit(sS))), "lineitem")
 
     val events = Tables.normalizeEventTs(tbl("events"))
     val eS = stride(events, "event_id"); val uS = stride(events, "user_id")
@@ -161,31 +173,32 @@ object ScaleUp {
     // copy-0 customer with ~10× the per-user event density — the denser-
     // stream shape a 100× corpus implies, instead of a hard failure.
     val hotUser = events.agg(min(col("user_id"))).head().getAs[Number](0).longValue
-    write(replicate(events)(i => {
-      val shifted = events
-        .withColumn("event_id", col("event_id") + lit(i * eS))
-        .withColumn("user_id", pmod(col("user_id") + lit(i * uS), lit(cS)))
-      if (skew && i > 0)
+    write(replicated(events)((d, i) => {
+      val shifted = d
+        .withColumn("event_id", col("event_id") + i * lit(eS))
+        .withColumn("user_id", pmod(col("user_id") + i * lit(uS), lit(cS)))
+      if (skew)
         shifted.withColumn("user_id",
-          when(pmod(xxhash64(col("event_id")), lit(5)) === 0, lit(hotUser))
-            .otherwise(col("user_id")))
+          when(i > 0 && pmod(xxhash64(col("event_id")), lit(5)) === 0,
+            lit(hotUser)).otherwise(col("user_id")))
       else shifted
     }), "events")
 
     val documents = tbl("documents"); val dS = stride(documents, "doc_id")
-    write(replicate(documents)(i => {
-      val copy = documents.withColumn("doc_id", col("doc_id") + lit(i * dS))
+    write(replicated(documents)((d, i) => {
+      val copy = d.withColumn("doc_id", col("doc_id") + i * lit(dS))
         .withColumn("text",
-          if (i == 0) col("text")
-          else when(col("text").isNull, col("text"))
+          when(i === 0, col("text"))
+            .when(col("text").isNull, col("text"))
             .when(length(col("text")) === 0, col("text"))
             .otherwise(array_join(
-              transform(split(col("text"), " "), t => concat(t, lit(s"_$i"))),
+              transform(split(col("text"), " "),
+                t => concat(t, lit("_"), i.cast("string"))),
               " ")))
         .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
-      if (skew && i > 0)
+      if (skew)
         copy.withColumn("lang",
-          when(pmod(xxhash64(col("doc_id")), lit(2)) === 0, lit("en"))
+          when(i > 0 && pmod(xxhash64(col("doc_id")), lit(2)) === 0, lit("en"))
             .otherwise(col("lang")))
       else copy
     }), "documents")
@@ -196,17 +209,20 @@ object ScaleUp {
         embeddings.groupBy(col("label")).agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("label")).head().get(0)
       else null
-    write(replicate(embeddings)(i => {
-      val copy = embeddings
-        .withColumn("vec_id", col("vec_id") + lit(i * vS))
+    write(replicated(embeddings)((d, i) => {
+      // CAST(__copy AS INT): the pre-r15 literal form hashed (INT, INT) —
+      // xxhash64 is type-sensitive, so the cast keeps copy masks
+      // bit-identical to every existing derivation (spec-pinned)
+      val copy = d
+        .withColumn("vec_id", col("vec_id") + i * lit(vS))
         .withColumn("embedding",
-          if (i == 0) col("embedding")
-          else expr(
-            s"""transform(embedding, (v, d) ->
-                  CAST(v * (1 - 2 * pmod(xxhash64($i, d), 2)) AS FLOAT))"""))
-      if (skew && i > 0)
+          when(i === 0, col("embedding"))
+            .otherwise(expr(
+              """transform(embedding, (v, d) ->
+                  CAST(v * (1 - 2 * pmod(xxhash64(CAST(__copy AS INT), d), 2)) AS FLOAT))""")))
+      if (skew)
         copy.withColumn("label",
-          when(pmod(xxhash64(col("vec_id")), lit(5)) === 0, lit(hotLabel))
+          when(i > 0 && pmod(xxhash64(col("vec_id")), lit(5)) === 0, lit(hotLabel))
             .otherwise(col("label")))
       else copy
     }), "embeddings")

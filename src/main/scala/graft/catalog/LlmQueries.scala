@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFns
-import graft.operators.{Dedup, HeavyHitters, Multimodal, Sampling, Similarity, TextAnalysis, Windows}
+import graft.operators.{CorpusBuild, Dedup, HeavyHitters, Multimodal, Sampling, Similarity, TextAnalysis, Windows}
 
 /** SURVEY §2.B LLM-data-pipeline block (BASELINE.json north-star):
   * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
@@ -973,6 +973,24 @@ object LlmQueries {
           sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"),
           min(col("doc_id")).as("min_doc"))
         .orderBy(col("source"))
+    }),
+
+    // The composed BATCH corpus build (VERDICT r14 #4): gate → normalize
+    // → exact dedup on NORMALIZED text → mixture resample of the
+    // survivor set → sequence packing, in one DAG — the run a curation
+    // pipeline actually ships. Pins the cross-stage interactions no
+    // standalone key sees (normalization changes digests BEFORE dedup;
+    // gated-out docs neither survive nor suppress; weights act on the
+    // deduped set). Stage semantics and order are spec-pinned in
+    // CorpusBuildSpec; the threshold chain folds over the SAME
+    // MixtureWeights Seq as llm_mixture_sample and the twin. See
+    // operators/CorpusBuild.scala for the 100 TB shape per stage.
+    "llm_corpus_build" -> ((s, d) => {
+      val thr = MixtureWeights.foldLeft(lit("00000000")) {
+        case (acc, (src, w)) =>
+          when(col("source") === src, lit(mixtureThresholdHex(w))).otherwise(acc)
+      }
+      CorpusBuild.build(Tables.documents(s, d), thr)
     }),
 
     // Unigram-LM quality scoring (the CCNet-style filter): per-doc mean
@@ -2108,6 +2126,52 @@ object LlmQueries {
           FROM documents
           WHERE substr(md5(text), 1, 8) < ($mixtureThrSql)
           GROUP BY source ORDER BY source""",
+
+    // composed twin of the batch corpus build: the classifier CTE (the
+    // llm_quality_classifier twin, document carried through), gate +
+    // null-id drop, the llm_text_normalize expression, first-wins dedup
+    // on norm_text, the mixture CASE chain (same MixtureWeights Seq),
+    // then the llm_pack_sequences window over the sampled survivors'
+    // NORMALIZED token counts. Null-text docs were never scored; docs
+    // normalizing to '' form one real dedup group.
+    "llm_corpus_build" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, text,
+                  string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, lang, source, text,
+                 list_distinct(list_concat(toks,
+                   [array_to_string(toks[i:i+1], ' ')
+                    for i in range(1, greatest(len(toks) - 1, 0) + 1)]))
+                   AS feats
+               FROM t),
+         sc AS (SELECT doc_id, lang, source, text,
+                 CAST(floor(1000.0 * list_sum(list_transform(feats,
+                        ft -> CAST(md5_number_upper(ft) >> 1 AS BIGINT)
+                              % 2001 - 1000))
+                      / len(feats)) AS BIGINT) AS score_milli
+               FROM f),
+         n AS (SELECT doc_id, lang, source,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+               FROM sc WHERE score_milli >= 0 AND doc_id IS NOT NULL),
+         surv AS (SELECT min(doc_id) AS keep_id FROM n GROUP BY norm_text),
+         sd AS (SELECT n.* FROM n JOIN surv ON n.doc_id = surv.keep_id),
+         mx AS (SELECT * FROM sd
+                WHERE substr(md5(norm_text), 1, 8) < ($mixtureThrSql)),
+         c AS (SELECT lang, doc_id,
+                 len(string_split(norm_text, ' ')) AS n_tokens,
+                 coalesce(sum(len(string_split(norm_text, ' ')))
+                   OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+               FROM mx)
+         SELECT lang,
+                CAST(floor(cum_before / ${CorpusBuild.PackBudget}.0) AS BIGINT)
+                  AS bin,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc
+         FROM c GROUP BY lang, bin ORDER BY lang NULLS FIRST, bin""",
 
     // per-token ln fixed to 1e-6-unit bigints before the per-doc sum —
     // exact integer addition, order-independent in both engines

@@ -169,15 +169,22 @@ object StreamingQueries {
       s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString)
       // seed = yesterday's (already curated) corpus — enters UNGATED, so
       // a seed text suppresses a later keeper even if the seed doc itself
-      // would score below the gate today
+      // would score below the gate today.
+      // pmod routing (ADVICE r14): plain `% 5` gives NEGATIVE residues for
+      // negative doc_ids, which ride no seed and no delivery while the
+      // DuckDB twin's `<> 0` shape would bucket them into delivery 1 —
+      // pmod on this side + ((x%5)+5)%5 on the twin puts every non-null
+      // id on exactly one leg. Null ids ride NO leg on either side
+      // (pmod(NULL)=NULL fails every filter; the twin's NULL residue
+      // fails every predicate) — pinned convention, not an accident.
       CorpusIngest.ingestBatch(
-        docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), -1L, s"$base/manifest")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
       Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
         val tmp = s"$base/tmp$i"
-        docs.filter((col("doc_id") % 5).isin(residues: _*))
+        docs.filter(pmod(col("doc_id"), lit(5)).isin(residues: _*))
           .coalesce(1).write.parquet(tmp)
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
@@ -213,8 +220,11 @@ object StreamingQueries {
       // 2^16/bucket holds ~1M digests before saturation, plenty for the
       // decade, at 1/4 the sidecar bytes
       s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString)
+      // pmod routing — same ADVICE r14 convention as the curation key
+      // above: every non-null doc_id rides exactly one leg in BOTH
+      // engines (negative ids included); null ids ride none in both.
       CorpusIngest.ingestBatch(
-        docs.filter(col("doc_id") % 5 === 0), -1L, s"$base/manifest")
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), -1L, s"$base/manifest")
       new org.apache.hadoop.fs.Path(s"$base/today")
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
@@ -227,7 +237,7 @@ object StreamingQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
         val tmp = s"$base/tmp$i"
-        docs.filter((col("doc_id") % 5).isin(residues: _*))
+        docs.filter(pmod(col("doc_id"), lit(5)).isin(residues: _*))
           .coalesce(1).write.parquet(tmp)
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
@@ -586,12 +596,18 @@ object StreamingQueries {
     // if no seed doc shares the text. IS NOT DISTINCT FROM (the <=> twin)
     // everywhere so a null-text seed/early-batch doc suppresses later
     // null-text docs in both engines.
+    // ((x%5)+5)%5 = pmod: the Spark side routes on pmod(doc_id,5), so a
+    // negative id lands on the same leg here (plain % would bucket it
+    // into delivery 1 via the <> 0 shape while riding no delivery there).
+    // Null ids ride NO leg in both engines (NULL residue fails every
+    // predicate) — pinned convention.
     "llm_dedup_incremental" ->
       """WITH seedd AS (
-           SELECT text FROM documents WHERE doc_id % 5 = 0
+           SELECT text FROM documents WHERE ((doc_id % 5) + 5) % 5 = 0
          ), today AS (
-           SELECT *, CASE WHEN doc_id % 5 IN (1, 2) THEN 0 ELSE 1 END AS b
-           FROM documents WHERE doc_id % 5 <> 0
+           SELECT *, CASE WHEN ((doc_id % 5) + 5) % 5 IN (1, 2)
+                          THEN 0 ELSE 1 END AS b
+           FROM documents WHERE ((doc_id % 5) + 5) % 5 <> 0
          ), k AS (
            SELECT min(t.doc_id) AS keep_id
            FROM today t
@@ -765,12 +781,14 @@ object StreamingQueries {
                       / len(feats)) AS BIGINT) AS score_milli
                FROM f),
          keep AS (SELECT doc_id FROM sc WHERE score_milli >= 0),
-         seedd AS (SELECT text FROM documents WHERE doc_id % 5 = 0),
+         seedd AS (SELECT text FROM documents
+                   WHERE ((doc_id % 5) + 5) % 5 = 0),
          today AS (
            SELECT d.doc_id, d.lang, d.text,
-                  CASE WHEN d.doc_id % 5 IN (1, 2) THEN 0 ELSE 1 END AS b
+                  CASE WHEN ((d.doc_id % 5) + 5) % 5 IN (1, 2)
+                       THEN 0 ELSE 1 END AS b
            FROM documents d JOIN keep k ON d.doc_id = k.doc_id
-           WHERE d.doc_id % 5 <> 0
+           WHERE ((d.doc_id % 5) + 5) % 5 <> 0
          ), w AS (
            SELECT min(t.doc_id) AS keep_id
            FROM today t

@@ -262,34 +262,64 @@ object TextAnalysis {
       .as[(Option[Long], Option[String], String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def w(f: String): Long = {
-          val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var h = 0L
-          var i = 0
-          while (i < 8) { h |= (d(i) & 0xffL) << (8 * i); i += 1 }
-          (h >>> 1) % 2001L - 1000L
-        }
         it.flatMap { case (id, lang, text) =>
           if (text == null) None
-          else {
-            val toks = text.split(" ", -1)
-            val feats = new java.util.LinkedHashSet[String]
-            var i = 0
-            while (i < toks.length) { feats.add(toks(i)); i += 1 }
-            i = 0
-            while (i < toks.length - 1) {
-              feats.add(toks(i) + " " + toks(i + 1)); i += 1
-            }
-            var sum = 0L
-            val fit = feats.iterator()
-            while (fit.hasNext) sum += w(fit.next())
-            val scoreMilli =
-              math.floor(1000.0 * sum / feats.size).toLong
-            Some((id, lang, scoreMilli))
-          }
+          else Some((id, lang, scoreMilliOf(md, text)))
         }
       }
       .toDF("doc_id", "lang", "score_milli")
+  }
+
+  /** One document's score under the hashed-feature linear model — the
+    * [[qualityClassifier]] kernel body, factored out so the composed
+    * corpus-build stage ([[CorpusBuild]]) scores with the SAME weights
+    * instead of a drift-prone copy. Caller owns the MessageDigest (one
+    * per partition, not per row).
+    */
+  private[operators] def scoreMilliOf(
+      md: java.security.MessageDigest, text: String): Long = {
+    def w(f: String): Long = {
+      val d = md.digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h |= (d(i) & 0xffL) << (8 * i); i += 1 }
+      (h >>> 1) % 2001L - 1000L
+    }
+    val toks = text.split(" ", -1)
+    val feats = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i < toks.length) { feats.add(toks(i)); i += 1 }
+    i = 0
+    while (i < toks.length - 1) {
+      feats.add(toks(i) + " " + toks(i + 1)); i += 1
+    }
+    var sum = 0L
+    val fit = feats.iterator()
+    while (fit.hasNext) sum += w(fit.next())
+    math.floor(1000.0 * sum / feats.size).toLong
+  }
+
+  /** [[qualityClassifier]] with the document carried through — doc_id,
+    * lang, source, text, score_milli — so a composed pipeline can gate
+    * and keep working on the SAME pass instead of scoring into a
+    * side-frame and joining the corpus back on id (the join would drop
+    * null-id rows and re-shuffle document bodies). Same kernel, same
+    * null-text drop (unscorable → no row).
+    */
+  def scoredDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("source"),
+        col("text"))
+      .as[(Option[Long], Option[String], Option[String], String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, lang, source, text) =>
+          if (text == null) None
+          else Some((id, lang, source, text, scoreMilliOf(md, text)))
+        }
+      }
+      .toDF("doc_id", "lang", "source", "text", "score_milli")
   }
 
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -236,9 +236,25 @@ object EmbedIngest {
        |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $IndexBuckets BUCKETS
        |LOCATION '${idxPath(indexDir)}'""".stripMargin
 
+  /** Same layout guard as [[FuzzyIngest]] (ADVICE r14 medium): a pre-r14
+    * embed index is a `vecs/` + `bands/` two-table pair under indexDir —
+    * without this sniff, reconcile only probes `indexDir/idx`, returns
+    * false, and ingestBatch would silently create a fresh EMPTY idx table
+    * beside the orphaned history, losing all suppression against
+    * historical vectors. Refuse loudly instead.
+    */
+  private def sniffLegacy(fs: FileSystem, indexDir: String): Unit =
+    if (fs.exists(new Path(s"$indexDir/vecs")))
+      throw new IllegalStateException(
+        s"embed index at $indexDir uses the pre-r14 two-table (vecs+bands) " +
+          "layout. Re-ingest into a fresh indexDir.")
+
   private[graft] def reconcile(s: SparkSession, indexDir: String): Boolean = {
     val (fs, _) = fsOf(s, indexDir)
     val tbl = idxTable(s, indexDir)
+    // sniff only when the table is NOT yet registered — a registered
+    // entry already passed the sniff (FuzzyIngest rationale)
+    if (!s.catalog.tableExists(tbl)) sniffLegacy(fs, indexDir)
     val p = new Path(idxPath(indexDir))
     val exists = fs.exists(p) && fs.listStatus(p).nonEmpty
     if (!exists && s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")

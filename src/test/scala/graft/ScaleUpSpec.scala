@@ -49,6 +49,47 @@ class ScaleUpSpec extends SparkSpec {
     assert(cross === 0L, s"cross-copy pairs fabricated: $cross")
   }
 
+  test("explode-based replication matches the literal per-copy formulas " +
+      "(r15: the union path could not plan factor 1000)") {
+    // golden pin for the r15 explode rewrite: copy 1 of documents and
+    // embeddings must equal the PRE-r15 literal-int formulas applied to
+    // the base table — token suffix `_1`, recomputed n_chars, key shift
+    // by stride, and the xxhash64(1, d) sign mask (INT literal, the
+    // type the mask always hashed). Any drift here silently changes
+    // every scale rehearsal's data.
+    val d = freshDst("explode_eq")
+    ScaleUp.derive(spark, sfDir, d, 3, skew = false)
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dS = docs0.agg(max(col("doc_id"))).head().getAs[Number](0).longValue + 1
+    val expDocs = docs0
+      .withColumn("doc_id", col("doc_id") + lit(dS))
+      .withColumn("text",
+        when(col("text").isNull, col("text"))
+          .when(length(col("text")) === 0, col("text"))
+          .otherwise(array_join(
+            transform(split(col("text"), " "), t => concat(t, lit("_1"))), " ")))
+      .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+    val gotDocs = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") >= dS && col("doc_id") < 2 * dS)
+    assert(gotDocs.exceptAll(expDocs).count() === 0L &&
+      expDocs.exceptAll(gotDocs).count() === 0L,
+      "documents copy 1 drifted from the literal formula")
+
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vS = emb0.agg(max(col("vec_id"))).head().getAs[Number](0).longValue + 1
+    val expEmb = emb0
+      .withColumn("vec_id", col("vec_id") + lit(vS))
+      .withColumn("embedding", expr(
+        """transform(embedding, (v, d) ->
+             CAST(v * (1 - 2 * pmod(xxhash64(1, d), 2)) AS FLOAT))"""))
+    val gotEmb = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") >= vS && col("vec_id") < 2 * vS)
+    assert(gotEmb.exceptAll(expEmb).count() === 0L &&
+      expEmb.exceptAll(gotEmb).count() === 0L,
+      "embeddings copy 1 sign mask drifted from the literal xxhash64(INT, INT) formula")
+  }
+
   test("event user_ids wrap into the copy-0 customer range at factors " +
       "beyond the old stride limit") {
     val cMax = spark.read.parquet(s"$sfDir/customer.parquet")

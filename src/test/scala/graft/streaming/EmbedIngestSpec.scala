@@ -97,6 +97,18 @@ class EmbedIngestSpec extends SparkSpec {
     assert(idx == Seq(1L, 2L), s"replay mismatch: $idx")
   }
 
+  test("a legacy two-table (vecs+bands) index dir is rejected with a clear error") {
+    // ADVICE r14 medium: without the sniff, reconcile on a pre-r14 layout
+    // probed only indexDir/idx, returned false, and ingestBatch silently
+    // created a fresh EMPTY idx beside the orphaned history — all
+    // suppression against historical vectors lost. Must refuse loudly.
+    val dir = graft.util.Scratch.fresh("embed_legacy_spec")
+    vecs((1L, unit(0), 0)).write.parquet(s"$dir/vecs")
+    val e = intercept[IllegalStateException](
+      EmbedIngest.ingestBatch(vecs((2L, unit(1), 1)), 0L, dir))
+    assert(e.getMessage.contains("pre-r14 two-table"), e.getMessage)
+  }
+
   test("band bloom sidecar: created on batch 0, probe stays exact either way") {
     val dir = graft.util.Scratch.fresh("embed_bloom")
     EmbedIngest.ingestBatch(vecs((1L, unit(0), 0)), 0L, dir)

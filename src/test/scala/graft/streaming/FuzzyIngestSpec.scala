@@ -299,11 +299,14 @@ class FuzzyIngestSpec extends SparkSpec {
     val joins = plan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
+    // nonEmpty BEFORE the head deref (ADVICE r14): a regression away from
+    // BHJ must fail with this diagnostic, not NoSuchElementException
+    assert(joins.nonEmpty, s"expected a broadcast probe join:\n$plan")
     val idxSide2 = joins.head.buildSide match {
       case org.apache.spark.sql.catalyst.optimizer.BuildLeft => joins.head.right
       case _ => joins.head.left
     }
-    assert(joins.nonEmpty && idxSide2.collect {
+    assert(idxSide2.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.isEmpty, s"compacted band index must not be re-shuffled:\n$plan")
     assert(cand.select(col("old_id")).as[Long].collect().toSet === Set(10L))

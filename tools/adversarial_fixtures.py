@@ -92,6 +92,14 @@ def main(out, float_edges=False):
              n_chars=17),
         dict(doc_id=90015, text="shared tail gram plus more words here",
              lang="de", source="src2", n_chars=37),
+        # NEGATIVE id (ADVICE r14): the incremental-ingest keys route
+        # seed/deliveries by doc_id residue; Scala % and DuckDB % both
+        # return -4 for -90004 % 5 while pmod returns 1 — a plain-% split
+        # on one side and a <>-0 bucket on the other silently diverges.
+        # Both keys now route on pmod, and this row makes the sweep
+        # exercise that leg (it must ride delivery 0 in both engines).
+        dict(doc_id=-90004, text="negative id rides exactly one delivery",
+             lang="en", source="src1", n_chars=39),
     ]
     merged = pa.Table.from_pylist(base + extra, schema=docs.schema)
     pq.write_table(merged, f"{out}/documents.parquet")
