@@ -92,7 +92,25 @@ object CorpusBuild {
       .orderBy(col("lang"), col("bin"))
   }
 
-  /** The whole build: gate → normalize → dedup → mixture → pack. */
-  def build(docs: DataFrame, thr: Column): DataFrame =
-    packed(mixtureSampled(survivors(gatedNormalized(docs)), thr))
+  /** The whole build: gate → normalize → dedup → mixture → pack.
+    *
+    * Stage materialization: Catalyst recomputes LINEAGE on both sides of
+    * the dedup self-join and again inside the prefix-sum's offsets
+    * branch — the unpersisted DAG re-ran the scoring kernel and re-read
+    * the corpus FOUR times (r15 plan audit, EXPLAINS.md). A production
+    * corpus build persists between stages (that is the pipeline
+    * contract — each stage's output is the next stage's input, computed
+    * once); here the two stage boundaries cache exactly what downstream
+    * consumes (narrow projections — raw text and the score are dropped
+    * before caching). Bench/Verify clear the cache per query, keeping
+    * cache lifetimes deterministic (the ADVICE r9 rule).
+    */
+  def build(docs: DataFrame, thr: Column): DataFrame = {
+    val gated = gatedNormalized(docs)
+      .select(col("doc_id"), col("lang"), col("source"), col("norm_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = mixtureSampled(survivors(gated), thr)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packed(sampled)
+  }
 }
