@@ -123,8 +123,15 @@ object ScaleUp {
     // copy-1 output against the literal-int formulas exactly — the
     // xxhash64 sign/skew masks hash (INT, INT), so `__copy` is cast to
     // INT wherever the literal was one).
+    // repartition the (small) BASE before exploding: the driver sf tables
+    // are single parquet files under the default split size, so without
+    // it the whole factor-N explode and write run on ONE task (the union
+    // path got its parallelism from the N scans). One cheap shuffle of
+    // base-sized data buys cores× write parallelism on factor×-sized
+    // output.
+    val par = spark.sparkContext.defaultParallelism
     def replicated(df: DataFrame)(f: (DataFrame, Column) => DataFrame): DataFrame =
-      f(df.withColumn("__copy",
+      f(df.repartition(par).withColumn("__copy",
           explode(expr(s"sequence(0L, ${factor - 1}L)"))), col("__copy"))
         .drop("__copy")
 
