@@ -561,8 +561,22 @@ object Dedup {
       .filter(col("rk") <=
         col("sz") - greatest(lit(1),
           ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
+      // df=1 pruning (r15): a unique gram occupies its prefix slot (the
+      // rarest-first ranking puts it there by design — the rank filter
+      // above already counted it) but can NEVER produce a candidate:
+      // no second document shares it. Dropping those ROWS after ranking
+      // is output-identical — a qualifying pair's shared prefix gram has
+      // df >= 2 by definition — and removes the unique-gram bulk from
+      // both sides of the candidate join. On a vocabulary-disjoint
+      // corpus (every ScaleUp rehearsal, and any real crawl's long
+      // tail) unique grams are MOST postings: at sf100 (5M docs) the
+      // unpruned join's shuffle spill exceeded a 252 GB box's free disk;
+      // pruned, the same rows pass (BENCH_decade3_r15.json).
+      .filter(col("df") >= 2)
       .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
-    val x = probe.as("x"); val y = posts.as("y")
+    val yPosts = posts.join(dfreq.filter(col("df") >= 2).select(col("gram")),
+      Seq("gram"))
+    val x = probe.as("x"); val y = yPosts.as("y")
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
     // AllPairs length filter (Jaccard callers only): with |A| ≤ |B|,
