@@ -555,28 +555,38 @@ object Dedup {
     val posts = g.select(col("doc_id") +: blockCols.map(col) :+
       size(col("grams")).as("sz") :+ explode(col("grams")).as("gram"): _*)
     val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // df=1 pruning (r15): a unique gram can NEVER produce a candidate —
+    // no second document shares it — so ONLY df >= 2 postings need to
+    // flow through the ranking window and the candidate join. The
+    // original rank-over-ALL-grams filter (rk <= sz - ceil(tau*sz) + 1)
+    // is recovered exactly on the pruned frame: df=1 grams sort strictly
+    // FIRST under (df asc, gram asc), so a df>=2 gram's global rank is
+    // u + rk2 with u = sz - n2 unique grams ahead of it, and the cutoff
+    // becomes rk2 <= n2 - ceil(tau*sz) + 1 (sz, not n2, inside the ceil
+    // — the prefix LENGTH is defined over the full gram set). Recall
+    // unchanged: a qualifying pair's shared prefix gram has df >= 2 by
+    // definition (DedupSpec pins the pair outputs). The win scales with
+    // the vocabulary's long tail (real crawls: unique shingles dominate
+    // postings); it is NOT a disk escape for the global SSJoin at 5M+
+    // docs on ONE box — the sf100 rehearsal corpus shares most shingles
+    // WITHIN a copy, df>=2 postings stay dominant there, and the row
+    // still exceeds a single 252 GB box's free disk (the named hotspot
+    // in BENCH_decade3_r15.json; the LSH index path is the shipped
+    // scale plan).
+    val posts2 = posts.join(dfreq.filter(col("df") >= 2), "gram")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val probe = posts.join(dfreq, "gram")
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val probe = posts2
       .withColumn("rk", row_number().over(w))
+      .withColumn("n2", count(lit(1)).over(wDoc))
       .filter(col("rk") <=
-        col("sz") - greatest(lit(1),
+        col("n2") - greatest(lit(1),
           ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
-      // df=1 pruning (r15): a unique gram occupies its prefix slot (the
-      // rarest-first ranking puts it there by design — the rank filter
-      // above already counted it) but can NEVER produce a candidate:
-      // no second document shares it. Dropping those ROWS after ranking
-      // is output-identical — a qualifying pair's shared prefix gram has
-      // df >= 2 by definition — and removes the unique-gram bulk from
-      // both sides of the candidate join. On a vocabulary-disjoint
-      // corpus (every ScaleUp rehearsal, and any real crawl's long
-      // tail) unique grams are MOST postings: at sf100 (5M docs) the
-      // unpruned join's shuffle spill exceeded a 252 GB box's free disk;
-      // pruned, the same rows pass (BENCH_decade3_r15.json).
-      .filter(col("df") >= 2)
       .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
-    val yPosts = posts.join(dfreq.filter(col("df") >= 2).select(col("gram")),
-      Seq("gram"))
-    val x = probe.as("x"); val y = yPosts.as("y")
+    val x = probe.as("x")
+    val y = posts2
+      .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
+      .as("y")
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
     // AllPairs length filter (Jaccard callers only): with |A| ≤ |B|,
