@@ -584,9 +584,12 @@ object Dedup {
           ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
       .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
     val x = probe.as("x")
-    val y = posts2
-      .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
-      .as("y")
+    // y stays UNPRUNED: a df=1 posting can never match a probe row (the
+    // probe kept only df>=2 grams, and equal grams share one df), so
+    // pruning y buys nothing the join doesn't already do — while the
+    // posts⋈dfreq join it would need costs a real constant on small
+    // blocks (measured +0.4 s on llm_dedup_ngram at sf0.1).
+    val y = posts.as("y")
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
     // AllPairs length filter (Jaccard callers only): with |A| ≤ |B|,
