@@ -86,6 +86,11 @@ object ScaleUp {
     */
   def derive(spark: SparkSession, src: String, dst: String, factor: Int,
       skew: Boolean): Unit = {
+    // ADVICE r15: sequence(0L, factor-1L) DESCENDS when factor <= 0
+    // (sequence(0,-1) = [0,-1]), which would silently write a bogus copy
+    // -1 with negative-shifted keys where the pre-r15 union form failed
+    // loudly on empty.reduce. Fail fast on the unvalidated CLI arg.
+    require(factor >= 1, s"factor must be >= 1, got $factor")
     def tbl(n: String) = spark.read.parquet(s"$src/$n.parquet")
     def write(df: DataFrame, n: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$n.parquet")

@@ -612,6 +612,135 @@ object Dedup {
       .distinct()
   }
 
+  /** Pass counts for the disk-bounded sharded SSJoin (r16, VERDICT item
+    * 1). The third decade found the exact global SSJoin's wall: at 5M
+    * docs (~260M postings) the candidate join's OUTPUT spill — the
+    * pre-distinct pair multiset, inflated by within-copy shingle sharing
+    * — exceeds a single box's ~50-60 GB free disk in ONE shuffle.
+    * Sharding the candidate join by gram-hash range into kCand
+    * SEQUENTIAL passes bounds peak spill at ~1/kCand: a matching gram
+    * lives in exactly one shard, so the join input AND its output
+    * multiset split with it. The probe (window) stage is postings-bound,
+    * not output-bound, so it shards at a coarser kProbe by doc-hash
+    * range (the rank window partitions by doc_id — every pass computes
+    * its docs' ranks EXACTLY).
+    *
+    * Sizing: one candidate pass per ~20M postings ≈ the sf10 scale that
+    * completed comfortably unsharded (26M postings); sf0.1 and below
+    * stay at 1 pass (bit-identical lazy plan), sf100 lands ~13 passes.
+    * Caps at 256 passes as a runaway bound (at that point the corpus
+    * belongs on a cluster, where per-executor disk scales out and
+    * passes can drop back to 1).
+    */
+  /** Default candidate-pass size: ~20M postings/pass (the sf10 scale
+    * that completed comfortably unsharded). Env-overridable so scale
+    * rehearsals can probe the knob without a code change.
+    */
+  private[graft] val defaultSsjPostsPerPass: Long =
+    sys.env.get("SPARK_GRAFT_SSJ_POSTS_PER_PASS").map(_.toLong)
+      .getOrElse(20000000L)
+
+  private[graft] def ssjShardCounts(totalPostings: Long,
+      candPostsPerPass: Long): (Int, Int) = {
+    require(candPostsPerPass >= 1, s"candPostsPerPass must be >= 1")
+    def passes(per: Long): Int =
+      math.min(256L, math.max(1L,
+        (totalPostings + per - 1) / per)).toInt
+    // probe passes are postings-bound (no output blow-up): 8x coarser
+    (passes(candPostsPerPass * 8), passes(candPostsPerPass))
+  }
+
+  /** [[prefixCandidates]] re-expressed as K disk-bounded sequential
+    * passes with parquet stage boundaries — the 100 TB form of the exact
+    * SSJoin when the corpus outgrows what one shuffle can spill
+    * (VERDICT r15 item 1; the checkpointed-TABLE stage contract, not an
+    * executor cache).
+    *
+    * Output identity with the lazy form is structural, spec-pinned in
+    * `SsjShardSpec`:
+    *  - document frequencies are exact per gram-shard (a gram's postings
+    *    all hash to one shard — computed ONCE globally here);
+    *  - the prefix-rank window partitions by doc_id, so doc-hash
+    *    sharding computes every doc's ranks over its full df>=2 gram
+    *    set, unchanged;
+    *  - every qualifying pair shares >= 1 probe-prefix gram, and that
+    *    gram's candidate pass emits the pair — union over passes is the
+    *    exact unsharded candidate set (per-pass `.distinct()` bounds the
+    *    stage parquet; the final cross-pass `.distinct()` collapses
+    *    pairs found via grams in different shards).
+    *
+    * Peak disk per pass: candidate-join input ~P/kCand postings plus its
+    * 1/kCand share of the pair-multiset spill; shuffle files of a
+    * finished pass are released by the ContextCleaner (System.gc() after
+    * each write enqueues them — cleanup is async, so worst-case overlap
+    * is ~2 passes, still ~2/kCand of the unsharded peak). Stage parquet
+    * (posts+df, probe prefixes, per-pass pairs) is hash-compressed
+    * columnar — ~single-digit GB at 5M docs against the tens-of-GB
+    * shuffle it replaces.
+    */
+  private def prefixCandidatesSharded(g: DataFrame, blockCols: Seq[String],
+      threshold: Double, jaccardLengthFilter: Boolean,
+      kProbe: Int, kCand: Int, dir: String): DataFrame = {
+    val spark = g.sparkSession
+    val posts = g.select(col("doc_id") +: blockCols.map(col) :+
+      size(col("grams")).as("sz") :+ explode(col("grams")).as("gram"): _*)
+    // Stage A (one job, postings-sized shuffles only — no output term):
+    // df per gram (map-side combined), df=1 dropped (cannot candidate),
+    // joined back to postings and materialized as the posts2 TABLE.
+    val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    posts.join(dfreq, "gram")
+      .write.mode("overwrite").parquet(s"$dir/posts2")
+    System.gc()
+    val posts2 = spark.read.parquet(s"$dir/posts2")
+    // Stage B (kProbe passes, doc-hash sharded): prefix-rank window.
+    // Identical rank/cutoff expressions to the lazy path (df=1 pruning
+    // form: rk2 <= n2 - ceil(tau*sz) + 1, sz inside the ceil).
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    for (i <- 0 until kProbe) {
+      posts2
+        .filter(pmod(xxhash64(col("doc_id")), lit(kProbe)) === i)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n2", count(lit(1)).over(wDoc))
+        .filter(col("rk") <=
+          col("n2") - greatest(lit(1),
+            ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
+        .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$dir/probe")
+      System.gc()
+    }
+    val probeAll = spark.read.parquet(s"$dir/probe")
+    // Stage C (kCand passes, gram-hash sharded): the candidate join.
+    // y stays UNPRUNED (df=1 rows never match a probe row — see the lazy
+    // path note) and is re-derived from the persisted gram frame per
+    // pass: a cached scan + explode + filter, no shuffle until the join.
+    val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val lenCond =
+      if (jaccardLengthFilter)
+        col("y.sz").cast("double") * lit(threshold) <=
+          col("x.sz").cast("double") + lit(1e-9)
+      else lit(true)
+    for (j <- 0 until kCand) {
+      val x = probeAll
+        .filter(pmod(xxhash64(col("gram")), lit(kCand)) === j).as("x")
+      val y = posts
+        .filter(pmod(xxhash64(col("gram")), lit(kCand)) === j).as("y")
+      x.join(y, col("x.gram") === col("y.gram") && blockCond && lenCond &&
+          (col("x.sz") < col("y.sz") ||
+            (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+        .distinct()
+        .write.mode(if (j == 0) "overwrite" else "append")
+        .parquet(s"$dir/cand")
+      System.gc()
+    }
+    spark.read.parquet(s"$dir/cand").distinct()
+  }
+
   /** [[ngramJaccardPairs]] with prefix-filtered candidate generation —
     * same output contract (including the (lang, source, len_bkt)
     * blocking the oracle twin declares), exact recall by the shared
@@ -671,13 +800,46 @@ object Dedup {
     * out of the probe prefixes and the candidate join is
     * output-bounded, not n². Verification is the same sorted-merge
     * intersect kernel as the blocked n-gram family; no text bodies
-    * shuffle — only 8-byte shingle hashes.
+    * shuffle — only 8-byte shingle hashes. Past ~160M postings the
+    * candidate generation switches to the disk-bounded K-pass form
+    * ([[prefixCandidatesSharded]]): same pair set (spec-pinned), peak
+    * shuffle spill ~1/K — the form that survives 5M docs on one box.
     */
   def shingleJaccardPairsGlobal(docs: DataFrame, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      candPostsPerPass: Long = defaultSsjPostsPerPass,
+      stageDir: Option[String] = None): DataFrame = {
     val g = persistGrams(slimGramSets(docs, n))
-    val cand = prefixCandidates(g, Seq.empty, threshold,
-      jaccardLengthFilter = true)
+    // Auto-sized disk-bounded sharding (r16): one cheap aggregate over
+    // the persisted gram frame (which every downstream branch forces
+    // anyway) sizes the candidate join to the corpus. Below ~160M
+    // postings (sf10-and-below here) this resolves to ONE pass and the
+    // plan is the unchanged lazy form; above it the operator runs the
+    // K-pass parquet-staged form so no single shuffle ever spills more
+    // than ~1/K of the pair multiset — the difference between the sf100
+    // row completing and `No space left on device`.
+    val totalPosts = Option(
+      g.agg(sum(size(col("grams")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (kProbe, kCand) = ssjShardCounts(totalPosts, candPostsPerPass)
+    val cand =
+      if (kCand <= 1)
+        prefixCandidates(g, Seq.empty, threshold, jaccardLengthFilter = true)
+      else {
+        val dir = stageDir.getOrElse {
+          val d = java.nio.file.Files
+            .createTempDirectory("graft_ssj_").toFile
+          sys.addShutdownHook {
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+            }
+            rm(d)
+          }
+          d.getAbsolutePath
+        }
+        prefixCandidatesSharded(g, Seq.empty, threshold,
+          jaccardLengthFilter = true, kProbe, kCand, dir)
+      }
     val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
     cand
       .join(g.as("a"), col("a_id") === col("a.doc_id"))

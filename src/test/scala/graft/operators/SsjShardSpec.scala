@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Output identity of the disk-bounded sharded SSJoin (r16, VERDICT
+  * item 1) against the lazy single-shuffle form — the `ScaleUpSpec`
+  * pattern: the scale rewrite is only admissible because a spec pins it
+  * output-identical to the form the oracle hashes.
+  *
+  * The identity rests on three structural facts, each exercised here by
+  * forcing multi-pass sharding on corpora small enough to brute-check:
+  * a gram's postings all hash to one candidate shard (df exact,
+  * pair-emitting gram present), the rank window partitions by doc_id so
+  * doc-hash probe shards compute full ranks, and the cross-pass
+  * `.distinct()` collapses pairs found via grams in different shards.
+  */
+class SsjShardSpec extends SparkSpec {
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("ssjShardCounts: 1 pass at-or-below the target, ceil above, capped") {
+    assert(Dedup.ssjShardCounts(0L, 20000000L) === ((1, 1)))
+    assert(Dedup.ssjShardCounts(20000000L, 20000000L) === ((1, 1)))
+    assert(Dedup.ssjShardCounts(20000001L, 20000000L) === ((1, 2)))
+    // sf100 shape: ~260M postings → 13 candidate passes, 2 probe passes
+    assert(Dedup.ssjShardCounts(260000000L, 20000000L) === ((2, 13)))
+    assert(Dedup.ssjShardCounts(Long.MaxValue / 2, 1000L) === ((256, 256)))
+    intercept[IllegalArgumentException](Dedup.ssjShardCounts(5L, 0L))
+  }
+
+  test("sharded SSJoin is output-identical to the lazy form on sf0.001") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lazyPairs = pairsOf(
+      Dedup.shingleJaccardPairsGlobal(docs, n = 3, threshold = 0.5))
+    assert(lazyPairs.nonEmpty, "fixture must produce pairs")
+    // sf0.001 has ~27k postings: 2k/pass → 14 candidate passes, 2 probe
+    // passes — both sharding dimensions exercised, plus cross-shard pair
+    // dedup (near-identical docs share grams landing in many shards)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_spec_")
+    try {
+      val sharded = pairsOf(Dedup.shingleJaccardPairsGlobal(
+        docs, n = 3, threshold = 0.5,
+        candPostsPerPass = 2000L, stageDir = Some(dir.toString)))
+      assert(sharded === lazyPairs)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("sharded SSJoin holds at a 2-pass split and at the exact boundary") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val lazyPairs = pairsOf(
+      Dedup.shingleJaccardPairsGlobal(docs, n = 3, threshold = 0.5))
+    val posts = Dedup.slimGramSets(docs, 3)
+      .agg(sum(size(col("grams")))).head().getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_spec2_")
+    try {
+      // per-pass = ceil(P/2): exactly 2 candidate passes, 1 probe pass
+      val two = pairsOf(Dedup.shingleJaccardPairsGlobal(
+        docs, n = 3, threshold = 0.5,
+        candPostsPerPass = (posts + 1) / 2,
+        stageDir = Some(dir.toString + "/a")))
+      assert(two === lazyPairs)
+      // per-pass = P exactly: boundary resolves to the 1-pass lazy form
+      val one = pairsOf(Dedup.shingleJaccardPairsGlobal(
+        docs, n = 3, threshold = 0.5, candPostsPerPass = posts))
+      assert(one === lazyPairs)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("empty and null-text corpora resolve to the 1-pass form and no pairs") {
+    import spark.implicits._
+    val nulls = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    assert(Dedup.shingleJaccardPairsGlobal(
+      nulls, n = 3, threshold = 0.5, candPostsPerPass = 1L).count() === 0)
+    spark.catalog.clearCache()
+  }
+}
