@@ -54,19 +54,32 @@ object SsjProbe {
     val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     timed("dfreq distinct grams")(dfreq.count())
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val probe = posts.join(dfreq, "gram")
+    val wDoc = Window.partitionBy(col("doc_id"))
+    // mirrors Dedup.rankedPostings (r16): df=1-pruned ranks, canonical
+    // positions for the PPJoin positional filter, prefix marks
+    val ranked = posts.join(dfreq.filter(col("df") >= 2), "gram")
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <=
-        col("sz") - greatest(lit(1),
+      .withColumn("n2", count(lit(1)).over(wDoc))
+      .withColumn("pos", col("sz") - col("n2") + col("rk"))
+      .withColumn("in_prefix", col("rk") <=
+        col("n2") - greatest(lit(1),
           ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
-      .select(col("doc_id"), col("sz"), col("gram"))
+      .select(col("doc_id"), col("sz"), col("gram"), col("pos"),
+        col("in_prefix"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    timed("probe (prefix postings)")(probe.count())
-    val x = probe.as("x"); val y = posts.as("y")
-    // mirrors the r13 AllPairs length filter in Dedup.prefixCandidates
+    timed("ranked df>=2 postings")(ranked.count())
+    timed("probe (prefix postings)")(ranked.filter(col("in_prefix")).count())
+    val x = ranked.filter(col("in_prefix")).drop("in_prefix").as("x")
+    val y = ranked.drop("in_prefix").as("y")
+    // mirrors the AllPairs length + PPJoin positional filters in
+    // Dedup.prefixCandidates
+    val oReq = ceil((col("x.sz") + col("y.sz")).cast("double") *
+      lit(threshold / (1.0 + threshold)) - lit(1e-9))
     val cand = x.join(y, col("x.gram") === col("y.gram") &&
         col("y.sz").cast("double") * lit(threshold) <=
           col("x.sz").cast("double") + lit(1e-9) &&
+        (lit(1) + least(col("x.sz") - col("x.pos"),
+          col("y.sz") - col("y.pos"))).cast("long") >= oReq &&
         (col("x.sz") < col("y.sz") ||
           (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),

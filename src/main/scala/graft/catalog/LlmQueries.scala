@@ -114,6 +114,15 @@ object LlmQueries {
   private[graft] def mixtureThresholdHex(w: Double): String =
     if (w >= 1.0) "g" else f"${(w * 4294967296L).toLong}%08x"
 
+  /** The per-source threshold when-chain over [[MixtureWeights]] —
+    * single-sourced for the two mixture keys and `CorpusBuildProbe`.
+    */
+  private[graft] def mixtureThresholdChain: org.apache.spark.sql.Column =
+    MixtureWeights.foldLeft(lit("00000000")) {
+      case (acc, (src, w)) =>
+        when(col("source") === src, lit(mixtureThresholdHex(w))).otherwise(acc)
+    }
+
   /** DuckDB CASE twin of the per-source threshold when-chain. */
   private val mixtureThrSql: String =
     MixtureWeights.map { case (src, w) =>
@@ -962,10 +971,7 @@ object LlmQueries {
     // coordinate across executors), layout-independent, and re-runnable —
     // re-ingesting the corpus reproduces the same sample.
     "llm_mixture_sample" -> ((s, d) => {
-      val thr = MixtureWeights.foldLeft(lit("00000000")) {
-        case (acc, (src, w)) =>
-          when(col("source") === src, lit(mixtureThresholdHex(w))).otherwise(acc)
-      }
+      val thr = mixtureThresholdChain
       Tables.documents(s, d)
         .filter(substring(md5(col("text").cast("binary")), 1, 8) < thr)
         .groupBy(col("source"))
@@ -985,13 +991,8 @@ object LlmQueries {
     // CorpusBuildSpec; the threshold chain folds over the SAME
     // MixtureWeights Seq as llm_mixture_sample and the twin. See
     // operators/CorpusBuild.scala for the 100 TB shape per stage.
-    "llm_corpus_build" -> ((s, d) => {
-      val thr = MixtureWeights.foldLeft(lit("00000000")) {
-        case (acc, (src, w)) =>
-          when(col("source") === src, lit(mixtureThresholdHex(w))).otherwise(acc)
-      }
-      CorpusBuild.build(Tables.documents(s, d), thr)
-    }),
+    "llm_corpus_build" -> ((s, d) =>
+      CorpusBuild.build(Tables.documents(s, d), mixtureThresholdChain)),
 
     // Unigram-LM quality scoring (the CCNet-style filter): per-doc mean
     // log-probability (unigramDocScores — the exact-integer-unit kernel)

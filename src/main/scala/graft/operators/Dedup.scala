@@ -551,7 +551,8 @@ object Dedup {
     * float-rounding the prefix short).
     */
   private def prefixCandidates(g: DataFrame, blockCols: Seq[String],
-      threshold: Double, jaccardLengthFilter: Boolean = false): DataFrame = {
+      threshold: Double, jaccardLengthFilter: Boolean = false,
+      positional: Boolean = false): DataFrame = {
     val posts = g.select(col("doc_id") +: blockCols.map(col) :+
       size(col("grams")).as("sz") :+ explode(col("grams")).as("gram"): _*)
     val dfreq = posts.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -574,22 +575,23 @@ object Dedup {
     // in BENCH_decade3_r15.json; the LSH index path is the shipped
     // scale plan).
     val posts2 = posts.join(dfreq.filter(col("df") >= 2), "gram")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val probe = posts2
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n2", count(lit(1)).over(wDoc))
-      .filter(col("rk") <=
-        col("n2") - greatest(lit(1),
-          ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
-      .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
-    val x = probe.as("x")
-    // y stays UNPRUNED: a df=1 posting can never match a probe row (the
-    // probe kept only df>=2 grams, and equal grams share one df), so
-    // pruning y buys nothing the join doesn't already do — while the
-    // posts⋈dfreq join it would need costs a real constant on small
-    // blocks (measured +0.4 s on llm_dedup_ngram at sf0.1).
-    val y = posts.as("y")
+    val ranked = rankedPostings(posts2, blockCols, threshold)
+    val x = ranked.filter(col("in_prefix")).drop("in_prefix").as("x")
+    // positional=true (the GLOBAL caller): y = the RANKED df>=2 frame —
+    // a df=1 posting can never match a probe row either way, and the
+    // PPJoin filter below needs y's canonical-order position, which the
+    // ranking window provides. r15's dd8d814 rejected a bare y-side
+    // df-join (+0.4 s, NO candidate reduction); WITH the positional
+    // pruning the trade re-measured as the dominant win where candidates
+    // explode (sf10 global SSJoin: 34.9M -> ~1M candidates, end-to-end
+    // 59 s -> 37 s) — but as a net LOSS inside the blocked callers'
+    // small (lang, source[, len_bkt]) blocks (llm_dedup_containment
+    // 1.7 -> 2.5 s, llm_dedup_ngram 1.5 -> 1.9 s at sf0.1), where block
+    // bounds already cap the blow-up. Hence per-caller: global pays for
+    // ranking y, blocked keeps raw postings.
+    val y =
+      if (positional) ranked.drop("in_prefix").as("y")
+      else posts.as("y")
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
     // AllPairs length filter (Jaccard callers only): with |A| ≤ |B|,
@@ -604,12 +606,68 @@ object Dedup {
         col("y.sz").cast("double") * lit(threshold) <=
           col("x.sz").cast("double") + lit(1e-9)
       else lit(true)
+    val posCond =
+      if (positional) positionalCond(threshold, jaccardLengthFilter)
+      else lit(true)
     x.join(y, col("x.gram") === col("y.gram") && blockCond && lenCond &&
+        posCond &&
         (col("x.sz") < col("y.sz") ||
           (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
+  }
+
+  /** The canonical-order ranking pass shared by the lazy and sharded
+    * candidate generators: rank each doc's df>=2 grams rarest-first,
+    * recover each gram's position in the doc's FULL canonical order
+    * (`pos = sz - n2 + rk` — the doc's `sz - n2` df=1 grams sort
+    * strictly first), and mark the prefix rows
+    * (`rk <= n2 - ceil(tau*sz) + 1`, the df=1-pruned form of the
+    * Chaudhuri/Bayardo bound — sz, not n2, inside the ceil: the prefix
+    * LENGTH is defined over the full gram set).
+    */
+  private def rankedPostings(posts2: DataFrame, blockCols: Seq[String],
+      threshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    posts2
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n2", count(lit(1)).over(wDoc))
+      .withColumn("pos", col("sz") - col("n2") + col("rk"))
+      .withColumn("in_prefix", col("rk") <=
+        col("n2") - greatest(lit(1),
+          ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
+      .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+
+        col("gram") :+ col("pos") :+ col("in_prefix"): _*)
+  }
+
+  /** PPJoin positional filter (Xiao, Wang, Lin, Yu — WWW'08): at a
+    * candidate match on a gram at canonical positions (px, py), overlap
+    * can be at most `1 + min(szx - px, szy - py)` — everything else must
+    * sit in the two suffixes. Prune when that ceiling is below the
+    * measure's required overlap: Jaccard >= τ needs
+    * o >= τ/(1+τ)·(szx+szy); containment >= τ (with szx <= szy by the
+    * join's size order) needs o >= τ·szx. Recall is EXACT: both gram
+    * arrays sort in the same global (df, gram) order, so a qualifying
+    * pair's FIRST shared gram has no shared grams before it on either
+    * side — its match row satisfies the ceiling, and that gram is
+    * df>=2 and inside x's prefix (the prefix bound), so the row exists.
+    * Effect is candidate-set collapse BEFORE the verify join — the r15
+    * verify carried gram arrays for 34.9M sf10 candidates to find 25.6k
+    * true pairs; the positional filter removes the 1-shared-rare-gram
+    * bulk that dominates a shingled corpus.
+    */
+  private def positionalCond(threshold: Double,
+      jaccardLengthFilter: Boolean): org.apache.spark.sql.Column = {
+    val oReq =
+      if (jaccardLengthFilter)
+        ceil((col("x.sz") + col("y.sz")).cast("double") *
+          lit(threshold / (1.0 + threshold)) - lit(1e-9))
+      else
+        ceil(col("x.sz").cast("double") * lit(threshold) - lit(1e-9))
+    (lit(1) + least(col("x.sz") - col("x.pos"),
+      col("y.sz") - col("y.pos"))).cast("long") >= oReq
   }
 
   /** Pass counts for the disk-bounded sharded SSJoin (r16, VERDICT item
@@ -693,29 +751,24 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/posts2")
     System.gc()
     val posts2 = spark.read.parquet(s"$dir/posts2")
-    // Stage B (kProbe passes, doc-hash sharded): prefix-rank window.
-    // Identical rank/cutoff expressions to the lazy path (df=1 pruning
-    // form: rk2 <= n2 - ceil(tau*sz) + 1, sz inside the ceil).
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
-    val wDoc = Window.partitionBy(col("doc_id"))
+    // Stage B (kProbe passes, doc-hash sharded): the [[rankedPostings]]
+    // window — identical expressions to the lazy path — written as ONE
+    // ranked table serving both candidate-join sides (the probe rows are
+    // the in_prefix subset; the y side needs pos for the positional
+    // filter and df=1 rows never match, so the ranked frame IS the y
+    // side).
     for (i <- 0 until kProbe) {
-      posts2
-        .filter(pmod(xxhash64(col("doc_id")), lit(kProbe)) === i)
-        .withColumn("rk", row_number().over(w))
-        .withColumn("n2", count(lit(1)).over(wDoc))
-        .filter(col("rk") <=
-          col("n2") - greatest(lit(1),
-            ceil(col("sz") * lit(threshold) - lit(1e-9)).cast("int")) + 1)
-        .select(col("doc_id") +: blockCols.map(col) :+ col("sz") :+ col("gram"): _*)
+      rankedPostings(
+        posts2.filter(pmod(xxhash64(col("doc_id")), lit(kProbe)) === i),
+        blockCols, threshold)
         .write.mode(if (i == 0) "overwrite" else "append")
-        .parquet(s"$dir/probe")
+        .parquet(s"$dir/ranked")
       System.gc()
     }
-    val probeAll = spark.read.parquet(s"$dir/probe")
-    // Stage C (kCand passes, gram-hash sharded): the candidate join.
-    // y stays UNPRUNED (df=1 rows never match a probe row — see the lazy
-    // path note) and is re-derived from the persisted gram frame per
-    // pass: a cached scan + explode + filter, no shuffle until the join.
+    val rankedAll = spark.read.parquet(s"$dir/ranked")
+    // Stage C (kCand passes, gram-hash sharded): the candidate join with
+    // the same AllPairs length + PPJoin positional pruning as the lazy
+    // form.
     val blockCond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(lit(true))(_ && _)
     val lenCond =
@@ -724,11 +777,12 @@ object Dedup {
           col("x.sz").cast("double") + lit(1e-9)
       else lit(true)
     for (j <- 0 until kCand) {
-      val x = probeAll
-        .filter(pmod(xxhash64(col("gram")), lit(kCand)) === j).as("x")
-      val y = posts
-        .filter(pmod(xxhash64(col("gram")), lit(kCand)) === j).as("y")
+      val shard = rankedAll
+        .filter(pmod(xxhash64(col("gram")), lit(kCand)) === j)
+      val x = shard.filter(col("in_prefix")).drop("in_prefix").as("x")
+      val y = shard.drop("in_prefix").as("y")
       x.join(y, col("x.gram") === col("y.gram") && blockCond && lenCond &&
+          positionalCond(threshold, jaccardLengthFilter) &&
           (col("x.sz") < col("y.sz") ||
             (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
@@ -824,7 +878,8 @@ object Dedup {
     val (kProbe, kCand) = ssjShardCounts(totalPosts, candPostsPerPass)
     val cand =
       if (kCand <= 1)
-        prefixCandidates(g, Seq.empty, threshold, jaccardLengthFilter = true)
+        prefixCandidates(g, Seq.empty, threshold, jaccardLengthFilter = true,
+          positional = true)
       else {
         val dir = stageDir.getOrElse {
           val d = java.nio.file.Files

@@ -106,4 +106,42 @@ class CorpusBuildSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(rollup == Seq(("en", 0L, 1L, 4L, 1L)), s"pack rollup: $rollup")
   }
+
+  test("buildMaterialized (parquet stage boundaries) equals build (cached)") {
+    // the production materialization contract (VERDICT r15 item 3): a
+    // stage boundary written as a TABLE must change nothing but the
+    // lineage. Identity on real testdata with a mixed-keep threshold
+    // chain (some sources sampled in, some out), plus the fixture corpus
+    // exercising every door convention at once.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("bin"), col("n_docs"), col("sum_tokens"),
+          col("first_doc"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val thr = when(col("source").isNull, lit("00000000"))
+      .when(col("source") === "web", lit("g"))
+      .otherwise(lit("80000000"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cb_spec_")
+    try {
+      val cached = rows(CorpusBuild.build(real, thr))
+      assert(cached.nonEmpty, "real-data fixture must pack bins")
+      assert(rows(CorpusBuild.buildMaterialized(real, thr,
+        s"$dir/real")) === cached)
+      val fx = docs(
+        (1L, "en", "web", "alpha beta delta epsilon"),
+        (2L, "en", "web", "Alpha, beta delta epsilon!"),
+        (null, "en", "web", "alpha beta delta epsilon"),
+        (3L, "en", "books", "gamma kappa sigma"),
+        (4L, "en", null, "omega phi chi"),
+        (5L, "en", "web", null))
+      assert(rows(CorpusBuild.buildMaterialized(fx, thr, s"$dir/fx")) ===
+        rows(CorpusBuild.build(fx, thr)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    spark.catalog.clearCache()
+  }
 }
