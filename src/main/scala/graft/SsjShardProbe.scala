@@ -99,18 +99,42 @@ object SsjShardProbe {
       }
       timed("C: gc")(System.gc())
     }
-    val candD = spark.read.parquet(s"$stage/cand").distinct()
-    timed("verify -> true pairs") {
-      val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
-      candD
-        .join(g.as("a"), col("a_id") === col("a.doc_id"))
-        .join(g.as("b"), col("b_id") === col("b.doc_id"))
-        .withColumn("common", common)
-        .withColumn("jaccard", col("common").cast("double") /
-          (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
-        .filter(col("jaccard") >= threshold)
-        .count()
+    // Verify mirrors the operator's r16 pass-sharded form: materialized
+    // distinct pair table + parquet gram table, kVer pair-hash passes
+    // (the single-join verify was the sf100 ENOSPC stage: 125M pairs x
+    // ~700 B of gram arrays in one two-join shuffle).
+    timed("D: candd write") {
+      spark.read.parquet(s"$stage/cand").distinct()
+        .write.mode("overwrite").parquet(s"$stage/candd")
     }
+    timed("D: gc")(System.gc())
+    val candD = spark.read.parquet(s"$stage/candd")
+    timed("D: grams write") {
+      g.select(col("doc_id"), col("grams"))
+        .write.mode("overwrite").parquet(s"$stage/grams")
+    }
+    val gp = spark.read.parquet(s"$stage/grams")
+    val nCand = timed("D: cand count")(candD.count())
+    val kVer = operators.Dedup.ssjVerifyPasses(nCand,
+      operators.Dedup.defaultSsjPairsPerPass)
+    println(s"[ssjshard] candidates=$nCand kVer=$kVer")
+    var truePairs = 0L
+    for (v <- 0 until kVer) {
+      timed(s"E[$v/$kVer]: verify pass") {
+        val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+        truePairs += candD
+          .filter(pmod(xxhash64(col("a_id"), col("b_id")), lit(kVer)) === v)
+          .join(gp.as("a"), col("a_id") === col("a.doc_id"))
+          .join(gp.as("b"), col("b_id") === col("b.doc_id"))
+          .withColumn("common", common)
+          .withColumn("jaccard", col("common").cast("double") /
+            (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .count()
+      }
+      timed("E: gc")(System.gc())
+    }
+    println(s"[ssjshard] true pairs=$truePairs")
     timed("end-to-end operator")(operators.Dedup
       .shingleJaccardPairsGlobal(docs, n, threshold, perPass).count())
     spark.stop()

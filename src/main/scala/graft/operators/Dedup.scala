@@ -708,6 +708,29 @@ object Dedup {
     (passes(candPostsPerPass * 8), passes(candPostsPerPass))
   }
 
+  /** Default verify-pass size: ~20M candidate PAIRS per pass. The r16
+    * sf100 attribution run found the sharded SSJoin's remaining wall is
+    * not candidate generation (14 passes at ~11-18 s each, stage disk
+    * flat) but VERIFICATION: the exact-Jaccard join hangs both docs'
+    * full gram arrays (~700 B/pair at this corpus's ~44 grams/doc) on
+    * every candidate, and at 125M within-copy candidates that is an
+    * ~80 GB two-join shuffle — the stage that took a 252 GB box from
+    * 39 GB free to ENOSPC while every earlier stage stayed bounded.
+    * Like the candidate knob, env-overridable for scale rehearsals.
+    */
+  private[graft] val defaultSsjPairsPerPass: Long =
+    sys.env.get("SPARK_GRAFT_SSJ_PAIRS_PER_PASS").map(_.toLong)
+      .getOrElse(20000000L)
+
+  /** Sequential verify passes for [[shingleJaccardPairsGlobal]]'s
+    * sharded branch: ceil(candidates / pairsPerPass), same 256-pass
+    * runaway cap as [[ssjShardCounts]].
+    */
+  private[graft] def ssjVerifyPasses(nCand: Long, pairsPerPass: Long): Int = {
+    require(pairsPerPass >= 1, s"pairsPerPass must be >= 1")
+    math.min(256L, math.max(1L, (nCand + pairsPerPass - 1) / pairsPerPass)).toInt
+  }
+
   /** [[prefixCandidates]] re-expressed as K disk-bounded sequential
     * passes with parquet stage boundaries — the 100 TB form of the exact
     * SSJoin when the corpus outgrows what one shuffle can spill
@@ -855,14 +878,18 @@ object Dedup {
     * output-bounded, not n². Verification is the same sorted-merge
     * intersect kernel as the blocked n-gram family; no text bodies
     * shuffle — only 8-byte shingle hashes. Past ~160M postings the
-    * candidate generation switches to the disk-bounded K-pass form
-    * ([[prefixCandidatesSharded]]): same pair set (spec-pinned), peak
-    * shuffle spill ~1/K — the form that survives 5M docs on one box.
+    * whole operator switches to the disk-bounded K-pass form: candidate
+    * generation via [[prefixCandidatesSharded]] (gram-hash passes) and
+    * verification via kVer sequential pair-hash passes against a
+    * parquet-staged gram table — same pair set (spec-pinned), peak
+    * shuffle spill ~1/K per stage — the form that survives 5M docs
+    * (125M candidates) on one box.
     */
   def shingleJaccardPairsGlobal(docs: DataFrame, n: Int,
       threshold: Double,
       candPostsPerPass: Long = defaultSsjPostsPerPass,
-      stageDir: Option[String] = None): DataFrame = {
+      stageDir: Option[String] = None,
+      pairsPerVerifyPass: Long = defaultSsjPairsPerPass): DataFrame = {
     val g = persistGrams(slimGramSets(docs, n))
     // Auto-sized disk-bounded sharding (r16): one cheap aggregate over
     // the persisted gram frame (which every downstream branch forces
@@ -876,35 +903,70 @@ object Dedup {
       g.agg(sum(size(col("grams")))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val (kProbe, kCand) = ssjShardCounts(totalPosts, candPostsPerPass)
-    val cand =
-      if (kCand <= 1)
-        prefixCandidates(g, Seq.empty, threshold, jaccardLengthFilter = true,
-          positional = true)
-      else {
-        val dir = stageDir.getOrElse {
-          val d = java.nio.file.Files
-            .createTempDirectory("graft_ssj_").toFile
-          sys.addShutdownHook {
-            def rm(f: java.io.File): Unit = {
-              Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-            }
-            rm(d)
+    // Shared verify plan: exact sorted-merge gram intersection over a
+    // candidate frame, columns/types identical between the lazy and
+    // sharded branches (the oracle hashes this surface).
+    def verify(cand: DataFrame, grams: DataFrame): DataFrame = {
+      val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+      cand
+        .join(grams.as("a"), col("a_id") === col("a.doc_id"))
+        .join(grams.as("b"), col("b_id") === col("b.doc_id"))
+        .withColumn("common", common)
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"),
+          graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+    }
+    if (kCand <= 1)
+      verify(prefixCandidates(g, Seq.empty, threshold,
+        jaccardLengthFilter = true, positional = true), g)
+    else {
+      // Disk-bounded form, candidate AND verify stages (r16): the sf100
+      // attribution run showed candidate passes bounded but the verify
+      // join's gram-array shuffle (~700 B x 125M pairs here) taking the
+      // box to ENOSPC in one stage. So the verify runs as kVer
+      // sequential pair-hash passes against a parquet-staged gram
+      // table: per pass only 1/kVer of the pair multiset hangs arrays
+      // in a shuffle, and a finished pass's files are GC-released
+      // before the next. Output identity is trivial (pmod partitions
+      // the distinct pair set; each pair is verified in exactly one
+      // pass, by the same expressions) — spec-pinned in SsjShardSpec
+      // alongside the candidate-shard identity.
+      val spark = docs.sparkSession
+      val dir = stageDir.getOrElse {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_ssj_").toFile
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
           }
-          d.getAbsolutePath
+          rm(d)
         }
-        prefixCandidatesSharded(g, Seq.empty, threshold,
-          jaccardLengthFilter = true, kProbe, kCand, dir)
+        d.getAbsolutePath
       }
-    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
-    cand
-      .join(g.as("a"), col("a_id") === col("a.doc_id"))
-      .join(g.as("b"), col("b_id") === col("b.doc_id"))
-      .withColumn("common", common)
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"),
-        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+      // cross-pass distinct materialized ONCE (each verify pass then
+      // filter-scans the slim pair table instead of re-running the
+      // 100M+-row distinct exchange per pass)
+      prefixCandidatesSharded(g, Seq.empty, threshold,
+        jaccardLengthFilter = true, kProbe, kCand, dir)
+        .write.mode("overwrite").parquet(s"$dir/candd")
+      System.gc()
+      val candD = spark.read.parquet(s"$dir/candd")
+      g.select(col("doc_id"), col("grams"))
+        .write.mode("overwrite").parquet(s"$dir/grams")
+      System.gc()
+      val gp = spark.read.parquet(s"$dir/grams")
+      val kVer = ssjVerifyPasses(candD.count(), pairsPerVerifyPass)
+      for (v <- 0 until kVer) {
+        verify(candD.filter(
+            pmod(xxhash64(col("a_id"), col("b_id")), lit(kVer)) === v), gp)
+          .write.mode(if (v == 0) "overwrite" else "append")
+          .parquet(s"$dir/pairs")
+        System.gc()
+      }
+      spark.read.parquet(s"$dir/pairs")
+    }
   }
 
   /** [[gramSets]] for inputs that carry only `(doc_id, text)` — same

@@ -82,6 +82,43 @@ class SsjShardSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("multi-pass VERIFY is output-identical to the single-join verify") {
+    // r16: the sharded branch also shards VERIFICATION (pair-hash
+    // passes against the parquet-staged gram table — the sf100 ENOSPC
+    // stage). Identity rests on pmod partitioning the distinct pair
+    // set: each pair verified in exactly one pass by the same
+    // expressions. Force BOTH sharding dimensions small enough that a
+    // brute-checkable corpus runs >=3 verify passes.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lazyPairs = pairsOf(
+      Dedup.shingleJaccardPairsGlobal(docs, n = 3, threshold = 0.5))
+    assert(lazyPairs.nonEmpty, "fixture must produce pairs")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_specv_")
+    try {
+      val sharded = pairsOf(Dedup.shingleJaccardPairsGlobal(
+        docs, n = 3, threshold = 0.5,
+        candPostsPerPass = 2000L, stageDir = Some(dir.toString),
+        pairsPerVerifyPass = math.max(1L, lazyPairs.size / 3L)))
+      assert(sharded === lazyPairs)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ssjVerifyPasses: 1 at-or-below the target, ceil above, capped") {
+    assert(Dedup.ssjVerifyPasses(0L, 20000000L) === 1)
+    assert(Dedup.ssjVerifyPasses(20000000L, 20000000L) === 1)
+    assert(Dedup.ssjVerifyPasses(20000001L, 20000000L) === 2)
+    // the measured sf100 shape: 125M candidates -> 7 verify passes
+    assert(Dedup.ssjVerifyPasses(125000000L, 20000000L) === 7)
+    assert(Dedup.ssjVerifyPasses(Long.MaxValue / 2, 1000L) === 256)
+    intercept[IllegalArgumentException](Dedup.ssjVerifyPasses(5L, 0L))
+  }
+
   test("empty and null-text corpora resolve to the 1-pass form and no pairs") {
     import spark.implicits._
     val nulls = Seq((1L, null: String), (2L, null: String))
