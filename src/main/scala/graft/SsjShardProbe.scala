@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * candidate passes, verify) so the constant factor vs the lazy form is
   * NAMED per stage, not guessed.
   *
-  * `runMain graft.SsjShardProbe <sfDir> [candPostsPerPass] [n] [threshold]`
+  * `runMain graft.SsjShardProbe <sfDir> [candPostsPerPass] [n] [threshold]
+  * [pairsPerVerifyPass]` — the 5th arg sweeps the verify-pass knob
+  * (default `Dedup.defaultSsjPairsPerPass`) so a rehearsal's kVer
+  * matches an operator run that passes `pairsPerVerifyPass` explicitly.
   */
 object SsjShardProbe {
   def main(args: Array[String]): Unit = {
@@ -20,6 +23,8 @@ object SsjShardProbe {
     val perPass = args.lift(1).map(_.toLong).getOrElse(20000000L)
     val n = args.lift(2).map(_.toInt).getOrElse(3)
     val threshold = args.lift(3).map(_.toDouble).getOrElse(0.5)
+    val perVerifyPass = args.lift(4).map(_.toLong)
+      .getOrElse(operators.Dedup.defaultSsjPairsPerPass)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
@@ -115,8 +120,7 @@ object SsjShardProbe {
     }
     val gp = spark.read.parquet(s"$stage/grams")
     val nCand = timed("D: cand count")(candD.count())
-    val kVer = operators.Dedup.ssjVerifyPasses(nCand,
-      operators.Dedup.defaultSsjPairsPerPass)
+    val kVer = operators.Dedup.ssjVerifyPasses(nCand, perVerifyPass)
     println(s"[ssjshard] candidates=$nCand kVer=$kVer")
     var truePairs = 0L
     for (v <- 0 until kVer) {
@@ -136,7 +140,8 @@ object SsjShardProbe {
     }
     println(s"[ssjshard] true pairs=$truePairs")
     timed("end-to-end operator")(operators.Dedup
-      .shingleJaccardPairsGlobal(docs, n, threshold, perPass).count())
+      .shingleJaccardPairsGlobal(docs, n, threshold, perPass,
+        pairsPerVerifyPass = perVerifyPass).count())
     spark.stop()
   }
 }

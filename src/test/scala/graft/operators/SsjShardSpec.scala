@@ -73,6 +73,14 @@ class SsjShardSpec extends SparkSpec {
       val one = pairsOf(Dedup.shingleJaccardPairsGlobal(
         docs, n = 3, threshold = 0.5, candPostsPerPass = posts))
       assert(one === lazyPairs)
+      // operator-owned tempdir (no stageDir): the r17 eager cleanup of
+      // intermediate stage tables must leave the returned pairs frame
+      // readable — this is the path every catalog key takes past the
+      // posting threshold, and the multi-query bench depends on it not
+      // accumulating a stage-table set per call
+      val owned = pairsOf(Dedup.shingleJaccardPairsGlobal(
+        docs, n = 3, threshold = 0.5, candPostsPerPass = (posts + 1) / 2))
+      assert(owned === lazyPairs)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -94,12 +102,22 @@ class SsjShardSpec extends SparkSpec {
       Dedup.shingleJaccardPairsGlobal(docs, n = 3, threshold = 0.5))
     assert(lazyPairs.nonEmpty, "fixture must produce pairs")
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj_specv_")
+    val perVerifyPass = math.max(1L, lazyPairs.size / 3L)
     try {
       val sharded = pairsOf(Dedup.shingleJaccardPairsGlobal(
         docs, n = 3, threshold = 0.5,
         candPostsPerPass = 2000L, stageDir = Some(dir.toString),
-        pairsPerVerifyPass = math.max(1L, lazyPairs.size / 3L)))
+        pairsPerVerifyPass = perVerifyPass))
       assert(sharded === lazyPairs)
+      // guard the test's own premise: if the sizing heuristic or the
+      // candidate count drifts, this must FAIL loudly rather than
+      // silently degrade to a 1-pass run that no longer exercises the
+      // pmod pass-partition identity. kVer is recomputed exactly as the
+      // operator computes it, from the staged candidate table.
+      val nCand = spark.read.parquet(dir.toString + "/candd").count()
+      val kVer = Dedup.ssjVerifyPasses(nCand, perVerifyPass)
+      assert(kVer >= 3,
+        s"verify ran $kVer pass(es) over $nCand candidates — multi-pass identity not exercised")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

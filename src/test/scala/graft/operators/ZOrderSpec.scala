@@ -57,4 +57,34 @@ class ZOrderSpec extends SparkSpec {
     assert(zHit <= 8, s"z-layout must bound y per file: $zHit of 16")
     assert(zHit < linHit)
   }
+
+  test("fileCount: rows drive the count, nFiles is only a floor") {
+    // r16 sizing audit (third-decade exponent 1.132 on the fixed-16
+    // form): per-task sort work must stay ~constant as rows grow, so
+    // the count is ceil(rows / target) once that exceeds the floor
+    assert(ZOrder.fileCount(0L, 16, 2000000L) === 16)
+    assert(ZOrder.fileCount(31999999L, 16, 2000000L) === 16)
+    assert(ZOrder.fileCount(32000000L, 16, 2000000L) === 16)
+    assert(ZOrder.fileCount(32000001L, 16, 2000000L) === 17)
+    // sf100 events shape: ~600M rows -> 300 writers, not 16
+    assert(ZOrder.fileCount(600000000L, 16, 2000000L) === 300)
+    assert(ZOrder.fileCount(5L, 4, 1L) === 5)
+    intercept[IllegalArgumentException](ZOrder.fileCount(5L, 0, 1L))
+    intercept[IllegalArgumentException](ZOrder.fileCount(5L, 1, 0L))
+  }
+
+  test("writeZOrdered honors the derived count end-to-end") {
+    val grid = (for (x <- 0 until 64; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val dir = graft.util.Scratch.fresh("zorder_sizing_spec")
+    // 1024 rows, 100-row target -> 11 files, above the nFiles=4 floor
+    ZOrder.writeZOrdered(grid, "x", "y", nFiles = 4, s"$dir/sized",
+      targetRowsPerFile = 100L)
+    val sized = spark.read.parquet(s"$dir/sized")
+    assert(sized.inputFiles.length === ZOrder.fileCount(1024L, 4, 100L))
+    assert(sized.count() === 1024L)
+    // under the target the floor holds: exactly nFiles writers
+    ZOrder.writeZOrdered(grid, "x", "y", nFiles = 4, s"$dir/floor")
+    assert(spark.read.parquet(s"$dir/floor").inputFiles.length === 4)
+  }
 }
