@@ -498,20 +498,40 @@ object Dedup {
     * pairs.
     */
   def containmentPairsIndexed(docs: DataFrame, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      candPostsPerPass: Long = defaultSsjPostsPerPass,
+      stageDir: Option[String] = None,
+      pairsPerVerifyPass: Long = defaultSsjPairsPerPass): DataFrame = {
     val g = persistGrams(gramSets(docs, n, charBucket = 1).drop("len_bkt"))
-    val cand = prefixCandidates(g, Seq("lang", "source"), threshold)
-    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
-    cand
-      .join(g.as("a"), col("a_id") === col("a.doc_id"))
-      .join(g.as("b"), col("b_id") === col("b.doc_id"))
-      .withColumn("common", common)
-      .withColumn("containment", col("common").cast("double") /
-        least(size(col("a.grams")), size(col("b.grams"))).cast("double"))
-      .filter(col("containment") >= threshold)
-      .select(col("a_id"), col("b_id"),
-        graft.functions.Rounding.roundTo(col("containment"), 4)
-          .as("containment"))
+    def verify(cand: DataFrame, grams: DataFrame): DataFrame = {
+      val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+      cand
+        .join(grams.as("a"), col("a_id") === col("a.doc_id"))
+        .join(grams.as("b"), col("b_id") === col("b.doc_id"))
+        .withColumn("common", common)
+        .withColumn("containment", col("common").cast("double") /
+          least(size(col("a.grams")), size(col("b.grams"))).cast("double"))
+        .filter(col("containment") >= threshold)
+        .select(col("a_id"), col("b_id"),
+          graft.functions.Rounding.roundTo(col("containment"), 4)
+            .as("containment"))
+    }
+    // Same auto-sized disk-bounded escape as the global SSJoin (r17):
+    // blocking does not shrink the POSTING volume, so past ~160M
+    // postings the one-shuffle candidate join dies exactly the way the
+    // global form did (the r17 sf100 decade run ENOSPC'd this operator
+    // at 5M docs). Below the threshold the plan is the unchanged lazy
+    // form — blocked callers keep the raw y side there (ranking y
+    // re-measured as a net loss inside small blocks; the sharded form
+    // stages the ranked table ONCE and reads it for both sides, so the
+    // trade flips).
+    val (kProbe, kCand) = ssjShardCounts(totalPostings(g), candPostsPerPass)
+    if (kCand <= 1)
+      verify(prefixCandidates(g, Seq("lang", "source"), threshold), g)
+    else
+      shardedVerifiedPairs(g, Seq("lang", "source"), threshold,
+        jaccardLengthFilter = false, kProbe, kCand, stageDir,
+        pairsPerVerifyPass)(verify)
   }
 
   /** Persist a gram-kernel frame ([[gramSets]] / [[winnowIndex]])
@@ -829,20 +849,33 @@ object Dedup {
     * block no longer goes quadratic.
     */
   def ngramJaccardPairsIndexed(docs: DataFrame, n: Int, charBucket: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      candPostsPerPass: Long = defaultSsjPostsPerPass,
+      stageDir: Option[String] = None,
+      pairsPerVerifyPass: Long = defaultSsjPairsPerPass): DataFrame = {
     val g = persistGrams(gramSets(docs, n, charBucket))
-    val cand = prefixCandidates(g, Seq("lang", "source", "len_bkt"), threshold,
-      jaccardLengthFilter = true)
-    val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
-    cand
-      .join(g.as("a"), col("a_id") === col("a.doc_id"))
-      .join(g.as("b"), col("b_id") === col("b.doc_id"))
-      .withColumn("common", common)
-      .withColumn("jaccard", col("common").cast("double") /
-        (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"),
-        graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+    def verify(cand: DataFrame, grams: DataFrame): DataFrame = {
+      val common = graft.functions.SortedIntersectCount(col("a.grams"), col("b.grams"))
+      cand
+        .join(grams.as("a"), col("a_id") === col("a.doc_id"))
+        .join(grams.as("b"), col("b_id") === col("b.doc_id"))
+        .withColumn("common", common)
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("a.grams")) + size(col("b.grams")) - col("common")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"),
+          graft.functions.Rounding.roundTo(col("jaccard"), 4).as("jaccard"))
+    }
+    // auto-sharded past the posting threshold, same rationale as
+    // [[containmentPairsIndexed]] (r17)
+    val (kProbe, kCand) = ssjShardCounts(totalPostings(g), candPostsPerPass)
+    if (kCand <= 1)
+      verify(prefixCandidates(g, Seq("lang", "source", "len_bkt"), threshold,
+        jaccardLengthFilter = true), g)
+    else
+      shardedVerifiedPairs(g, Seq("lang", "source", "len_bkt"), threshold,
+        jaccardLengthFilter = true, kProbe, kCand, stageDir,
+        pairsPerVerifyPass)(verify)
   }
 
   /** EXACT `n`-token-shingle Jaccard near-dup pairs over the WHOLE
@@ -906,10 +939,7 @@ object Dedup {
     // K-pass parquet-staged form so no single shuffle ever spills more
     // than ~1/K of the pair multiset — the difference between the sf100
     // row completing and `No space left on device`.
-    val totalPosts = Option(
-      g.agg(sum(size(col("grams")))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val (kProbe, kCand) = ssjShardCounts(totalPosts, candPostsPerPass)
+    val (kProbe, kCand) = ssjShardCounts(totalPostings(g), candPostsPerPass)
     // Shared verify plan: exact sorted-merge gram intersection over a
     // candidate frame, columns/types identical between the lazy and
     // sharded branches (the oracle hashes this surface).
@@ -928,73 +958,112 @@ object Dedup {
     if (kCand <= 1)
       verify(prefixCandidates(g, Seq.empty, threshold,
         jaccardLengthFilter = true, positional = true), g)
-    else {
-      // Disk-bounded form, candidate AND verify stages (r16): the sf100
-      // attribution run showed candidate passes bounded but the verify
-      // join's gram-array shuffle (~700 B x 125M pairs here) taking the
-      // box to ENOSPC in one stage. So the verify runs as kVer
-      // sequential pair-hash passes against a parquet-staged gram
-      // table: per pass only 1/kVer of the pair multiset hangs arrays
-      // in a shuffle, and a finished pass's files are GC-released
-      // before the next. Output identity is trivial (pmod partitions
-      // the distinct pair set; each pair is verified in exactly one
-      // pass, by the same expressions) — spec-pinned in SsjShardSpec
-      // alongside the candidate-shard identity.
-      val spark = docs.sparkSession
-      val dir = stageDir.getOrElse {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft_ssj_").toFile
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(d)
-        }
-        d.getAbsolutePath
-      }
-      // cross-pass distinct materialized ONCE (each verify pass then
-      // filter-scans the slim pair table instead of re-running the
-      // 100M+-row distinct exchange per pass)
-      prefixCandidatesSharded(g, Seq.empty, threshold,
-        jaccardLengthFilter = true, kProbe, kCand, dir)
-        .write.mode("overwrite").parquet(s"$dir/candd")
-      System.gc()
-      val candD = spark.read.parquet(s"$dir/candd")
-      g.select(col("doc_id"), col("grams"))
-        .write.mode("overwrite").parquet(s"$dir/grams")
-      // nothing downstream reads the cached gram frame (verify scans
-      // the parquet copy) — release its corpus-sized MEMORY_AND_DISK
-      // spill now, not after kVer more passes; that disk IS the
-      // headroom the sharding exists to protect. The lazy branch keeps
-      // the cache (cleared by callers per the clearCache contract).
-      g.unpersist()
-      System.gc()
-      val gp = spark.read.parquet(s"$dir/grams")
-      val kVer = ssjVerifyPasses(candD.count(), pairsPerVerifyPass)
-      for (v <- 0 until kVer) {
-        verify(candD.filter(
-            pmod(xxhash64(col("a_id"), col("b_id")), lit(kVer)) === v), gp)
-          .write.mode(if (v == 0) "overwrite" else "append")
-          .parquet(s"$dir/pairs")
-        System.gc()
-      }
-      // The default (operator-owned) tempdir is otherwise cleaned only
-      // at JVM exit, so a multi-query session running several sharded
-      // joins would accumulate one full set of stage tables per call
-      // (~tens of GB each at 5M docs) — the r17 sf100 bench sweep would
-      // ENOSPC on its own staging. The result table is the only stage
-      // output still referenced past this point; drop the intermediates
-      // now. A caller-provided stageDir keeps everything: those tables
-      // ARE the auditable/restartable contract.
-      if (stageDir.isEmpty) {
+    else
+      shardedVerifiedPairs(g, Seq.empty, threshold,
+        jaccardLengthFilter = true, kProbe, kCand, stageDir,
+        pairsPerVerifyPass)(verify)
+  }
+
+  /** Total posting count of a gram frame — the number every auto-shard
+    * decision keys on. One cheap aggregate; the callers persist `g` and
+    * force it downstream anyway.
+    */
+  private def totalPostings(g: DataFrame): Long =
+    Option(g.agg(sum(size(col("grams")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  /** The disk-bounded K-pass execution shared by every prefix-filter
+    * pair operator past its posting threshold (r17: extracted from
+    * [[shingleJaccardPairsGlobal]] so the BLOCKED indexed operators get
+    * the same escape — the sf100 decade run ENOSPC'd
+    * `llm_dedup_containment` in exactly the one-shuffle shape the
+    * global form had already outgrown).
+    *
+    * Candidate generation runs via [[prefixCandidatesSharded]] (kProbe
+    * doc-hash ranked passes, kCand gram-hash candidate passes), the
+    * distinct pair set and the slim gram table are parquet-staged, and
+    * `verify` — the caller's exact measure expressions, identical to
+    * its lazy branch — runs as kVer sequential pair-hash passes. Peak
+    * shuffle spill is ~1/K per stage. EAGER: the whole pipeline runs at
+    * call time; the returned frame reads the staged result.
+    *
+    * Output identity with the caller's lazy form is the SsjShardSpec
+    * argument, unchanged by blocking: a gram's postings (and so its
+    * candidate output) live in one gram shard regardless of block
+    * columns, the rank window partitions by doc_id, positional/prefix
+    * pruning is recall-exact for both measures, and pmod partitions the
+    * distinct pair set across verify passes.
+    */
+  private def shardedVerifiedPairs(g: DataFrame, blockCols: Seq[String],
+      threshold: Double, jaccardLengthFilter: Boolean,
+      kProbe: Int, kCand: Int, stageDir: Option[String],
+      pairsPerVerifyPass: Long)(
+      verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    // Disk-bounded form, candidate AND verify stages (r16): the sf100
+    // attribution run showed candidate passes bounded but the verify
+    // join's gram-array shuffle (~700 B x 125M pairs here) taking the
+    // box to ENOSPC in one stage. So the verify runs as kVer
+    // sequential pair-hash passes against a parquet-staged gram
+    // table: per pass only 1/kVer of the pair multiset hangs arrays
+    // in a shuffle, and a finished pass's files are GC-released
+    // before the next. Output identity is trivial (pmod partitions
+    // the distinct pair set; each pair is verified in exactly one
+    // pass, by the same expressions) — spec-pinned in SsjShardSpec
+    // alongside the candidate-shard identity.
+    val spark = g.sparkSession
+    val dir = stageDir.getOrElse {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_ssj_").toFile
+      sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
         }
-        Seq("posts2", "ranked", "cand", "candd", "grams")
-          .foreach(t => rm(new java.io.File(dir, t)))
+        rm(d)
       }
-      spark.read.parquet(s"$dir/pairs")
+      d.getAbsolutePath
     }
+    // cross-pass distinct materialized ONCE (each verify pass then
+    // filter-scans the slim pair table instead of re-running the
+    // 100M+-row distinct exchange per pass)
+    prefixCandidatesSharded(g, blockCols, threshold,
+      jaccardLengthFilter, kProbe, kCand, dir)
+      .write.mode("overwrite").parquet(s"$dir/candd")
+    System.gc()
+    val candD = spark.read.parquet(s"$dir/candd")
+    g.select(col("doc_id"), col("grams"))
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    // nothing downstream reads the cached gram frame (verify scans
+    // the parquet copy) — release its corpus-sized MEMORY_AND_DISK
+    // spill now, not after kVer more passes; that disk IS the
+    // headroom the sharding exists to protect. The lazy branch keeps
+    // the cache (cleared by callers per the clearCache contract).
+    g.unpersist()
+    System.gc()
+    val gp = spark.read.parquet(s"$dir/grams")
+    val kVer = ssjVerifyPasses(candD.count(), pairsPerVerifyPass)
+    for (v <- 0 until kVer) {
+      verify(candD.filter(
+          pmod(xxhash64(col("a_id"), col("b_id")), lit(kVer)) === v), gp)
+        .write.mode(if (v == 0) "overwrite" else "append")
+        .parquet(s"$dir/pairs")
+      System.gc()
+    }
+    // The default (operator-owned) tempdir is otherwise cleaned only
+    // at JVM exit, so a multi-query session running several sharded
+    // joins would accumulate one full set of stage tables per call
+    // (~tens of GB each at 5M docs) — the r17 sf100 bench sweep would
+    // ENOSPC on its own staging. The result table is the only stage
+    // output still referenced past this point; drop the intermediates
+    // now. A caller-provided stageDir keeps everything: those tables
+    // ARE the auditable/restartable contract.
+    if (stageDir.isEmpty) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      Seq("posts2", "ranked", "cand", "candd", "grams")
+        .foreach(t => rm(new java.io.File(dir, t)))
+    }
+    spark.read.parquet(s"$dir/pairs")
   }
 
   /** [[gramSets]] for inputs that carry only `(doc_id, text)` — same

@@ -127,6 +127,40 @@ class SsjShardSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("BLOCKED containment: sharded form is output-identical to the lazy form") {
+    // r17: the sf100 decade run ENOSPC'd llm_dedup_containment in the
+    // one-shuffle shape the global SSJoin had already outgrown — the
+    // blocked indexed operators now take the same auto-sharded escape.
+    // Identity adds one fact to the global argument: block columns ride
+    // the ranked table into every pass unchanged, so per-pass blockCond
+    // equals the lazy join's blockCond. Positional pruning uses the
+    // containment bound (tau*szx) — recall-exact per the PPJoin note.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // same params as the llm_dedup_containment catalog key
+    val lazyPairs = pairsOf(
+      Dedup.containmentPairsIndexed(docs, n = 2, threshold = 0.2))
+    assert(lazyPairs.nonEmpty, "fixture must produce containment pairs")
+    val sharded = pairsOf(Dedup.containmentPairsIndexed(
+      docs, n = 2, threshold = 0.2, candPostsPerPass = 2000L,
+      pairsPerVerifyPass = math.max(1L, lazyPairs.size / 2L)))
+    assert(sharded === lazyPairs)
+    spark.catalog.clearCache()
+  }
+
+  test("BLOCKED ngram Jaccard: sharded form is output-identical to the lazy form") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // same params as the llm_dedup_ngram catalog key
+    val lazyPairs = pairsOf(
+      Dedup.ngramJaccardPairsIndexed(docs, n = 3, charBucket = 100,
+        threshold = 0.2))
+    assert(lazyPairs.nonEmpty, "fixture must produce ngram pairs")
+    val sharded = pairsOf(Dedup.ngramJaccardPairsIndexed(
+      docs, n = 3, charBucket = 100, threshold = 0.2,
+      candPostsPerPass = 2000L))
+    assert(sharded === lazyPairs)
+    spark.catalog.clearCache()
+  }
+
   test("ssjVerifyPasses: 1 at-or-below the target, ceil above, capped") {
     assert(Dedup.ssjVerifyPasses(0L, 20000000L) === 1)
     assert(Dedup.ssjVerifyPasses(20000000L, 20000000L) === 1)
