@@ -1213,10 +1213,19 @@ object LlmQueries {
     val chosen = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var r = 1
     var exhausted = false
+    // exactly ONE round's token cache lives at a time: round r's count
+    // action below materializes round r's persist (reading r-1's cache
+    // once), after which r-1's copy is dead weight. Rebinding without
+    // the unpersist left k corpus-sized deserialized caches resident —
+    // at sf100 (~250M tokens/round) that is ~100 GB of Array[String]
+    // object graphs, and the r17 decade run measured the LRU thrash as
+    // a 1.67 third-decade exponent on what is per-round linear work
+    // (434 s; ~0.9/round-linear expected).
+    var prevRound: Option[org.apache.spark.sql.Dataset[(Long, Array[String])]] = None
     while (r <= k && !exhausted) {
       // persist: the round's frame feeds both the pair count (action
-      // below) and the next round's rewrite; lifetime ends with the
-      // driver's per-query clearCache
+      // below) and the next round's rewrite; the LAST round's cache
+      // lifetime ends with the driver's per-query clearCache
       toks = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val best = toks
         .mapPartitions(_.flatMap { case (_, t) =>
@@ -1231,6 +1240,10 @@ object LlmQueries {
         // SAME pair string once merged tokens contain spaces
         .orderBy(desc("n"), col("pair"), col("t1"))
         .limit(1).collect()
+      // this round's cache is fully materialized by the action above —
+      // release the previous round's now
+      prevRound.foreach(_.unpersist())
+      prevRound = Some(toks)
       if (best.isEmpty) exhausted = true
       else {
         val a = best(0).getAs[String]("t1"); val b = best(0).getAs[String]("t2")
