@@ -439,13 +439,25 @@ object Similarity {
     * on clustered data instead of all inside whichever cluster owns the
     * low vec_ids. Zero-norm candidates are skipped (no direction to
     * seed); cids are the selection order 0..k−1.
+    *
+    * The sample is cut on SLIM (hash, vec_id) rows first and only then
+    * joined back for the vectors (r17): TakeOrdered ships up to `cap`
+    * rows per TASK to the driver, so cutting on full embedding rows
+    * multiplied cap (64k at sf100's k=1000) by ~550 B by the task count
+    * — 1 GiB+ of driver results and a maxResultSize abort. The id cut
+    * moves 16 B/row; the total embedding bytes collected are then
+    * exactly the cap-sized candidate set the algorithm needs. Same hash
+    * order, same candidate set, identical seeds.
     */
   private[operators] def farthestFirstSeeds(emb: DataFrame,
       k: Int): Array[(Long, Array[Double])] = {
     val cap = math.max(64 * k, 1024)
-    val cand = emb
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>").as("cv"))
+    val slim = emb.select(col("vec_id").cast("long").as("vec_id"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
+    val cand = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .join(broadcast(slim), "vec_id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
     def unitOf(v: Array[Double]): Option[Array[Double]] = {
