@@ -448,10 +448,24 @@ object Similarity {
     * moves 16 B/row; the total embedding bytes collected are then
     * exactly the cap-sized candidate set the algorithm needs. Same hash
     * order, same candidate set, identical seeds.
+    *
+    * The pool is CAPPED at max(4·k, 16384) candidates (r17, the sf100
+    * re-measure): an uncapped 64·k pool makes the driver-side Gonzalez
+    * loop O(k·cap·dim) = O(k²·dim) — at k=1000/dim=64 that is ~4e9
+    * single-threaded scalar ops, the bulk of the 484 s sf100 ann join
+    * and an exp3 of 1.58 on an otherwise linear operator. The cap drops
+    * the loop to O(k·dim·max(4k, 16384)) — a 4× cut at the sf100 shape
+    * (k=1000: 4.2e9 → 1.0e9 ops) and a 16× shallower quadratic past the
+    * 4·k knee — while the pool still oversamples the seed count 4–16×
+    * (Gonzalez needs pool ≥ k; a CONSTANT pool is impossible, so the
+    * structural endpoint for much larger k is distributed k-means||).
+    * The cap only binds past k=256 (≥512k vectors at the default cell
+    * size), so every oracle/spec-scale output is bit-identical to the
+    * uncapped form.
     */
   private[operators] def farthestFirstSeeds(emb: DataFrame,
       k: Int): Array[(Long, Array[Double])] = {
-    val cap = math.max(64 * k, 1024)
+    val cap = math.min(math.max(64 * k, 1024), math.max(4 * k, 16384))
     val slim = emb.select(col("vec_id").cast("long").as("vec_id"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cap)
     val cand = emb
