@@ -238,7 +238,9 @@ object Similarity {
     withNorm.mapPartitions { it =>
       val cs = bc.value; val kk = cs.length
       it.flatMap { r =>
-        val v = r.getSeq[Float](2)
+        // one unbox per row — the k·dim loop below must not pay boxed
+        // Seq access (see lloydStepKernel)
+        val v = r.getSeq[Float](2).toArray
         val sims = new Array[Double](kk)
         var j = 0
         while (j < kk) {
@@ -273,7 +275,7 @@ object Similarity {
       val mA = math.min(mProbe, ka); val mB = math.min(mProbe, kb)
       val mOut = math.min(mProbe, mA * mB)
       it.flatMap { r =>
-        val v = r.getSeq[Float](2)
+        val v = r.getSeq[Float](2).toArray // one unbox per row (see lloydStepKernel)
         val simsA = new Array[Double](ka)
         var j = 0
         while (j < ka) {
@@ -318,7 +320,13 @@ object Similarity {
     val sp = emb.sparkSession
     import sp.implicits._
     val bc = sp.sparkContext.broadcast(cents)
-    val partials = emb.select(col("embedding")).as[Seq[Float]]
+    // Array[Float], not Seq[Float]: the Seq encoder hands the kernel a
+    // boxed-element view, and this loop reads each vector k times — the
+    // r17 sf100 attribution measured the boxing as the dominant cost of
+    // the O(n·k·dim) scans (the whole ann join sat at ~484 s with the
+    // seeding already capped). The primitive-array decode is one unbox
+    // per row; the k·dim inner loop then runs on floats.
+    val partials = emb.select(col("embedding")).as[Array[Float]]
       .mapPartitions { it =>
         val cs = bc.value; val k = cs.length
         val dim = if (k == 0) 0 else cs(0).length
