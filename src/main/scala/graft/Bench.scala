@@ -145,8 +145,19 @@ object Bench {
         f"${anchorDrift(drawsBuf.last).getOrElse(Double.NaN)}%.2f) - redrawing")
       drawsBuf += runDraw(drawsBuf.size + 1)
     }
+    // Drift is BUCKETED before ranking (ADVICE r17): raw drift as the
+    // primary key let noise-level differences (well under DriftBar)
+    // override med/min calmness — a draw the redraw loop itself flagged
+    // contended (ratio > CalmRatio) could headline over a calm draw whose
+    // drift was marginally higher, and the contended:true stamp only
+    // fires above DriftBar, so the inflated mins landed unflagged. Drift
+    // now only demotes draws OVER the bar (unmeasurable anchors rank
+    // with the over-bar bucket, not as perfectly calm), ratio-over-bar
+    // demotes second, and med/min then totalMin break ties among calm
+    // draws.
     val best = drawsBuf.minBy(d =>
-      (anchorDrift(d).getOrElse(1.0), d.ratio, d.totalMin))
+      (anchorDrift(d).forall(_ > BenchAnchor.DriftBar),
+        d.ratio > CalmRatio, d.ratio, d.totalMin))
     val times = best.times
     val fails = best.fails
     val med = times.map { case (k, v) => k -> median(v.toSeq) }

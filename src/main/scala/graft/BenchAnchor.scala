@@ -31,10 +31,17 @@ object BenchAnchor {
     * never a crashed close).
     */
   def parseAnchors(json: String): Map[String, Double] = {
-    val body = json.indexOf("\"anchors\"") match {
-      case -1 => return Map.empty
-      case i  => json.substring(i)
-    }
+    val at = json.indexOf("\"anchors\"")
+    if (at == -1) return Map.empty
+    val open = json.indexOf('{', at)
+    if (open == -1) return Map.empty
+    // The anchors map is flat by contract, so its FIRST closing brace
+    // ends it — truncating there keeps numeric key/value pairs placed
+    // after the map in a future hand edit from being absorbed as
+    // anchors (ADVICE r17). No close brace → scan to end (tolerant of
+    // a truncated file; the entry regex still only matches pairs).
+    val close = json.indexOf('}', open)
+    val body = json.substring(open, if (close == -1) json.length else close)
     val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
     entry.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble)

@@ -496,6 +496,15 @@ object Dedup {
     * carries float error (τ=0.2, sz=30 → 6.000000000000001 → 7), which
     * would shorten the prefix and silently drop exactly-at-threshold
     * pairs.
+    *
+    * EAGER past the posting threshold (ADVICE r17): a construction-time
+    * aggregate sizes the shards (forcing the persisted gram frame), and
+    * above ~160M postings the SHARDED branch runs the whole pipeline —
+    * candidate passes, counts, every verify pass — at CALL time and
+    * returns a reader over the staged result. Don't construct this
+    * frame speculatively on large corpora; below the threshold only the
+    * sizing aggregate runs and the returned plan is the unchanged lazy
+    * form.
     */
   def containmentPairsIndexed(docs: DataFrame, n: Int,
       threshold: Double,
@@ -847,6 +856,13 @@ object Dedup {
     * that within a block candidates come from the inverted prefix index
     * instead of an all-pairs join, so a hot (lang, source, len_bkt)
     * block no longer goes quadratic.
+    *
+    * EAGER past the posting threshold (ADVICE r17): a construction-time
+    * aggregate sizes the shards (forcing the persisted gram frame), and
+    * above ~160M postings the sharded branch executes the full
+    * candidate+verify pipeline at CALL time — don't construct
+    * speculatively on large corpora. Below the threshold only the
+    * sizing aggregate runs; the returned plan stays lazy.
     */
   def ngramJaccardPairsIndexed(docs: DataFrame, n: Int, charBucket: Int,
       threshold: Double,

@@ -78,8 +78,13 @@ object ZOrder {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     require(targetRowsPerFile >= 1,
       s"targetRowsPerFile must be >= 1, got $targetRowsPerFile")
-    math.max(nFiles.toLong,
-      (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // Clamp before narrowing (ADVICE r17): a derived count above
+    // Int.MaxValue would wrap silently under a bare toInt. Unreachable
+    // with sane targets (2^31 files × 1 row/file), but the guard costs
+    // nothing and the API is public.
+    math.min(Int.MaxValue.toLong,
+      math.max(nFiles.toLong,
+        (rows + targetRowsPerFile - 1) / targetRowsPerFile)).toInt
   }
 
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,

@@ -62,6 +62,19 @@ class BenchAnchorSpec extends AnyFunSuite {
     assert(BenchAnchor.parseAnchors("""{"no_anchor_key": 1}""") === Map.empty)
   }
 
+  test("numeric pairs AFTER the anchors map are not absorbed (ADVICE r17)") {
+    val json =
+      """{ "anchors": { "fn_date": 0.463, "window_rank": 0.473 },
+        |  "total_min": 88.1, "draws": 3 }""".stripMargin
+    val m = BenchAnchor.parseAnchors(json)
+    assert(m === Map("fn_date" -> 0.463, "window_rank" -> 0.473),
+      s"pairs past the map's closing brace must be ignored, got $m")
+    // tolerant of a truncated file: no closing brace -> scan to end
+    val trunc = """{ "anchors": { "fn_date": 0.463, "window_rank": 0.47"""
+    assert(BenchAnchor.parseAnchors(trunc) ===
+      Map("fn_date" -> 0.463, "window_rank" -> 0.47))
+  }
+
   test("the committed anchor file itself parses and clears MinKeys") {
     val m = BenchAnchor.load("tools/bench_anchor.json")
     assert(m.size >= BenchAnchor.MinKeys,

@@ -71,6 +71,9 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.fileCount(5L, 4, 1L) === 5)
     intercept[IllegalArgumentException](ZOrder.fileCount(5L, 0, 1L))
     intercept[IllegalArgumentException](ZOrder.fileCount(5L, 1, 0L))
+    // ADVICE r17: a derived count above Int.MaxValue clamps instead of
+    // wrapping negative under toInt
+    assert(ZOrder.fileCount(Long.MaxValue, 16, 1L) === Int.MaxValue)
   }
 
   test("writeZOrdered honors the derived count end-to-end") {

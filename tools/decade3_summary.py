@@ -12,13 +12,18 @@ BENCH_decade3_rN.json.
 """
 import json, math, os, sys
 
-with open(os.path.join(os.path.dirname(__file__),
-                       'declared_baselines.json')) as f:
-    DECLARED = {k: v for k, v in json.load(f).items()
+
+def load_declared():
+    # Loaded from main(), not import time, so a missing
+    # declared_baselines.json cannot fail before usage prints.
+    with open(os.path.join(os.path.dirname(__file__),
+                           'declared_baselines.json')) as f:
+        return {k: v for k, v in json.load(f).items()
                 if not k.startswith('_')}
 
 
 def main(p1, p10, p100, note):
+    DECLARED = load_declared()
     a1, a10, a100 = (json.load(open(p)) for p in (p1, p10, p100))
     q1, q10, q100 = a1['queries'], a10['queries'], a100['queries']
     out = {}
@@ -58,4 +63,7 @@ def main(p1, p10, p100, note):
 
 
 if __name__ == '__main__':
+    if len(sys.argv) < 4:
+        sys.stderr.write(__doc__)
+        sys.exit(2)
     main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4:])
