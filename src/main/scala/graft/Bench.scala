@@ -13,9 +13,22 @@ object Bench {
     // analysis uses this to separate spill effects from plan shape.
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // AQE sizes DOWN, never up: with initialPartitionNum at the plain
+    // shuffle count (32), every corpus-sized exchange at rehearsal scale
+    // sorts ≥1 GB per task and spills — the r18 sf100 walls
+    // (llm_dedup_substring 597 s, the ann join's 315 s output sort) were
+    // exactly this local-bench artifact, and both collapsed at 128
+    // partitions (BENCH_walls_p128_sf100_r18.json). A cluster sets a
+    // generous initial count and lets AQE coalesce small exchanges back
+    // to few tasks; mirroring that here keeps sf0.1 plans unchanged
+    // post-coalesce while rehearsal-scale exchanges split to fit memory.
+    val initialPartitions =
+      math.max(256, scala.util.Try(shufflePartitions.toInt).getOrElse(32))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -151,20 +164,20 @@ object Bench {
     }
     // Drift is BUCKETED before ranking (ADVICE r17): raw drift as the
     // primary key let noise-level differences (well under DriftBar)
-    // override med/min calmness — a draw the redraw loop itself flagged
-    // contended (ratio > CalmRatio) could headline over a calm draw whose
-    // drift was marginally higher, and the contended:true stamp only
-    // fires above DriftBar, so the inflated mins landed unflagged. Drift
-    // now only demotes draws OVER the bar (unmeasurable anchors rank
-    // with the over-bar bucket, not as perfectly calm), ratio-over-bar
-    // demotes second. WITHIN a bucket the lowest totalMin wins, ratio
-    // last: contention only ever ADDS time, so the lowest realized floor
-    // is the most accurate one — the first r18 close proved the
-    // ratio-first form perverse by headlining a 229 s draw over a 166 s
-    // draw on a 0.03 med/min difference when all three were stamped.
+    // override med/min calmness. Drift now only demotes draws OVER the
+    // bar (unmeasurable anchors rank with the over-bar bucket, not as
+    // perfectly calm); within a bucket the LOWEST totalMin wins, med/min
+    // ratio last. Rationale, learned from two r18 measurements:
+    // contention only ever ADDS time, so the lowest realized floor is
+    // the most accurate one — the ratio-first form headlined a 229 s
+    // full close over a 166 s draw on a 0.03 ratio difference, and a
+    // ratio-BUCKET form headlined a 342 s subset draw over a 201 s one
+    // because the slow draw happened to be internally consistent. A
+    // uniformly-inflated draw cannot win here: its totalMin is inflated
+    // too, and the drift bucket demotes it besides.
     val best = drawsBuf.minBy(d =>
       (anchorDrift(d).forall(_ > BenchAnchor.DriftBar),
-        d.ratio > CalmRatio, d.totalMin, d.ratio))
+        d.totalMin, d.ratio))
     val times = best.times
     val fails = best.fails
     val med = times.map { case (k, v) => k -> median(v.toSeq) }
