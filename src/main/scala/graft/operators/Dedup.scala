@@ -20,16 +20,22 @@ object Dedup {
     * terabytes and shuffling gigabytes.
     *
     * Collision guard: a second, independent digest (md5) rides along as
-    * `countDistinct` — if two distinct texts ever collided on
+    * a min===max pair — if two distinct texts ever collided on
     * (xxhash64, length) the group would see two md5s and the query fails
-    * loudly instead of silently merging documents. The md5 partial-agg key
-    * is 32 bytes, so the guard keeps the shuffle body-free too.
+    * loudly instead of silently merging documents. min/max instead of
+    * `countDistinct` (r18): a single countDistinct makes Catalyst plan a
+    * two-phase distinct aggregation — an extra corpus-sized pass keyed
+    * by (h, len, md5) — while min===max detects a second distinct value
+    * with two streaming map-side-combinable aggregates in the SAME pass.
+    * The md5 partial-agg state is 2×32 bytes, so the guard still keeps
+    * the shuffle body-free.
     */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.groupBy(xxhash64(col(textCol)).as("__h"), length(col(textCol)).as("__len"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"),
-        countDistinct(coalesce(md5(col(textCol)), lit("<null>"))).as("__digests"))
-      .filter(coalesce(assert_true(col("__digests") === 1,
+        min(coalesce(md5(col(textCol)), lit("<null>"))).as("__dmin"),
+        max(coalesce(md5(col(textCol)), lit("<null>"))).as("__dmax"))
+      .filter(coalesce(assert_true(col("__dmin") === col("__dmax"),
         lit("exact-dedup collision: distinct texts share (xxhash64, length)")), lit(true)))
       .select(col("keep_id"), col("n_copies"))
 
@@ -1343,9 +1349,13 @@ object Dedup {
     val w = Window.partitionBy(col("__h"), col("__len"))
     chunks
       .withColumn("mult", count(lit(1)).over(w))
-      .withColumn("__digests",
-        size(collect_set(md5(col("chunk").cast("binary"))).over(w)))
-      .filter(coalesce(assert_true(col("__digests") === 1,
+      // min===max over the window detects a second distinct digest with
+      // two streaming aggregates instead of a per-group SET buffer (r18:
+      // collect_set held every distinct md5 in memory per group across a
+      // corpus-sized window — same shuffle, strictly less state)
+      .withColumn("__dmin", min(md5(col("chunk").cast("binary"))).over(w))
+      .withColumn("__dmax", max(md5(col("chunk").cast("binary"))).over(w))
+      .filter(coalesce(assert_true(col("__dmin") === col("__dmax"),
         lit("chunk-dedup collision: distinct chunks share (xxhash64, length)")),
         lit(true)))
       .groupBy(col("doc_id"))
@@ -1398,9 +1408,12 @@ object Dedup {
     val w = Window.partitionBy(col("__h"), col("__len"))
     val cov = grams
       .withColumn("mult", count(lit(1)).over(w))
-      .withColumn("__digests",
-        size(collect_set(md5(col("gram").cast("binary"))).over(w)))
-      .filter(coalesce(assert_true(col("__digests") === 1,
+      // min===max instead of collect_set: same collision guard, two
+      // streaming window aggregates, no per-group set buffer (r18 — this
+      // window is the operator's one corpus-sized shuffle)
+      .withColumn("__dmin", min(md5(col("gram").cast("binary"))).over(w))
+      .withColumn("__dmax", max(md5(col("gram").cast("binary"))).over(w))
+      .filter(coalesce(assert_true(col("__dmin") === col("__dmax"),
         lit("substring-dedup collision: distinct grams share (xxhash64, length)")),
         lit(true)))
       .filter(col("mult") > 1)
