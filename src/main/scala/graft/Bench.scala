@@ -26,13 +26,39 @@ object Bench {
     // r18): the env is documented as the sweep knob, so flooring it at
     // 256 made pre-r18 low-partition behavior (the plain-32 spill
     // baseline) unreproducible. SPARK_GRAFT_INITIAL_PARTITIONS overrides
-    // independently; only the no-env default gets the generous floor.
+    // independently; only the no-env default derives a floor.
+    //
+    // The default floor is sized to the DATA, not fixed (r19): the r18
+    // fixed-256 floor was bisected as a measured 2-3x tax on the
+    // micro-batch ingest rows at sf0.1 (same subset, same box:
+    // llm_dedup_incremental 7.7 s at 32 initial partitions vs 17.5 s at
+    // 256; stream_curation_pipeline 6.8 vs 20.4 — every foreachBatch
+    // body is a batch plan whose tiny exchanges each pay the 256-bucket
+    // fixed cost, dozens of micro-batches per query). A cluster sizes
+    // initialPartitionNum to the data and lets AQE coalesce; Bench now
+    // does the same: one initial partition per 32 MB of source parquet,
+    // clamped to [shuffle.partitions, 1024]. sf0.1 (17 MB) -> 32 = the
+    // pre-r18 plans; sf10 (1.2 GB) -> ~37; sf100 (12.7 GB) -> ~400 —
+    // MORE headroom than the fixed 256 for the rehearsal-scale spill
+    // walls the floor exists for (llm_dedup_substring 597 -> 144-242 s
+    // at >=128 partitions, BENCH_walls_p128_sf100_r18.json).
+    def dirBytes(dir: String): Long =
+      scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => java.nio.file.Files.size(p)).sum
+      }.getOrElse(0L)
     val initialPartitions =
       sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
         .orElse(sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"))
         .flatMap(s => scala.util.Try(s.toInt).toOption)
-        .getOrElse(
-          math.max(256, scala.util.Try(shufflePartitions.toInt).getOrElse(32)))
+        .getOrElse {
+          val shuf = scala.util.Try(shufflePartitions.toInt).getOrElse(32)
+          val fromData = dirBytes(sfDir) / (32L * 1024 * 1024)
+          math.max(shuf, math.min(1024L, fromData).toInt)
+        }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -353,7 +379,8 @@ object Bench {
         s""","queries":${fullMap(mins)},"queries_median":${fullMap(med)}""" +
         s""","queries_med_min_ratio":${fullMap(ratios)}""" +
         s"""$drawsFull$errorsJson,"cpus":${jnum(cpus)}""" +
-        s""","shuffle_partitions":${jnum(shufflePartitions)},"sf":$sf}"""
+        s""","shuffle_partitions":${jnum(shufflePartitions)}""" +
+        s""","initial_partitions":$initialPartitions,"sf":$sf}"""
     // subset runs (SPARK_GRAFT_BENCH_QUERIES) write to an override path so
     // they never clobber the driver's full-surface artifact
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
