@@ -217,11 +217,27 @@ object LlmQueries {
     // and the returned frame share one SSJoin.
     "llm_dedup_fuzzy" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // cache(), NOT an eager localCheckpoint (measured r19): this
+      // query's plan is small enough that lineage truncation buys no
+      // planning time, while eager materialization SERIALIZES the
+      // SSJoin in front of the fused recall job below — with cache()
+      // that job computes the SSJoin and LSH subtrees concurrently
+      // (min-of-3: 2.62 s cached vs 3.17 s checkpointed).
       val exact = Dedup.shingleJaccardPairsGlobal(
         docs.select(col("doc_id"), col("text")), n = 3, threshold = 0.5).cache()
       val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
-      val nExact = exact.count()
-      val caught = exact.join(cand, Seq("a_id", "b_id"), "left_semi").count()
+      // ONE action for both recall counts (r19, guide §1.2 "don't pay
+      // two passes for one decision"): cand is distinct by construction
+      // (minhashCandidatePairs ends in .distinct()), so a left join
+      // preserves exact's row multiplicity and count(__c) equals the
+      // former left_semi count — while the fused job also lets the SSJoin
+      // and LSH subtrees execute concurrently instead of as two
+      // sequential driver actions.
+      val rc = exact.join(cand.withColumn("__c", lit(1)),
+          Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__c")).as("caught")).head()
+      val nExact = rc.getLong(0)
+      val caught = rc.getLong(1)
       val recallOk = if (nExact == 0L || caught.toDouble / nExact >= 0.9) 1L else 0L
       val deg = exact.select(col("a_id").as("doc_id"), col("jaccard"))
         .unionByName(exact.select(col("b_id").as("doc_id"), col("jaccard")))
@@ -379,6 +395,9 @@ object LlmQueries {
     // reddens the driver row (falsifiability spec-pinned).
     "llm_dedup_fuzzy_keep" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // cache(), not an eager checkpoint — the llm_dedup_fuzzy
+      // measured rationale (r19): keep the recall job's subtrees
+      // concurrent
       val exact = Dedup.shingleJaccardPairsGlobal(
         docs.select(col("doc_id"), col("text")), n = 3, threshold = 0.5)
         .select(col("a_id"), col("b_id")).cache()
@@ -401,10 +420,19 @@ object LlmQueries {
         .filter(col("__c").cast("double") /
           (size(col("ga")) + size(col("gb")) - col("__c")).cast("double") >= 0.5)
         .select(col("a_id"), col("b_id"))
+      // .distinct() so the one-action left-join fold below cannot
+      // overcount vs the former left_semi under duplicate verified
+      // pairs (cheap: the pair set is result-sized)
       val lsh = Dedup.minhashPairs(docs, "text", "doc_id", threshold = 0.5)
-        .select(col("a_id"), col("b_id"))
-      val nGated = gated.count()
-      val caught = gated.join(lsh, Seq("a_id", "b_id"), "left_semi").count()
+        .select(col("a_id"), col("b_id")).distinct()
+      // ONE action for both recall counts — the llm_dedup_fuzzy fold
+      // (r19): fuses two sequential jobs and runs the exact-gate and
+      // LSH-pipeline subtrees concurrently inside it
+      val rc = gated.join(lsh.withColumn("__c", lit(1)),
+          Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__c")).as("caught")).head()
+      val nGated = rc.getLong(0)
+      val caught = rc.getLong(1)
       val pipeOk = if (nGated == 0L || caught.toDouble / nGated >= 0.9) 1L else 0L
       val dropped = Dedup.connectedComponents(exact)
         .filter(col("id") =!= col("cluster_id"))

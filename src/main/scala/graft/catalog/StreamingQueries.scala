@@ -116,22 +116,26 @@ object StreamingQueries {
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
-      Seq(0, 1).foreach { i =>
-        val tmp = s"$base/tmp$i"
-        // pmod over a null-coalesced id: every document (null or negative
-        // doc_id included) rides EXACTLY one delivery — the twin scores
-        // every non-null-text doc, so a plain `% 2 === i` split would
-        // silently drop null-id rows from both deliveries (ADVICE r13)
-        docs.filter(pmod(coalesce(col("doc_id"), lit(0L)), lit(2)) === i)
-          .coalesce(1).write.parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $tmp"))
-        val dst =
-          new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
-        if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
-        fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
-      }
+      Seq(0, 1).map { i =>
+        // two independent writes to disjoint paths — overlapped
+        // (guide §2.6, r19); mtime order stays pinned by setTimes
+        graft.util.Par.async {
+          val tmp = s"$base/tmp$i"
+          // pmod over a null-coalesced id: every document (null or negative
+          // doc_id included) rides EXACTLY one delivery — the twin scores
+          // every non-null-text doc, so a plain `% 2 === i` split would
+          // silently drop null-id rows from both deliveries (ADVICE r13)
+          docs.filter(pmod(coalesce(col("doc_id"), lit(0L)), lit(2)) === i)
+            .coalesce(1).write.parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          val dst =
+            new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
+          if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
+          fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+        }
+      }.foreach(graft.util.Par.await)
       val src = KafkaPipeline.fileStream(s, s"$base/today",
         docs.schema, glob = "*.parquet",
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -177,23 +181,31 @@ object StreamingQueries {
       // id on exactly one leg. Null ids ride NO leg on either side
       // (pmod(NULL)=NULL fails every filter; the twin's NULL residue
       // fails every predicate) — pinned convention, not an accident.
-      CorpusIngest.ingestBatch(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0), -1L, s"$base/manifest")
+      // Overlapped setup (guide §2.6, r19) — the llm_dedup_incremental
+      // rationale verbatim: seed ingest ∥ the two delivery writes,
+      // awaited before the stream (batch 0 reads the seeded manifest).
+      val seedIngest = graft.util.Par.async {
+        CorpusIngest.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), -1L, s"$base/manifest")
+      }
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
-      Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
-        val tmp = s"$base/tmp$i"
-        docs.filter(pmod(col("doc_id"), lit(5)).isin(residues: _*))
-          .coalesce(1).write.parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $tmp"))
-        val dst =
-          new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
-        if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
-        fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
-      }
+      Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.map { case (residues, i) =>
+        graft.util.Par.async {
+          val tmp = s"$base/tmp$i"
+          docs.filter(pmod(col("doc_id"), lit(5)).isin(residues: _*))
+            .coalesce(1).write.parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          val dst =
+            new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
+          if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
+          fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+        }
+      }.foreach(graft.util.Par.await)
+      graft.util.Par.await(seedIngest)
       val src = KafkaPipeline.fileStream(s, s"$base/today",
         docs.schema, glob = "*.parquet",
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -223,8 +235,15 @@ object StreamingQueries {
       // pmod routing — same ADVICE r14 convention as the curation key
       // above: every non-null doc_id rides exactly one leg in BOTH
       // engines (negative ids included); null ids ride none in both.
-      CorpusIngest.ingestBatch(
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0), -1L, s"$base/manifest")
+      // Overlapped setup (guide §2.6, r19): the seed ingest and the two
+      // delivery-file writes touch disjoint paths (manifest vs today/)
+      // and are all independent — run the three concurrently. The
+      // awaits sit before the stream starts: batch 0's suppression
+      // reads the manifest, so the seed MUST be fully ingested first.
+      val seedIngest = graft.util.Par.async {
+        CorpusIngest.ingestBatch(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), -1L, s"$base/manifest")
+      }
       new org.apache.hadoop.fs.Path(s"$base/today")
         .getFileSystem(s.sparkContext.hadoopConfiguration)
         .mkdirs(new org.apache.hadoop.fs.Path(s"$base/today"))
@@ -235,19 +254,22 @@ object StreamingQueries {
       // migration EventTime.mergeLatest already made.
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.foreach { case (residues, i) =>
-        val tmp = s"$base/tmp$i"
-        docs.filter(pmod(col("doc_id"), lit(5)).isin(residues: _*))
-          .coalesce(1).write.parquet(tmp)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file in $tmp"))
-        val dst = new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
-        if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
-        // modification-time order IS the micro-batch order under
-        // maxFilesPerTrigger; 60 s apart beats any FS mtime granularity
-        fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
-      }
+      Seq(Seq(1, 2), Seq(3, 4)).zipWithIndex.map { case (residues, i) =>
+        graft.util.Par.async {
+          val tmp = s"$base/tmp$i"
+          docs.filter(pmod(col("doc_id"), lit(5)).isin(residues: _*))
+            .coalesce(1).write.parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $tmp"))
+          val dst = new org.apache.hadoop.fs.Path(s"$base/today/delivery_$i.parquet")
+          if (!fs.rename(part, dst)) sys.error(s"move failed: $part -> $dst")
+          // modification-time order IS the micro-batch order under
+          // maxFilesPerTrigger; 60 s apart beats any FS mtime granularity
+          fs.setTimes(dst, 1600000000000L + i * 60000L, -1)
+        }
+      }.foreach(graft.util.Par.await)
+      graft.util.Par.await(seedIngest)
       val src = KafkaPipeline.fileStream(s, s"$base/today",
         docs.schema, glob = "*.parquet",
         options = Map("maxFilesPerTrigger" -> "1"))
@@ -299,6 +321,16 @@ object StreamingQueries {
     // (falsifiability spec-pinned). Suppression/replay/plan contracts
     // stay in FuzzyIngestSpec.
     "llm_dedup_fuzzy_incremental" -> ((s, d) => {
+      // SPARK_GRAFT_INGEST_TIMING=1 → replay-leg stage attribution on
+      // stderr (the ingest legs already trace under the same flag)
+      val trace = sys.env.contains("SPARK_GRAFT_INGEST_TIMING")
+      var t0 = System.nanoTime()
+      def mark(stage: String): Unit = if (trace) {
+        val t1 = System.nanoTime()
+        System.err.println(
+          f"[fuzzy_incr replay] $stage%-14s ${(t1 - t0) / 1e9}%.2fs")
+        t0 = t1
+      }
       val base = graft.util.Scratch.fresh("fuzzy_incr")
       s.conf.set(CorpusIngest.CapacityConf, (1L << 16).toString) // see above
       val docs = Tables.documents(s, d)
@@ -311,9 +343,19 @@ object StreamingQueries {
         .unionByName(docs.filter(col("doc_id") % 5 === 1))
       val b1 = nearDup(docs.filter(col("doc_id") % 5 === 1), 2000000L, " mirror")
         .unionByName(docs.filter(col("doc_id") % 5 === 2))
-      FuzzyIngest.ingestBatch(seed, -1L, s"$base/index")
-      FuzzyIngest.ingestBatch(b0, 0L, s"$base/index")
-      FuzzyIngest.ingestBatch(b1, 1L, s"$base/index")
+      // Overlapped legs (guide §2.6, r19): the three index ingests and
+      // the exact replay below share NO state until the verdict (the
+      // ingests write $base/index; the replay reads only the source
+      // frames), and both legs are chains of small jobs that leave most
+      // cores idle at bench scale — so the ingest chain runs
+      // concurrently with the replay's materialization and the wall
+      // cost is max(legs), not their sum. The await sits before
+      // FuzzyIngest.index() (the first read of ingest-written state).
+      val ingests = graft.util.Par.async {
+        FuzzyIngest.ingestBatch(seed, -1L, s"$base/index")
+        FuzzyIngest.ingestBatch(b0, 0L, s"$base/index")
+        FuzzyIngest.ingestBatch(b1, 1L, s"$base/index")
+      }
       // ---- exact replay (the hashed ground truth) ----
       // within-batch exact dedup, the ingestBatch rule: min doc_id per
       // (digest, length) text group — null and empty text are distinct
@@ -326,13 +368,20 @@ object StreamingQueries {
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-      // persisted: each uniq frame feeds the SSJoin union, a survivors
-      // probe, and the arrival count — without this the window-dedup
-      // over the constructed delivery re-executes per consumer
-      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val seedU = uniqByText(seed).persist(mad)
-      val b0u = uniqByText(b0).persist(mad)
-      val b1u = uniqByText(b1).persist(mad)
+      // localCheckpoint, not persist (r19, guide §3.3): each uniq frame
+      // feeds the SSJoin union, a survivors probe, and the verdict — and
+      // under persist() those consumers' plans NEST the window lineage
+      // (the committed before-plan of this query is ~90k lines of
+      // recursively stacked InMemoryRelations), so every downstream
+      // action re-pays analyzer/optimizer/AQE walks over the giant tree
+      // on the single-threaded driver. Eager lineage truncation makes
+      // every consumer plan start from a leaf — the replay's driver
+      // planning cost collapses, which is also what lets the overlapped
+      // ingest leg actually run in parallel instead of queueing behind
+      // plan compilation.
+      val seedU = uniqByText(seed).localCheckpoint(true)
+      val b0u = uniqByText(b0).localCheckpoint(true)
+      val b1u = uniqByText(b1).localCheckpoint(true)
       // ONE corpus-global SSJoin over every constructed doc (ids are
       // disjoint across the three frames by construction) — the global
       // pair set contains every batch×history pair, so both deliveries'
@@ -347,7 +396,8 @@ object StreamingQueries {
           .unionByName(b0u.select(col("doc_id"), col("text")))
           .unionByName(b1u.select(col("doc_id"), col("text"))),
         n = 3, threshold = 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // result-sized; cuts the SSJoin lineage
+      mark("ssjoin_construct")
       val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
         .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       // batch docs with a true shingle-J >= 0.5 partner in `histIds` are
@@ -360,10 +410,17 @@ object StreamingQueries {
           .select(col("x").as("doc_id")).distinct()
         batch.join(sup, Seq("doc_id"), "left_anti")
       }
-      val kept0 = survivors(b0u, seedU).persist(mad)
+      val kept0 = survivors(b0u, seedU).localCheckpoint(true)
       val kept1 = survivors(b1u,
         seedU.select(col("doc_id")).unionByName(kept0.select(col("doc_id"))))
-      val replayKept = kept0.unionByName(kept1).persist(mad)
+      // the eager checkpoints above already materialized the whole
+      // replay DAG while the ingests run; replayKept is a union of two
+      // checkpointed leaves, so the verdict and the returned frame
+      // re-plan only batch-sized leaf unions
+      val replayKept = kept0.unionByName(kept1).localCheckpoint(true)
+      mark("replay_force")
+      graft.util.Par.await(ingests)
+      mark("ingest_wait")
       // ---- verdict: index survivors vs replay survivors ----
       // ONE aggregate action (r13: this replaced two anti-join counts +
       // two cached counts — four driver actions): tag membership bits,
@@ -385,6 +442,7 @@ object StreamingQueries {
           coalesce(sum(when(col("__m").bitwiseAND(4) === 4, lit(1L))),
             lit(0L)))
         .head()
+      mark("verdict")
       val symDiff = vr.getLong(0)
       val nUniq = vr.getLong(1)
       val agreeOk =
@@ -436,11 +494,21 @@ object StreamingQueries {
         .unionByName(vecs.filter(col("vec_id") % 5 === 1))
       val b1 = rescale(vecs.filter(col("vec_id") % 5 === 1), 2000000L, 0.5)
         .unionByName(vecs.filter(col("vec_id") % 5 === 2))
-      EmbedIngest.ingestBatch(seed, -1L, s"$base/index")
-      EmbedIngest.ingestBatch(b0, 0L, s"$base/index")
-      EmbedIngest.ingestBatch(b1, 1L, s"$base/index")
+      // Overlapped legs (guide §2.6, r19) — the fuzzy_incremental
+      // rationale verbatim: ingests write $base/index, the replay reads
+      // only the source frames, first dependent read is
+      // EmbedIngest.index() after the await below.
+      val ingests = graft.util.Par.async {
+        EmbedIngest.ingestBatch(seed, -1L, s"$base/index")
+        EmbedIngest.ingestBatch(b0, 0L, s"$base/index")
+        EmbedIngest.ingestBatch(b1, 1L, s"$base/index")
+      }
       // ---- exact replay (the hashed ground truth) ----
-      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // localCheckpoint, not persist (r19, guide §3.3) — the
+      // fuzzy_incremental rationale verbatim: eager lineage truncation
+      // keeps every downstream consumer's plan leaf-sized instead of
+      // nesting the window/fingerprint lineage per reference, which is
+      // where this query's driver time went.
       def uniq(df: org.apache.spark.sql.DataFrame) = {
         val w = Window.partitionBy(col("fp"), col("embedding"))
           .orderBy(col("vec_id"))
@@ -448,9 +516,9 @@ object StreamingQueries {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-      val seedU = uniq(seed).persist(mad)
-      val b0u = uniq(b0).persist(mad)
-      val b1u = uniq(b1).persist(mad)
+      val seedU = uniq(seed).localCheckpoint(true)
+      val b0u = uniq(b0).localCheckpoint(true)
+      val b1u = uniq(b1).localCheckpoint(true)
       import graft.functions.VectorFns.dot
       // candidates-from-the-fingerprint, then exact-verify (r13; VERDICT
       // r12 #3): the replay probes the SAME 4×16-bit sign bands the
@@ -480,9 +548,11 @@ object StreamingQueries {
           .select(col("vec_id")).distinct()
         batch.join(dup, Seq("vec_id"), "left_anti")
       }
-      val kept0 = survivors(b0u, seedU).persist(mad)
+      val kept0 = survivors(b0u, seedU).localCheckpoint(true)
       val kept1 = survivors(b1u, seedU.unionByName(kept0))
-      val replayKept = kept0.unionByName(kept1).persist(mad)
+      // eager checkpoints materialized the replay while the ingests run
+      val replayKept = kept0.unionByName(kept1).localCheckpoint(true)
+      graft.util.Par.await(ingests)
       // ---- verdict: index survivors vs replay survivors ----
       // one aggregate action — the fuzzy twin's r13 bit-tag shape
       val idxKept = EmbedIngest.index(s, s"$base/index")
