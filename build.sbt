@@ -37,4 +37,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // staying stable at 8g (see BASELINE.md). periodicGC.interval in the
   // session configs backstops this.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK 17 ships GCLockerRetryAllocationCount=2: a task thread whose
+  // allocation loses the race against JNI critical sections (parquet/
+  // snappy readers) twice gets a spurious OOM-shaped failure, which in
+  // local mode kills the executor thread and stops the SparkContext —
+  // one such event aborted a whole sf10 rehearsal run (r19; the
+  // "Retried waiting for GCLocker too often" warning precedes it). The
+  // standard mitigation is raising the retry budget; GC behavior is
+  // otherwise unchanged.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )
